@@ -1,0 +1,297 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five dedup families over `documents` (BASELINE.json north star):
+  * exact            — hash of normalized text, keep lowest doc_id
+  * minhash sigs     — per-doc MinHash signature (md5-based, portable
+                       so the DuckDB oracle computes identical hashes)
+  * minhash LSH      — banded signature -> candidate near-dup pairs
+  * n-gram jaccard   — exact shingle-set jaccard via self-join
+  * simhash          — 16-bit bit-majority fingerprint
+
+Scale notes: every pipeline is explode -> hash -> groupBy, shuffling
+on doc_id or (band, bucket) — never a full cross join. The LSH
+band-bucket join is the 100 TB path: candidate pairs are generated
+only within identical-bucket groups. The exact-jaccard query exists
+as the small-scale oracle-checkable ground truth for LSH.
+
+Portable hashing: h(s) = first 8 hex chars of md5(s) as a BIGINT —
+identical in Spark and DuckDB, unlike xxhash64/hash() which differ
+per engine. Production would swap in xxhash64 (cheaper); semantics
+are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+N_HASHES = 8  # minhash permutations
+BAND_ROWS = 2  # rows per LSH band -> 4 bands
+SHINGLE_K = 3  # word-shingle width
+
+
+def _portable_hash(col: Column) -> Column:
+    """First 8 hex chars of md5 -> bigint; bit-identical in DuckDB via
+    CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id -> exploded distinct word-k-shingles."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - SHINGLE_K)
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+_SHINGLES_SQL = f"""
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[CAST(i AS INTEGER):CAST(i + {SHINGLE_K} - 1 AS INTEGER)], ' ')
+                       FOR i IN range(1, len(toks) - {SHINGLE_K} + 2)
+                   ])) AS shingle
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                  FROM documents)
+        )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-text hash, keep lowest doc_id.
+    One map-side-combinable shuffle on the 128-bit hash; at 100 TB the
+    hash (not the text) is what shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    ).drop("h")
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    aggs = [
+        F.min(_portable_hash(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(
+            f"mh{i}"
+        )
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_MINHASH_ORACLE = f"""
+        WITH sh AS ({_SHINGLES_SQL})
+        SELECT doc_id,
+               {", ".join(
+                   f"min(CAST(concat('0x', substr(md5(concat('s{i}:', shingle)), 1, 8)) AS BIGINT)) AS mh{i}"
+                   for i in range(N_HASHES)
+               )}
+        FROM sh
+        GROUP BY doc_id
+"""
+
+
+@register("dedup_minhash_signatures", oracle=_MINHASH_ORACLE)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature (8 portable permutations over distinct
+    word-3-shingles). Oracle-checkable because the hash is md5-derived
+    on both sides."""
+    return _minhash_signatures(spark, sf_dir)
+
+
+@register("dedup_fuzzy_minhash")  # rows-only: LSH candidate generation
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature (4 bands x 2
+    rows), bucket-join docs sharing any band, estimate jaccard as the
+    fraction of matching signature positions.
+
+    Scale shape: |docs| x n_bands rows shuffle on (band, bucket-hash);
+    pairs only materialize inside buckets — never |docs|^2.
+    """
+    sigs = _minhash_signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(N_HASHES)],
+        F.explode(bands).alias("bb"),
+    ).select("doc_id", *[f"mh{i}" for i in range(N_HASHES)], "bb.band", "bb.bucket")
+
+    left = banded.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_HASHES)],
+        "band",
+        "bucket",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_HASHES)],
+        "band",
+        "bucket",
+    )
+    pairs = left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        pairs.withColumn("est_jaccard", matches / F.lit(float(N_HASHES)))
+        .select("a", "b", "est_jaccard")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+            FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a, b,
+               round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set jaccard >= 0.2 via shared-shingle self-join —
+    the ground truth the LSH path approximates. Join key is the
+    shingle, so cost is sum over shingles of (docs-per-shingle)^2:
+    fine while shingles are discriminative; at 100 TB you'd drop
+    ultra-frequent shingles first (stop-shingle filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.select(F.col("doc_id").alias("a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= 0.2)
+        .select("a", "b", "jaccard")
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_ORACLE = f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                  FROM documents)
+        )
+        SELECT doc_id,
+               {" + ".join(
+                   f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+                   for b in range(_SIMHASH_BITS)
+               )} AS simhash
+        FROM tok
+        GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per token-hash bit, sum +1/-1 across the doc;
+    fingerprint bit = sign of the sum. Near-dups have small hamming
+    distance. Single groupBy(doc_id) — linear, map-combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).withColumn("h", _portable_hash(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"bs{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = sum(
+        F.when(F.col(f"bs{b}") > 0, F.lit(1 << b)).otherwise(0)
+        for b in range(_SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 200
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) > 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine > 0.95) over a bounded id range.
+    The bounded range keeps the exact O(n^2) check cheap; the unbounded
+    100 TB variant is `dedup_fuzzy_minhash`-style LSH bucketing (see
+    similarity.sim_search_ann_ivf for the bucketed pattern)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") > 0.95)
+        .select("a", "b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

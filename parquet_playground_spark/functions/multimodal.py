@@ -1,0 +1,136 @@
+"""Multimodal (binary) column handling.
+
+Images/audio/video are opaque `binary` columns plus typed metadata
+(reference corpus: binary.parquet, a 12-row protobuf-written binary
+column). The Spark-side plumbing — schema, Arrow batching, mapInPandas
+signatures, partitioning — is real and tested; the actual media decode
+is STUBBED with a deterministic fake (image/audio codec libraries are
+not available in this environment): see `_decode_fake_header`, which
+parses our own synthetic 12-byte header instead of a real JPEG/WAV
+parse. Swap `_decode_fake_header` for a PIL/soundfile call in
+production — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+# synthetic header: magic 'PPSB' + uint32 width + uint32 height
+_MAGIC = b"PPSB"
+
+
+def _fake_blob(doc_id: int, text: bytes) -> bytes:
+    w = 16 + (doc_id % 64)
+    h = 16 + (doc_id % 48)
+    return _MAGIC + struct.pack(">II", w, h) + text
+
+
+def _decode_fake_header(payload: bytes) -> tuple[int, int]:
+    """STUB decode: parse the deterministic fake header. A real decoder
+    (PIL.Image.open etc.) is not installable here by policy."""
+    if payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding is stubbed in this environment"
+        )
+    w, h = struct.unpack(">II", payload[4:12])
+    return w, h
+
+
+def with_binary_payload(df: DataFrame) -> DataFrame:
+    """Attach a deterministic binary 'media' column built from doc text
+    (stand-in for an image/audio payload) + typed metadata."""
+    blob = F.concat(
+        F.lit(_MAGIC),
+        # big-endian uint32 width/height, built JVM-side
+        F.unhex(F.lpad(F.hex(16 + F.col("doc_id") % 64), 8, "0")),
+        F.unhex(F.lpad(F.hex(16 + F.col("doc_id") % 48), 8, "0")),
+        F.encode(F.col("text"), "utf-8"),
+    )
+    return df.select(
+        "doc_id",
+        blob.alias("media"),
+        F.lit("image/ppsb").alias("media_type"),
+    )
+
+
+@register(
+    "multimodal_binary_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               CAST(12 + length(encode(text)) AS BIGINT) AS media_len,
+               md5(concat('PPSB-', CAST(doc_id AS VARCHAR), '-', md5(text)))
+                   AS integrity_tag
+        FROM documents
+    """,
+)
+def multimodal_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column write->read->integrity-check (reference
+    binary.parquet / R7 write path). The integrity tag is derivable
+    from the source text, so the DuckDB oracle can verify the
+    roundtrip preserved every byte."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(d)
+    out = os.path.join(tempfile.gettempdir(), "ppspark_media_roundtrip")
+    media.write.mode("overwrite").option("compression", "snappy").parquet(out)
+    back = spark.read.parquet(out)
+    text_back = F.decode(F.expr("substring(media, 13, length(media) - 12)"), "utf-8")
+    return back.select(
+        "doc_id",
+        F.length("media").cast("bigint").alias("media_len"),
+        F.md5(
+            F.concat(
+                F.lit("PPSB-"),
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                F.md5(text_back),
+            )
+        ).alias("integrity_tag"),
+    )
+
+
+@register("multimodal_decode_features")  # rows-only: stubbed decoder
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary media via mapInPandas.
+
+    The Arrow batch plumbing (binary column in, struct of features
+    out, per-partition batching) is the real 100 TB pattern; only the
+    innermost decode call is the deterministic stub.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(d).repartition(8, "doc_id")
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, digests = [], [], []
+            for payload in pdf["media"]:
+                raw = bytes(payload)
+                w, h = _decode_fake_header(raw)
+                widths.append(w)
+                heights.append(h)
+                digests.append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": widths,
+                    "height": heights,
+                    "content_md5": digests,
+                }
+            )
+
+    return media.mapInPandas(
+        decode_batch,
+        schema="doc_id long, width int, height int, content_md5 string",
+    )

@@ -1,0 +1,251 @@
+"""Category H — scalar functions (string/date/math/decimal/array/map/
+json/conditional).
+
+All JVM-side built-ins inside WholeStageCodegen — the fast path. The
+decimal casts pin the four physical decimal precisions of the reference
+corpus: (4,2) int32, (10,2) int64, (13,2)+(25,2) fixed_len_byte_array
+(SURVEY §2.2, int32_decimal/int64_decimal/fixed_length_decimal*.parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_up,
+               lower(p_type) AS type_lo,
+               substr(p_name, 1, 8) AS name8,
+               trim(concat('  ', p_brand, '  ')) AS brand_trim,
+               replace(p_type, ' ', '_') AS type_us,
+               length(p_name) AS name_len,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+               concat(p_brand, ':', p_type) AS brand_type
+        FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface (reference stringifies every leaf:
+    ParquetConverter.java:142,154)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trim"
+        ),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom,
+               date_trunc('month', o_orderdate) AS month_start,
+               datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+               CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
+               CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s
+        FROM orders
+        WHERE o_orderkey <= 3000
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (reference INT96/date decode:
+    ParquetConverter.java:52-60, LoadParquet.java:76)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp")
+        .alias("due_ts"),
+        F.unix_timestamp(F.date_trunc("second", F.col("o_orderdate"))).alias(
+            "epoch_s"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS price_r1,
+               abs(l_discount - 0.05) AS disc_dev,
+               ceil(l_quantity / 7) AS q_ceil,
+               floor(l_quantity / 7) AS q_floor,
+               CAST(l_quantity AS INTEGER) % 5 AS q_mod,
+               round(power(l_discount, 2), 6) AS disc_sq,
+               round(sqrt(l_extendedprice), 4) AS price_sqrt,
+               round(ln(l_extendedprice + 1), 4) AS price_ln
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("q_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("q_floor"),
+        (F.col("l_quantity").cast("int") % 5).alias("q_mod"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+    )
+
+
+@register(
+    "fn_cast_decimal",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc_d4_2,
+               CAST(l_extendedprice AS DECIMAL(10,2)) AS price_d10_2,
+               CAST(l_extendedprice * l_quantity AS DECIMAL(13,2)) AS gross_d13_2,
+               CAST(l_extendedprice AS DECIMAL(25,2)) AS price_d25_2,
+               CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR) AS qty_str
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+    """,
+)
+def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal casts at the corpus's 4 physical precisions (SURVEY §2.2)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_discount").cast(T.DecimalType(4, 2)).alias("disc_d4_2"),
+        F.col("l_extendedprice").cast(T.DecimalType(10, 2)).alias("price_d10_2"),
+        (F.col("l_extendedprice") * F.col("l_quantity"))
+        .cast(T.DecimalType(13, 2))
+        .alias("gross_d13_2"),
+        F.col("l_extendedprice").cast(T.DecimalType(25, 2)).alias("price_d25_2"),
+        F.col("l_quantity").cast(T.DecimalType(10, 2)).cast("string").alias("qty_str"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id <= 40
+        )
+        SELECT doc_id,
+               len(toks) AS n_toks,
+               CAST(list_contains(toks, 'spark') AS BOOLEAN) AS has_spark,
+               list_sort(toks)[1] AS first_tok,
+               CAST(u.i - 1 AS INTEGER) AS pos,
+               toks[CAST(u.i AS INTEGER)] AS tok
+        FROM t CROSS JOIN unnest(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over split tokens (reference list corpus + flatten R3)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 40)
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.array_contains("toks", "spark").alias("has_spark"),
+        F.sort_array("toks").getItem(0).alias("first_tok"),
+        F.posexplode("toks"),
+    ).withColumnsRenamed({"col": "tok"})
+
+
+@register("fn_map")  # rows-only: DuckDB map syntax/semantics differ (§2.3)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup + keys (reference nested_maps corpus)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = n.select(
+        "n_nationkey",
+        F.create_map(
+            F.lit("name"), F.col("n_name"),
+            F.lit("region"), F.col("n_regionkey").cast("string"),
+        ).alias("props"),
+    )
+    return m.select(
+        "n_nationkey",
+        F.element_at("props", "name").alias("name"),
+        F.map_keys("props").alias("keys"),
+        F.size("props").alias("n_entries"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+        FROM events
+        WHERE event_id <= 2000
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props strings."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 40000 THEN 'high'
+                    WHEN o_totalprice > 20000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+               greatest(o_totalprice, 25000.0) AS at_least_25k,
+               least(CAST(o_orderkey AS DOUBLE), o_totalprice) AS smaller
+        FROM orders
+        WHERE o_orderkey <= 3000
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 40000, "high")
+        .when(F.col("o_totalprice") > 20000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(25000.0)).alias("at_least_25k"),
+        F.least(F.col("o_orderkey").cast("double"), F.col("o_totalprice")).alias(
+            "smaller"
+        ),
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * exact brute-force cosine top-k — the correctness baseline,
+    oracle-checked against DuckDB list_cosine_similarity;
+  * IVF-bucketed approximate top-k — the 100 TB path: assign every
+    vector to its nearest coarse centroid (broadcast, K centroids),
+    then search only the probe-nearest buckets. Turns O(|q|*|n|) into
+    O(|q| * |n| * probes / K) with the bucket assignment done in one
+    broadcast-join pass.
+
+Dot products use F.zip_with + F.aggregate on double — JVM-side,
+codegen'd, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+N_QUERY = 5  # first N vec_ids act as the query set
+TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@register(
+    "sim_search_cosine_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id < {N_QUERY}),
+        scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.v, e.v) AS cs
+            FROM q JOIN e ON q.vec_id <> e.vec_id
+        )
+        SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim, rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY round(cs, 4) DESC, neighbor_id
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: queries broadcast against the
+    corpus, per-query window top-k. Ranking uses the 4-dp-rounded
+    similarity (+ unique neighbor tie-break) so Spark and DuckDB float
+    summation order can't flip ranks."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+N_CENTROIDS = 8
+N_PROBES = 2
+
+
+@register("sim_search_ann_ivf")  # rows-only: approximate by design
+def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize the corpus to the
+    nearest of K seed centroids (vec_id 0..K-1 as deterministic seeds),
+    then for each query scan only the N_PROBES nearest buckets.
+
+    Scale shape: centroids broadcast (K rows); bucket assignment is one
+    narrow pass; search joins query->bucket on bucket_id (equi,
+    shuffle-partitionable). Recall is tunable via probes/K.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    # assign every vector to its nearest centroid (broadcast join, then
+    # per-vector argmax via window)
+    scored = F.broadcast(centroids).crossJoin(e).select(
+        "vec_id",
+        "v",
+        "centroid_id",
+        _cosine(F.col("cv"), F.col("v")).alias("ccs"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccs").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("arnk", F.row_number().over(w_assign))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "v", F.col("centroid_id").alias("bucket_id"))
+    )
+    # queries probe their N_PROBES nearest centroids
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    q_scored = F.broadcast(centroids).crossJoin(q).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        _cosine(F.col("cv"), F.col("qv")).alias("qcs"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("qcs").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= N_PROBES)
+        .select("query_id", "qv", F.col("centroid_id").alias("bucket_id"))
+    )
+    # search only probed buckets
+    cand = probes.join(assigned, "bucket_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_top))
+        .filter(F.col("rnk") <= TOP_K)
+    )

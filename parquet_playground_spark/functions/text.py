@@ -1,0 +1,210 @@
+"""Text analysis for LLM training-data pipelines over `documents`.
+
+All pure built-in expressions (no Python UDFs): tokenization is
+split/regexp, scoring is arithmetic — everything stays in
+WholeStageCodegen and scales linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "text_tokenize_counts",
+    oracle="""
+        SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY tok
+    """,
+)
+def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term + document frequencies (the TF/DF core of any corpus
+    statistic). explode -> groupBy(token): map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return tok.groupBy("tok").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+        SELECT lang, source,
+               count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# Stopword seed lists for the n-gram/heuristic language scorer.
+_EN_STOPS = ("the", "a", "of", "and", "to", "in", "is")
+_QUALITY_STOPS = _EN_STOPS + ("for", "on", "with", "as", "at", "by", "it")
+
+
+def _stop_hits_sql(col: str, stops: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"len(list_filter(toks_{col}, t -> t = '{s}'))" for s in stops
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) AS n_len,
+                   string_split_regex(lower(text), '\\s+') AS toks,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+            FROM documents
+        )
+        SELECT doc_id,
+               n_len AS text_len,
+               len(toks) AS n_tokens,
+               round(CAST(n_punct AS DOUBLE) / n_len, 4) AS punct_ratio,
+               round(CAST(len(list_filter(toks,
+                   t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                   / len(toks), 4) AS stopword_ratio,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+                   AS ttr
+        FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    type-token ratio — the standard cheap pre-filters for LLM corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPS])
+    n_stops = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        F.round(n_punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
+        F.round(n_stops.cast("double") / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4
+        ).alias("ttr"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS en_hits,
+                   len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS de_hits,
+                   len(list_filter(toks, t -> t IN ('le','la','et','est','un','une'))) AS fr_hits
+            FROM t
+        )
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS predicted_lang,
+               en_hits, de_hits, fr_hits
+        FROM s
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family): count
+    language-marker tokens, argmax with a fixed precedence order."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+
+    def hits(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en = hits(_EN_STOPS)
+    de = hits(("der", "die", "das", "und", "ist", "ein"))
+    fr = hits(("le", "la", "et", "est", "un", "une"))
+    pred = (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                   AS n_pieces,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+        FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: BPE-ish regex piece count (letter runs / digit
+    runs / single punctuation marks) + the chars/4 estimator."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+    )
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens_est"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(lower(text), '\\s+'))), ' ')) AS bow_fingerprint
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint: md5 over the sorted distinct
+    token set — order/duplication-insensitive content identity (the
+    cheap cousin of winnowing fingerprints)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias(
+            "bow_fingerprint"
+        ),
+    )

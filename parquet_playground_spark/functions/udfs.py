@@ -1,0 +1,146 @@
+"""Category J — UDF / UDAF / UDTF surface.
+
+The hierarchy, slowest to fastest:
+  * row-at-a-time Python UDF — serialization per row; registered here
+    to pin the API, but NOT a pattern for hot paths;
+  * Arrow-vectorized pandas_udf — batch transfer, ~10-100x faster;
+  * grouped applyInPandas — per-group pandas logic (UDAF-style);
+  * Python UDTF (Spark 3.5+) — one row in, many rows out.
+
+Every deterministic one has an inlined-SQL oracle proving the UDF
+computes exactly what the declarative form would.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+        SELECT p_partkey,
+               concat(upper(p_brand), ':', CAST(length(p_name) AS VARCHAR))
+                   AS brand_tag
+        FROM part
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (deterministic), oracle = the same
+    function inlined in SQL."""
+
+    @F.udf(returnType=StringType(), useArrow=False)
+    def brand_tag(brand: str, name: str) -> str:
+        return f"{brand.upper()}:{len(name)}"
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", brand_tag(F.col("p_brand"), F.col("p_name")).alias("brand_tag")
+    )
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+                   AS charged
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+    """,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf: whole columns cross the
+    Python boundary as Arrow batches — the only acceptable Python
+    hot-path shape at 100 TB."""
+
+    @F.pandas_udf(DoubleType())
+    def charged(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return (price * (1 - disc) * (1 + tax)).round(4)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+@register(
+    "udaf_pandas_grouped",
+    oracle="""
+        SELECT l_returnflag,
+               round((sum(l_extendedprice) - min(l_extendedprice)
+                      - max(l_extendedprice))
+                     / (count(*) - 2), 4) AS trimmed_mean_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas: mean excluding one min and one
+    max per group (SQL-expressible, so oracle-checked). Shuffles once
+    on the group key; each group is a pandas frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+
+    def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["l_extendedprice"]
+        tm = (s.sum() - s.min() - s.max()) / (len(s) - 2)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "trimmed_mean_price": [round(tm, 4)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        trimmed, schema="l_returnflag string, trimmed_mean_price double"
+    )
+
+
+@register(
+    "udtf_split_rows",
+    oracle="""
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE doc_id <= 20
+    """,
+)
+def udtf_split_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row -> many-rows table function (Python UDTF, Spark 3.5+):
+    tokenizes a document into one row per token. Falls back to
+    explode(split(...)) if UDTFs are unavailable."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 20)
+    try:
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="doc_id bigint, token string")
+        class SplitRows:
+            def eval(self, doc_id: int, text: str):  # noqa: ANN001
+                for tok in text.split(" "):
+                    yield doc_id, tok
+
+        spark.udtf.register("pp_split_rows", SplitRows)
+        d.createOrReplaceTempView("udtf_docs")
+        return spark.sql(
+            """
+            SELECT s.doc_id, s.token
+            FROM udtf_docs, LATERAL pp_split_rows(doc_id, text) s
+            """
+        )
+    except Exception:
+        return d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )

@@ -1,0 +1,284 @@
+"""Category D — aggregations, plus the flagship pricing-summary query.
+
+All hash aggregates: Catalyst plans partial (map-side) + final agg, so
+shuffle volume is |groups|, not |rows| — the property that makes these
+queries survive a 100 TB lineitem. Float aggregates are rounded to 4
+decimals on both sides (SURVEY.md §7.3 rule 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            round(sum(l_quantity), 4) AS sum_qty,
+            round(sum(l_extendedprice), 4) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+            round(avg(l_quantity), 4) AS avg_qty,
+            round(avg(l_extendedprice), 4) AS avg_price,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary.
+
+    scan -> pushed filter -> partial/final hash agg. 4 output groups
+    regardless of SF: shuffle is O(groups), the ideal scale shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(min(l_extendedprice), 4) AS min_price,
+               round(max(l_extendedprice), 4) AS max_price,
+               round(avg(l_discount), 4) AS avg_disc
+        FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+@register(
+    "agg_groupby",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+        SELECT count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part,
+               count(DISTINCT l_returnflag) AS n_flag
+        FROM lineitem
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct("l_returnflag").alias("n_flag"),
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 4) AS sum_bulk
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 4
+        ).alias("sum_bulk"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT l_linestatus,
+               count(l_quantity) AS cnt,
+               round(min(l_quantity), 4) AS min_q,
+               round(max(l_quantity), 4) AS max_q,
+               round(avg(l_quantity), 4) AS mean_q,
+               round(sum(l_quantity), 4) AS sum_q,
+               round(var_samp(l_quantity), 4) AS var_q,
+               round(stddev_samp(l_extendedprice), 4) AS std_price
+        FROM lineitem
+        GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/mean/count/sum/variance — the per-field stats schema of
+    nested_structs.rust.parquet (reference corpus, SURVEY §2.2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count("l_quantity").alias("cnt"),
+        F.round(F.min("l_quantity"), 4).alias("min_q"),
+        F.round(F.max("l_quantity"), 4).alias("max_q"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_q"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_q"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_q"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+        SELECT l_partkey, count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING count(*) > 40
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") > 40)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: approximate by design
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — constant memory per group at any SF (the scale
+    substitute for exact COUNT DISTINCT on high-cardinality keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register("agg_approx_percentile")  # rows-only: approximate by design
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        )
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations,
+               list_sort(list(DISTINCT substr(n_name, 1, 1))) AS initials
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set, sorted for determinism (§7.3 rule 5)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.sort_array(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+    )

@@ -1,0 +1,118 @@
+"""The reference's signature operator: flatten-to-multimap.
+
+Re-derivation of ParquetConverter.java:115-170 (getRecord): every
+record becomes (key, value-string) pairs where key = top-level field
+name, array elements become repeated entries under the same key,
+struct/map values are stringified (here: canonical JSON, vs the
+reference's SimpleGroup.toString), and NULL/absent fields emit a single
+(key, NULL) pair (ParquetConverter.java:123-124).
+
+The reference walks rows one at a time on one thread and has two
+acknowledged bugs (leaf-index keying ParquetConverter.java:118-122,
+child-0-only recursion :160-169); this version is schema-driven,
+correct for any nesting, and distributed.
+
+Scale note: implemented as ONE narrow pass — per row, build
+array<struct<key,value>> spanning all fields, then a single
+explode. No shuffle, no per-field re-scan, linear at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+def _stringify(col: Column, dtype: T.DataType) -> Column:
+    """Leaf -> string (ParquetConverter.java:136-156 semantics); complex
+    -> canonical JSON (the attribute-mapper fallback,
+    ParquetConverter.java:300-303: complex => stringified)."""
+    if isinstance(dtype, (T.StructType, T.MapType, T.ArrayType)):
+        return F.to_json(col)
+    if isinstance(dtype, T.BinaryType):
+        return F.base64(col)
+    if isinstance(dtype, T.TimestampType):
+        # reference emits ISO-8601 instants for INT96 (ParquetConverter.java:149-153)
+        return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return col.cast("string")
+
+
+def flatten_multimap(df: DataFrame) -> DataFrame:
+    """Flatten any DataFrame to a (key string, value string) relation.
+
+    * scalar field      -> one pair per row
+    * array field       -> one pair per element (empty/null array -> one
+                           (key, NULL) pair, matching "missing -> null")
+    * struct/map field  -> one pair, value = JSON
+    """
+    per_field: list[Column] = []
+    for f in df.schema.fields:
+        col = F.col(f.name)
+        if isinstance(f.dataType, T.ArrayType):
+            elem_t = f.dataType.elementType
+            pairs = F.transform(
+                col,
+                lambda x: F.struct(
+                    F.lit(f.name).alias("key"),
+                    _stringify(x, elem_t).alias("value"),  # noqa: B023
+                ),
+            )
+            # null or empty array -> single (key, NULL) entry
+            fallback = F.array(
+                F.struct(
+                    F.lit(f.name).alias("key"),
+                    F.lit(None).cast("string").alias("value"),
+                )
+            )
+            per_field.append(
+                F.when((col.isNull()) | (F.size(col) == 0), fallback).otherwise(pairs)
+            )
+        else:
+            per_field.append(
+                F.array(
+                    F.struct(
+                        F.lit(f.name).alias("key"),
+                        _stringify(col, f.dataType).alias("value"),
+                    )
+                )
+            )
+    exploded = df.select(
+        F.explode(F.concat(*per_field)).alias("kv")
+    )
+    return exploded.select(F.col("kv.key").alias("key"), F.col("kv.value").alias("value"))
+
+
+@register(
+    "flatten_multimap",
+    oracle="""
+        SELECT 'doc_id' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
+        UNION ALL
+        SELECT 'lang' AS key, lang AS value FROM documents
+        UNION ALL
+        SELECT 'source' AS key, source AS value FROM documents
+        UNION ALL
+        SELECT 'tokens' AS key,
+               CASE WHEN t.tok = '' THEN NULL ELSE t.tok END AS value
+        FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    """,
+)
+def flatten_multimap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten_multimap over documents with a derived token array —
+    exercises scalar, and array explode-to-repeated-entries paths."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split("text", " ").alias("tokens"),
+    )
+    out = flatten_multimap(staged)
+    # the oracle NULLs empty tokens; split never yields empties here but
+    # keep semantics identical
+    return out.select(
+        "key", F.when(F.col("value") == "", None).otherwise(F.col("value")).alias("value")
+    )

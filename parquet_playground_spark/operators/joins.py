@@ -1,0 +1,256 @@
+"""Category C — joins.
+
+Scale notes:
+  * Dimension joins (nation/region/supplier) are explicitly
+    ``broadcast()`` — at 100 TB the fact side never shuffles for these.
+  * Fact-fact equi joins rely on sort-merge + AQE (skew split).
+  * The as-of join is the union-tag + running ``last()`` composition:
+    one shuffle on the user key, NO range-join row blowup — the shape
+    that survives a 1000-executor scale-up (a naive theta join would
+    be quadratic per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "join_inner_broadcast",
+    oracle="""
+        SELECT n.n_name AS nation, count(*) AS n_customers,
+               round(sum(c.c_acctbal), 4) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim equi join: dimension broadcast, fact side un-shuffled."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "join_multiway",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               count(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region — both dims broadcast; zero fact shuffles
+    before the aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+        SELECT o.o_orderkey, c.c_mktsegment
+        FROM customer c
+        RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderkey <= 500
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "right")
+        .filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "c_mktsegment")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH s AS (SELECT DISTINCT s_nationkey FROM supplier),
+             c AS (SELECT DISTINCT c_nationkey FROM customer)
+        SELECT s.s_nationkey, c.c_nationkey
+        FROM s FULL OUTER JOIN c ON s.s_nationkey = c.c_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full")
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey AND l_quantity > 49
+        )
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation
+        FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_name").alias("nation"))
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        SELECT s.s_suppkey, c.c_custkey
+        FROM supplier s
+        JOIN customer c
+          ON s.s_nationkey = c.c_nationkey
+         AND c.c_acctbal > s.s_acctbal + 9000
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: equi component (nationkey) carries the shuffle, the
+    inequality is a post-join predicate — Catalyst plans this as a
+    hash/sort-merge join with extra condition, NOT a cartesian."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    cond = (s.s_nationkey == c.c_nationkey) & (
+        c.c_acctbal > s.s_acctbal + F.lit(9000)
+    )
+    return s.join(c, cond).select("s_suppkey", "c_custkey")
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT o.o_orderkey,
+               o.o_custkey,
+               e.event_id AS last_event_id,
+               date_trunc('second', e.ts) AS last_event_ts
+        FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) o
+        ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event at-or-before each order's date, per user.
+
+    Spark has no native ASOF JOIN; composition = union-tag + running
+    ``last(ignorenulls)`` over (user, time) ordering. One shuffle on
+    user_id, linear in |orders|+|events| — no range-join blowup. Tie
+    semantics: event sorts before the order at equal timestamps,
+    matching DuckDB ASOF's ``<=``.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            F.col("o_custkey").alias("ukey"),
+            F.col("o_orderdate").cast("timestamp").alias("at_ts"),
+            "o_orderkey",
+            "o_custkey",
+        )
+        .withColumn("is_order", F.lit(1))
+        .withColumn("event_id", F.lit(None).cast("long"))
+        .withColumn("event_ts", F.lit(None).cast("timestamp"))
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("ukey"),
+            F.col("ts").alias("at_ts"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(0).alias("is_order"),
+            "event_id",
+            F.col("ts").alias("event_ts"),
+        )
+    )
+    tagged = events.unionByName(orders.select(*events.columns))
+    w = (
+        Window.partitionBy("ukey")
+        .orderBy("at_ts", "is_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_event_id", F.last("event_id", ignorenulls=True).over(w)
+    ).withColumn("last_event_ts", F.last("event_ts", ignorenulls=True).over(w))
+    return enriched.filter(F.col("is_order") == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "last_event_id",
+        F.date_trunc("second", "last_event_ts").alias("last_event_ts"),
+    )

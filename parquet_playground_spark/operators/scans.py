@@ -1,0 +1,103 @@
+"""Category A — scans / sources / sinks.
+
+Reference parity:
+  * scan_parquet          <- LoadParquet.java:49-53 (readParquet)
+  * scan_projection       <- MutableParquetMetadata.java:81-107 (footer
+                             column pruning; here: Catalyst ColumnPruning
+                             reaching the parquet reader as ReadSchema)
+  * scan_filter_pushdown  <- MutableParquetMetadata.java:35-49 +
+                             ParquetReaderUtility.java:304-321 (row-group
+                             pruning; here: PushedFilters row-group skip)
+  * write_roundtrip_snappy<- LoadParquet.java:74-99 (Snappy parquet write)
+  * schema_inspect        <- ParquetConverter.java:99 (schema print)
+
+Scale notes: every query is a single scan stage — no shuffle except the
+final aggregate in the roundtrip check. Projection/filter queries are
+verified (tests/test_plans.py) to show ReadSchema pruning and
+PushedFilters in the physical plan, which is what keeps a 100 TB scan
+from reading 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT * FROM customer",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table Parquet scan, footer-driven schema."""
+    return load_table(spark, sf_dir, "customer")
+
+
+@register(
+    "scan_projection",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema must contain only these 3 columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "scan_filter_pushdown",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 12
+    """,
+)
+def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate pushed to the reader (row-group min/max skip)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity").between(10, 12)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "write_roundtrip_snappy",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT o_orderkey) AS n_keys,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+    """,
+)
+def write_roundtrip_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders as Snappy Parquet, re-read, and fingerprint.
+
+    Matching the oracle (which reads the ORIGINAL table) proves the
+    roundtrip is lossless. Executors write part-files in parallel via
+    the committer — no whole-file heap buffering (the reference buffers
+    the entire output in a ByteArrayOutputStream,
+    InMemoryOutputFile.java:9-46, a single-node ceiling this removes).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "ppspark_roundtrip_orders")
+    orders.write.mode("overwrite").option("compression", "snappy").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register("schema_inspect")  # rows-only: DuckDB type names differ by design
+def schema_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table -> rows of (column, type) from the footer-driven schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = [(f.name, f.dataType.simpleString()) for f in li.schema.fields]
+    return spark.createDataFrame(rows, "col_name string, col_type string")

@@ -1,0 +1,64 @@
+"""Category G — set operations."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+def _buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 35000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def _building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+_BUYERS_SQL = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 35000"
+_BUILDING_SQL = (
+    "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+)
+
+
+@register(
+    "set_union_all",
+    oracle=f"SELECT custkey FROM (({_BUYERS_SQL}) UNION ALL ({_BUILDING_SQL}))",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — pure narrow op, no shuffle at any scale."""
+    return _buyers(spark, sf_dir).unionAll(_building(spark, sf_dir))
+
+
+@register(
+    "set_union_distinct",
+    oracle=f"SELECT custkey FROM (({_BUYERS_SQL}) UNION ({_BUILDING_SQL}))",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _buyers(spark, sf_dir).union(_building(spark, sf_dir)).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle=f"({_BUYERS_SQL}) INTERSECT ({_BUILDING_SQL})",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _buyers(spark, sf_dir).intersect(_building(spark, sf_dir))
+
+
+@register(
+    "set_except",
+    oracle=f"({_BUILDING_SQL}) EXCEPT ({_BUYERS_SQL})",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _building(spark, sf_dir).subtract(_buyers(spark, sf_dir))

@@ -1,0 +1,188 @@
+"""Category E — window functions.
+
+Every window has PARTITION BY + a deterministic ORDER BY including a
+unique tie-break key (SURVEY §7.3 rule 4). Window exec = one shuffle on
+the partition key then in-partition sort; partition keys chosen with
+SF-proportional cardinality so no single partition explodes at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "window_row_number",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               rank() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_quantity
+               ) AS rnk,
+               dense_rank() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_quantity
+               ) AS drnk
+        FROM lineitem
+        WHERE l_orderkey <= 400
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(lag(o_totalprice, 1, 0.0) OVER w, 4) AS prev_price,
+               round(lead(o_totalprice, 2) OVER w, 4) AS next2_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice", 1, 0.0).over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 2).over(w), 4).alias("next2_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 4) AS running_spend
+        FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(avg(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 4) AS avg3
+        FROM orders
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("avg3"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               round(sum(l_extendedprice) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_quantity
+                   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               ), 4) AS near_qty_price
+        FROM lineitem
+        WHERE l_orderkey <= 400
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-1, 1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.sum("l_extendedprice").over(w), 4).alias("near_qty_price"),
+    )
+
+
+@register(
+    "window_ntile_firstlast",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ntile(4) OVER w AS quartile,
+               round(first_value(o_totalprice) OVER w, 4) AS first_price,
+               round(last_value(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ), 4) AS final_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.first("o_totalprice").over(w), 4).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 4).alias("final_price"),
+    )

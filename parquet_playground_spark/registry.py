@@ -1,0 +1,63 @@
+"""Central query registry.
+
+Every operator the engine claims is registered here as a named query:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) a DuckDB oracle SQL string over the same tables.
+``__spark_entry__.py`` re-exports these to the driver harness.
+
+Keeping the Spark query and its oracle side-by-side in the defining
+module is the main defense against alias/rounding drift (SURVEY.md
+§7.3 determinism rules).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    # Imports are inside the function so a syntax error in one category
+    # is easy to localize, and so `import parquet_playground_spark`
+    # stays cheap.
+    from parquet_playground_spark.operators import (  # noqa: F401
+        aggregates,
+        flatten,
+        joins,
+        scans,
+        selections,
+        setops,
+        sorts,
+        windows,
+    )
+    from parquet_playground_spark.functions import (  # noqa: F401
+        dedup,
+        scalars,
+        similarity,
+        text,
+    )
+    from parquet_playground_spark.sources import corpus, writes  # noqa: F401
+    from parquet_playground_spark.streaming import stream_queries  # noqa: F401
+    from parquet_playground_spark.functions import udfs  # noqa: F401

@@ -1,0 +1,110 @@
+"""Reference-corpus smoke reads (SURVEY §2.2 capability envelope).
+
+The reference repo's golden Parquet corpus pins the type/encoding
+envelope: every primitive, INT96, 4 decimal encodings, list^3, map^2,
+struct-of-everything, data page v2, Snappy + both LZ4 framings,
+dictionary edge cases, modular encryption, and deliberately malformed
+files. The contract for bad files is a CLEAN error (reference:
+readPage swallows IOException, ParquetConverter.java:88-91 — a bug we
+do not reproduce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_playground_spark.registry import register
+
+CORPUS_DIR = "/root/reference"
+
+# file -> expectation: "ok" (must read), "error" (must fail cleanly),
+# "encrypted" (fails without keys; readable only with parquet crypto
+# factory configs, README.md:37-50)
+CORPUS_FILES: dict[str, str] = {
+    "alltypes_plain.parquet": "ok",
+    "alltypes_plain.snappy.parquet": "ok",
+    "alltypes_dictionary.parquet": "ok",
+    "datapage_v2.snappy.parquet": "ok",
+    "dict-page-offset-zero.parquet": "ok",
+    "hadoop_lz4_compressed.parquet": "ok",
+    "hadoop_lz4_compressed_larger.parquet": "ok",
+    "non_hadoop_lz4_compressed.parquet": "ok",
+    "nested_lists.snappy.parquet": "ok",
+    "list_columns.parquet": "ok",
+    "nested_maps.snappy.parquet": "ok",
+    "nested_structs.rust.parquet": "ok",
+    "nullable.impala.parquet": "ok",
+    "nonnullable.impala.parquet": "ok",
+    "repeated_no_annotation.parquet": "ok",
+    "int32_decimal.parquet": "ok",
+    "int64_decimal.parquet": "ok",
+    "byte_array_decimal.parquet": "ok",
+    "fixed_length_decimal.parquet": "ok",
+    "fixed_length_decimal_legacy.parquet": "ok",
+    "single_nan.parquet": "ok",
+    "nulls.snappy.parquet": "ok",
+    "binary.parquet": "ok",
+    "yolo.parquet": "ok",
+    "parquet-variety/arrays.parquet": "ok",
+    "parquet-variety/custom.parquet": "ok",
+    "nation.dict-malformed.parquet": "error",
+    "parquet-files-testing_bad_data_PARQUET-1481.parquet": "error",
+    "uniform_encryption.parquet.encrypted": "encrypted",
+    "encrypt_columns_and_footer.parquet.encrypted": "encrypted",
+    "encrypt_columns_plaintext_footer.parquet.encrypted": "encrypted",
+}
+
+
+def smoke_read_one(spark: SparkSession, rel_path: str) -> dict:
+    """Read one corpus file; never raises — returns a status record."""
+    path = os.path.join(CORPUS_DIR, rel_path)
+    try:
+        df = spark.read.parquet(path)
+        # force full materialization so decode errors surface
+        n = df.count()
+        return {
+            "file": rel_path,
+            "status": "ok",
+            "n_rows": n,
+            "n_cols": len(df.columns),
+            "error": None,
+        }
+    except Exception as exc:  # noqa: BLE001 — clean-failure contract
+        return {
+            "file": rel_path,
+            "status": "error",
+            "n_rows": -1,
+            "n_cols": -1,
+            "error": type(exc).__name__,
+        }
+
+
+@register("corpus_smoke_reads")  # rows-only: status table, no SQL oracle
+def corpus_smoke_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read every corpus file; emit (file, expected, status, rows, cols,
+    matches_expectation). Encrypted files count as expected failures
+    when no decryption keys are configured."""
+    records = []
+    for rel, expected in CORPUS_FILES.items():
+        rec = smoke_read_one(spark, rel)
+        want_error = expected in ("error", "encrypted")
+        rec["expected"] = expected
+        rec["matches_expectation"] = (rec["status"] == "error") == want_error
+        records.append(rec)
+    return spark.createDataFrame(
+        [
+            (
+                r["file"],
+                r["expected"],
+                r["status"],
+                r["n_rows"],
+                r["n_cols"],
+                r["matches_expectation"],
+            )
+            for r in records
+        ],
+        "file string, expected string, status string, n_rows long, "
+        "n_cols int, matches_expectation boolean",
+    )

@@ -1,0 +1,316 @@
+"""Category I — Structured Streaming over the `events` table.
+
+Pattern: stage the static events parquet into a streaming source dir
+(ordered files -> deterministic micro-batches), readStream ->
+transform -> writeStream to a memory sink with Trigger.availableNow,
+then return the sink table. availableNow replays the full input, so
+batch SQL (the DuckDB oracle) and the stream agree exactly for
+watermark-free aggregations; watermark/late-data semantics are
+asserted rows-only (SURVEY §7.4).
+
+Scale notes: these are the same plans a Kafka source would run —
+windowed aggs keyed by (window, key) with state in the state store;
+watermarks bound state size. File staging is test plumbing only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stage_events(
+    spark: SparkSession, sf_dir: str, name: str, n_chunks: int = 2
+) -> str:
+    """Split events into n time-ordered files so availableNow +
+    maxFilesPerTrigger=1 yields deterministic multi-batch replay."""
+    out = os.path.join(tempfile.gettempdir(), f"ppspark_stream_{name}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    e = load_table(spark, sf_dir, "events")
+    hi = e.agg(F.max("event_id")).collect()[0][0] + 1
+    step = hi // n_chunks + 1
+    for i in range(n_chunks):
+        chunk = e.filter(
+            (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+        )
+        chunk_dir = os.path.join(out, f"_chunk{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(out, f"chunk{i}.parquet")
+        shutil.move(os.path.join(chunk_dir, part), dst)
+        shutil.rmtree(chunk_dir)
+        # file-source ordering is by modification time
+        ts = time.time() - (n_chunks - i) * 10
+        os.utime(dst, (ts, ts))
+    return out
+
+
+def _read_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_dir)
+    )
+
+
+def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute with availableNow into a memory sink; return the table."""
+    sink = f"pp_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(sink)
+
+
+@register(
+    "stream_tumbling_count",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event_type; availableNow replay
+    makes the stream result equal the batch GROUP BY."""
+    staged = _stage_events(spark, sf_dir, "tumbling")
+    s = _read_stream(spark, staged)
+    agg = s.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+        WITH starts AS (
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+                       AS window_start, value FROM events
+            UNION ALL
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP),
+                   value FROM events
+        )
+        SELECT window_start, count(*) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM starts
+        GROUP BY window_start
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in two
+    windows; the oracle materializes both grid-aligned starts."""
+    staged = _stage_events(spark, sf_dir, "sliding")
+    s = _read_stream(spark, staged)
+    agg = s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "n_events", "avg_value"
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM x
+        )
+        SELECT user_id,
+               CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+               count(*) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute gap) per user via
+    session_window; oracle = lag-gap sessionization SQL. Spark merges
+    events whose [ts, ts+gap) ranges overlap, i.e. a break at
+    diff >= gap — the oracle uses the same inequality."""
+    staged = _stage_events(spark, sf_dir, "session")
+    s = _read_stream(spark, staged)
+    agg = s.groupBy(
+        F.session_window("ts", "10 minutes").alias("sw"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_trunc("second", F.col("sw.start")).alias("session_start"),
+        "n_events",
+    )
+
+
+@register("stream_watermark_late")  # rows-only: watermark semantics
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drops late rows: batch 1 advances the watermark past a
+    straggler that batch 2 replays; append-mode output must exclude it.
+
+    Output: one row per (window_start, n_events) for finalized windows,
+    plus a marker column late_event_included that must be false.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # straggler: clone the earliest event into the LAST batch
+    first = e.orderBy("ts").limit(1)
+    straggler = first.select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("late_marker").alias("event_type"),
+        "value",
+        "props",
+    )
+    out = os.path.join(tempfile.gettempdir(), "ppspark_stream_late")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    hi = e.agg(F.max("event_id")).collect()[0][0] + 1
+    chunks = [
+        e.filter(F.col("event_id") < hi // 2),
+        e.filter(F.col("event_id") >= hi // 2).unionByName(straggler),
+    ]
+    for i, chunk in enumerate(chunks):
+        chunk_dir = os.path.join(out, f"_chunk{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(out, f"chunk{i}.parquet")
+        shutil.move(os.path.join(chunk_dir, part), dst)
+        shutil.rmtree(chunk_dir)
+        ts = time.time() - (2 - i) * 10
+        os.utime(dst, (ts, ts))
+
+    s = _read_stream(spark, out).withWatermark("ts", "15 minutes")
+    agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "late_marker", True).otherwise(False)).alias(
+            "late_event_included"
+        ),
+    )
+    result = _run_to_table(agg, "append")
+    return result.select(
+        F.col("w.start").alias("window_start"), "n_events", "late_event_included"
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+        SELECT event_id,
+               CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+               round(value, 4) AS value
+        FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate suppression within the watermark: the source replays
+    every event TWICE (two identical staged batches); dropDuplicates
+    on event_id must restore exactly-once — equal to DISTINCT over the
+    original table."""
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.gettempdir(), "ppspark_stream_dedup")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for i in range(2):  # identical copies -> pure duplicates
+        chunk_dir = os.path.join(out, f"_chunk{i}")
+        e.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
+        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(out, f"copy{i}.parquet")
+        shutil.move(os.path.join(chunk_dir, part), dst)
+        shutil.rmtree(chunk_dir)
+        ts = time.time() - (2 - i) * 10
+        os.utime(dst, (ts, ts))
+    s = _read_stream(spark, out).withWatermark("ts", "1 day")
+    deduped = s.dropDuplicates(["event_id"])
+    result = _run_to_table(deduped, "append")
+    return result.select(
+        "event_id",
+        F.date_trunc("second", "ts").alias("ts_s"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+@register("stream_stateful_running")  # rows-only: custom stateful operator
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running aggregate across micro-batches via
+    applyInPandasWithState — the custom-stateful-operator surface
+    (reference has no equivalent; north-star extension). State = (count,
+    sum) per user, updated batch by batch; final rows = per-user totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    staged = _stage_events(spark, sf_dir, "stateful", n_chunks=3)
+    s = _read_stream(spark, staged)
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [cnt], "sum_value": [round(total, 4)]}
+        )
+
+    result = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(result, "update")
+    # update-mode emits one row per (user, batch); keep the final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )

@@ -1,0 +1,41 @@
+"""Testdata table loader.
+
+Tables are one parquet file per name under an sf dir
+(/root/testdata/sf{0.001,0.01,0.1}). At 100 TB each "file" becomes a
+partitioned directory; ``spark.read.parquet`` handles both shapes, so
+nothing here changes at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Footer-schema-driven Parquet scan (reference: LoadParquet.java:49-53,
+    ParquetConverter.java:98 — schema always from the footer, never
+    user-declared). Vectorized, splittable, filter-pushdown-capable."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
