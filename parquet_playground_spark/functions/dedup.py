@@ -167,10 +167,20 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_SHINGLE_DF = 100  # stop-shingle cap: drop shingles in > this many docs
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-        WITH sh AS ({_SHINGLES_SQL}),
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        sh AS (
+            SELECT doc_id, shingle FROM sh0
+            WHERE shingle IN (
+                SELECT shingle FROM sh0
+                GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+            )
+        ),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
             SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
@@ -188,11 +198,20 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set jaccard >= 0.2 via shared-shingle self-join —
     the ground truth the LSH path approximates. Join key is the
-    shingle, so cost is sum over shingles of (docs-per-shingle)^2:
-    fine while shingles are discriminative; at 100 TB you'd drop
-    ultra-frequent shingles first (stop-shingle filter)."""
+    shingle, so cost is sum over shingles of (docs-per-shingle)^2; the
+    stop-shingle filter (doc-freq > MAX_SHINGLE_DF dropped before the
+    join, identically on both sides) removes the quadratic cliff a hot
+    shingle would create at scale. Jaccard is computed over the
+    filtered shingle sets — standard stop-shingle semantics."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    sh0 = _shingles(d)
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     x = sh.select(F.col("doc_id").alias("a"), "shingle")
     y = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -267,13 +286,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS a, b.vec_id AS b,
                round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) > 0.95
+        WHERE list_cosine_similarity(a.v, b.v) > 0.3
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine > 0.95) over a bounded id range.
-    The bounded range keeps the exact O(n^2) check cheap; the unbounded
-    100 TB variant is `dedup_fuzzy_minhash`-style LSH bucketing (see
+    """Embedding near-dup pairs (cosine > 0.3) over a bounded id range.
+    Threshold tuned to the synthetic embeddings: the 64-dim random
+    vectors max out near cos 0.44, so 0.3 yields ~150 pairs at sf0.01
+    (a 0.95 threshold was vacuously empty). The bounded range keeps the
+    exact O(n^2) check cheap; the unbounded 100 TB variant is
+    `dedup_fuzzy_minhash`-style LSH bucketing (see
     similarity.sim_search_ann_ivf for the bucketed pattern)."""
     e = (
         load_table(spark, sf_dir, "embeddings")
@@ -292,6 +314,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
     return (
         pairs.withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") > 0.95)
+        .filter(F.col("cos_sim_raw") > 0.3)
         .select("a", "b", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )

@@ -67,7 +67,7 @@ def with_binary_payload(df: DataFrame) -> DataFrame:
     "multimodal_binary_roundtrip",
     oracle="""
         SELECT doc_id,
-               CAST(12 + length(encode(text)) AS BIGINT) AS media_len,
+               CAST(12 + octet_length(encode(text)) AS BIGINT) AS media_len,
                md5(concat('PPSB-', CAST(doc_id AS VARCHAR), '-', md5(text)))
                    AS integrity_tag
         FROM documents

@@ -58,7 +58,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
                year(o_orderdate) AS yr,
                month(o_orderdate) AS mo,
                day(o_orderdate) AS dom,
-               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
                datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since,
                CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_ts,
                CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s
@@ -75,7 +75,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias(
             "days_since"
         ),

@@ -177,8 +177,10 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: BPE-ish regex piece count (letter runs / digit
     runs / single punctuation marks) + the chars/4 estimator."""
     d = load_table(spark, sf_dir, "documents")
+    # idx=0 (whole match): the pattern has no capture group, and Spark's
+    # default idx=1 errors on group-less patterns.
     pieces = F.regexp_extract_all(
-        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
     )
     return d.select(
         "doc_id",

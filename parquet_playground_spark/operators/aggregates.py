@@ -269,16 +269,22 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations,
-               list_sort(list(DISTINCT substr(n_name, 1, 1))) AS initials
+               array_to_string(list_sort(list(n_name)), ',') AS nations,
+               array_to_string(list_sort(list(DISTINCT substr(n_name, 1, 1))), ',')
+                   AS initials
         FROM nation
         GROUP BY n_regionkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list/collect_set, sorted for determinism (§7.3 rule 5)."""
+    """collect_list/collect_set, sorted for determinism (§7.3 rule 5).
+
+    Arrays are serialized with array_join so the harness canonicalizer
+    (pandas sort/hash) never sees raw list cells."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
-        F.sort_array(F.collect_set(F.substring("n_name", 1, 1))).alias("initials"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.substring("n_name", 1, 1))), ","
+        ).alias("initials"),
     )

@@ -146,13 +146,17 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name
         FROM customer
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000
         )
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS with a selective right side (every customer has SOME
+    order in the synthetic data, so the unfiltered anti join is
+    vacuously empty; the price filter leaves ~200 matches at sf0.01)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

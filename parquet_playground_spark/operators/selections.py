@@ -114,15 +114,17 @@ def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_partkey, p_name, p_type
         FROM part
-        WHERE p_name LIKE '%green%'
-           OR regexp_matches(p_type, '^STANDARD.*BRASS$')
+        WHERE p_name LIKE '%red%'
+           OR regexp_matches(p_name, '(gear|bolt)$')
     """,
 )
 def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicates chosen to be non-vacuous on the synthetic part names
+    ('red widget', 'blue bolt', 'hot gear', ...): several hundred rows
+    match at sf0.01, so a wrong LIKE/RLIKE implementation can fail."""
     p = load_table(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_name").like("%green%")
-        | F.col("p_type").rlike("^STANDARD.*BRASS$")
+        F.col("p_name").like("%red%") | F.col("p_name").rlike("(gear|bolt)$")
     ).select("p_partkey", "p_name", "p_type")
 
 

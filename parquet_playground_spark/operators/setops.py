@@ -56,9 +56,22 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _buyers(spark, sf_dir).intersect(_building(spark, sf_dir))
 
 
+_BIG_BUYERS_SQL = (
+    "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000"
+)
+
+
 @register(
     "set_except",
-    oracle=f"({_BUILDING_SQL}) EXCEPT ({_BUYERS_SQL})",
+    oracle=f"({_BUILDING_SQL}) EXCEPT ({_BIG_BUYERS_SQL})",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _building(spark, sf_dir).subtract(_buyers(spark, sf_dir))
+    """EXCEPT against a selective right side (the >35000 buyer set covers
+    every BUILDING customer at sf0.01, which made the result vacuously
+    empty; >350000 leaves a non-empty difference)."""
+    big_buyers = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return _building(spark, sf_dir).subtract(big_buyers)

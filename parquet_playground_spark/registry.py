@@ -38,10 +38,27 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Import order IS driver-check order (the harness iterates queries()
+    in registration order and stops at a budget — r1 covered only the
+    first 50). Modules whose queries had no official correctness row in
+    r1, or were fixed this round, register first; the long-green core
+    operators register last.
+    """
     # Imports are inside the function so a syntax error in one category
     # is easy to localize, and so `import parquet_playground_spark`
     # stays cheap.
+    from parquet_playground_spark.functions import (  # noqa: F401
+        dedup,
+        multimodal,
+        scalars,
+        similarity,
+        text,
+        udfs,
+    )
+    from parquet_playground_spark.sources import avro, corpus, writes  # noqa: F401
+    from parquet_playground_spark.streaming import stream_queries  # noqa: F401
     from parquet_playground_spark.operators import (  # noqa: F401
         aggregates,
         flatten,
@@ -52,12 +69,3 @@ def load_all() -> None:
         sorts,
         windows,
     )
-    from parquet_playground_spark.functions import (  # noqa: F401
-        dedup,
-        scalars,
-        similarity,
-        text,
-    )
-    from parquet_playground_spark.sources import corpus, writes  # noqa: F401
-    from parquet_playground_spark.streaming import stream_queries  # noqa: F401
-    from parquet_playground_spark.functions import udfs  # noqa: F401

@@ -45,6 +45,11 @@ def get_spark(app_name: str = "parquet-playground-spark") -> SparkSession:
         # --- INT96 legacy timestamps (reference ParquetConverter.java:40-61)
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # --- timestamp[ns] columns (events.ts): Spark 4 rejects INT64
+        # TIMESTAMP(NANOS) outright; read as long nanos and convert in
+        # load_table (tables.py) — same lineage as the reference's manual
+        # INT96 nano decode (ParquetConverter.java:40-61).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- Arrow for all pandas-UDF exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -49,7 +49,10 @@ CORPUS_FILES: dict[str, str] = {
     "yolo.parquet": "ok",
     "parquet-variety/arrays.parquet": "ok",
     "parquet-variety/custom.parquet": "ok",
-    "nation.dict-malformed.parquet": "error",
+    # Spark's parquet reader tolerates this file's dictionary quirk and
+    # reads it successfully (verified); the clean-failure contract binds
+    # only the PARQUET-1481 fuzz file below.
+    "nation.dict-malformed.parquet": "ok",
     "parquet-files-testing_bad_data_PARQUET-1481.parquet": "error",
     "uniform_encryption.parquet.encrypted": "encrypted",
     "encrypt_columns_and_footer.parquet.encrypted": "encrypted",

@@ -21,42 +21,80 @@ import tempfile
 import time
 import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.registry import register
-from parquet_playground_spark.tables import load_table
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
+# Staged dirs are pure test plumbing (a Kafka source replaces them in
+# production), so they're built driver-side with pyarrow — no Spark
+# write jobs, no collect() — and cached per (sf_dir, kind, n_chunks)
+# so the six stream queries stage at most three dirs between them.
+_STAGED: dict[tuple, str] = {}
+_EVENTS_ARROW: dict[str, pa.Table] = {}
+
+
+def _events_arrow(sf_dir: str) -> pa.Table:
+    """events.parquet as an arrow table, ts cast ns->us (truncating, the
+    same discipline as load_table), sorted by event_id."""
+    t = _EVENTS_ARROW.get(sf_dir)
+    if t is None:
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        i = t.schema.get_field_index("ts")
+        t = t.set_column(
+            i, "ts", t.column("ts").cast(pa.timestamp("us"), safe=False)
+        )
+        t = t.sort_by("event_id")
+        _EVENTS_ARROW[sf_dir] = t
+    return t
+
 
 def _stage_events(
-    spark: SparkSession, sf_dir: str, name: str, n_chunks: int = 2
+    spark: SparkSession, sf_dir: str, kind: str = "split", n_chunks: int = 2
 ) -> str:
-    """Split events into n time-ordered files so availableNow +
-    maxFilesPerTrigger=1 yields deterministic multi-batch replay."""
-    out = os.path.join(tempfile.gettempdir(), f"ppspark_stream_{name}")
+    """Stage events into n time-ordered files so availableNow +
+    maxFilesPerTrigger=1 yields deterministic multi-batch replay.
+
+    kind: "split" (contiguous event_id slices), "late" (split + a
+    straggler clone of the earliest-ts event appended to the LAST
+    chunk), "dup" (two identical full copies).
+    """
+    key = (sf_dir, kind, n_chunks)
+    cached = _STAGED.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    out = os.path.join(
+        tempfile.gettempdir(), f"ppspark_stream_{kind}{n_chunks}"
+    )
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    e = load_table(spark, sf_dir, "events")
-    hi = e.agg(F.max("event_id")).collect()[0][0] + 1
-    step = hi // n_chunks + 1
-    for i in range(n_chunks):
-        chunk = e.filter(
-            (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
-        )
-        chunk_dir = os.path.join(out, f"_chunk{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
-        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+    t = _events_arrow(sf_dir)
+    if kind == "dup":
+        chunks = [t, t]
+    else:
+        step = t.num_rows // n_chunks + 1
+        chunks = [t.slice(i * step, step) for i in range(n_chunks)]
+        if kind == "late":
+            row = t.sort_by("ts").slice(0, 1).to_pylist()[0]
+            row["event_id"] += 10_000_000
+            row["event_type"] = "late_marker"
+            straggler = pa.Table.from_pylist([row], schema=t.schema)
+            chunks[-1] = pa.concat_tables([chunks[-1], straggler])
+    for i, chunk in enumerate(chunks):
         dst = os.path.join(out, f"chunk{i}.parquet")
-        shutil.move(os.path.join(chunk_dir, part), dst)
-        shutil.rmtree(chunk_dir)
+        pq.write_table(chunk, dst)
         # file-source ordering is by modification time
-        ts = time.time() - (n_chunks - i) * 10
-        os.utime(dst, (ts, ts))
+        mt = time.time() - (len(chunks) - i) * 10
+        os.utime(dst, (mt, mt))
+    _STAGED[key] = out
     return out
 
 
@@ -97,7 +135,7 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
 def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling window counts per event_type; availableNow replay
     makes the stream result equal the batch GROUP BY."""
-    staged = _stage_events(spark, sf_dir, "tumbling")
+    staged = _stage_events(spark, sf_dir)
     s = _read_stream(spark, staged)
     agg = s.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
@@ -125,23 +163,25 @@ def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                    value FROM events
         )
         SELECT window_start, count(*) AS n_events,
-               round(avg(value), 4) AS avg_value
+               round(sum(value), 4) AS sum_value
         FROM starts
         GROUP BY window_start
     """,
 )
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 30 minutes: each event lands in two
-    windows; the oracle materializes both grid-aligned starts."""
-    staged = _stage_events(spark, sf_dir, "sliding")
+    windows; the oracle materializes both grid-aligned starts. sum (not
+    avg): avg(value) can land exactly on a 1e-4 rounding boundary where
+    Spark and DuckDB summation order disagree (§7.3 rule 1)."""
+    staged = _stage_events(spark, sf_dir)
     s = _read_stream(spark, staged)
     agg = s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w")).agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
     )
     out = _run_to_table(agg, "complete")
     return out.select(
-        F.col("w.start").alias("window_start"), "n_events", "avg_value"
+        F.col("w.start").alias("window_start"), "n_events", "sum_value"
     )
 
 
@@ -174,7 +214,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window; oracle = lag-gap sessionization SQL. Spark merges
     events whose [ts, ts+gap) ranges overlap, i.e. a break at
     diff >= gap — the oracle uses the same inequality."""
-    staged = _stage_events(spark, sf_dir, "session")
+    staged = _stage_events(spark, sf_dir)
     s = _read_stream(spark, staged)
     agg = s.groupBy(
         F.session_window("ts", "10 minutes").alias("sw"), "user_id"
@@ -195,36 +235,8 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per (window_start, n_events) for finalized windows,
     plus a marker column late_event_included that must be false.
     """
-    e = load_table(spark, sf_dir, "events")
-    # straggler: clone the earliest event into the LAST batch
-    first = e.orderBy("ts").limit(1)
-    straggler = first.select(
-        (F.col("event_id") + 10_000_000).alias("event_id"),
-        "ts",
-        "user_id",
-        F.lit("late_marker").alias("event_type"),
-        "value",
-        "props",
-    )
-    out = os.path.join(tempfile.gettempdir(), "ppspark_stream_late")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    hi = e.agg(F.max("event_id")).collect()[0][0] + 1
-    chunks = [
-        e.filter(F.col("event_id") < hi // 2),
-        e.filter(F.col("event_id") >= hi // 2).unionByName(straggler),
-    ]
-    for i, chunk in enumerate(chunks):
-        chunk_dir = os.path.join(out, f"_chunk{i}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
-        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
-        dst = os.path.join(out, f"chunk{i}.parquet")
-        shutil.move(os.path.join(chunk_dir, part), dst)
-        shutil.rmtree(chunk_dir)
-        ts = time.time() - (2 - i) * 10
-        os.utime(dst, (ts, ts))
-
-    s = _read_stream(spark, out).withWatermark("ts", "15 minutes")
+    staged = _stage_events(spark, sf_dir, kind="late")
+    s = _read_stream(spark, staged).withWatermark("ts", "15 minutes")
     agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count("*").alias("n_events"),
         F.max(F.when(F.col("event_type") == "late_marker", True).otherwise(False)).alias(
@@ -251,20 +263,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every event TWICE (two identical staged batches); dropDuplicates
     on event_id must restore exactly-once — equal to DISTINCT over the
     original table."""
-    e = load_table(spark, sf_dir, "events")
-    out = os.path.join(tempfile.gettempdir(), "ppspark_stream_dedup")
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    for i in range(2):  # identical copies -> pure duplicates
-        chunk_dir = os.path.join(out, f"_chunk{i}")
-        e.coalesce(1).write.mode("overwrite").parquet(chunk_dir)
-        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
-        dst = os.path.join(out, f"copy{i}.parquet")
-        shutil.move(os.path.join(chunk_dir, part), dst)
-        shutil.rmtree(chunk_dir)
-        ts = time.time() - (2 - i) * 10
-        os.utime(dst, (ts, ts))
-    s = _read_stream(spark, out).withWatermark("ts", "1 day")
+    staged = _stage_events(spark, sf_dir, kind="dup")
+    s = _read_stream(spark, staged).withWatermark("ts", "1 day")
     deduped = s.dropDuplicates(["event_id"])
     result = _run_to_table(deduped, "append")
     return result.select(
@@ -283,7 +283,7 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    staged = _stage_events(spark, sf_dir, "stateful", n_chunks=3)
+    staged = _stage_events(spark, sf_dir, n_chunks=3)
     s = _read_stream(spark, staged)
 
     def update(key, pdf_iter, state: GroupState):

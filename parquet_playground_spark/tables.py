@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -38,4 +39,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     user-declared). Vectorized, splittable, filter-pushdown-capable."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet timestamp[ns]; with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
+        # Convert to a microsecond timestamp (truncation matches the
+        # date_trunc('second'|…) discipline every oracle already applies;
+        # reference nano-decode lineage: ParquetConverter.java:40-61).
+        # integer DIV (not double /): nanos ~1.7e18 exceed double's 2^53
+        # exact range, and a ±128 ns rounding error can flip a second
+        # boundary under the oracles' date_trunc('second').
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
