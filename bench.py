@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints EXACTLY ONE JSON line to stdout:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with a noop-format write so the full plan
+executes (scan -> shuffle -> agg) without collecting results to the
+driver — the same way you'd measure a cluster job. A warmup query
+absorbs JVM/codegen startup so per-query numbers are comparable
+between rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per cost class (scan+agg, broadcast
+# join, fact-fact join, as-of composition, window, top-k, explode+agg,
+# minhash, cosine top-k, flatten, streaming replay).
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_groupby",
+    "join_multiway",
+    "join_left_outer",
+    "join_asof",
+    "window_running_sum",
+    "topk_per_group",
+    "set_union_distinct",
+    "text_tokenize_counts",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "sim_search_cosine_topk",
+    "flatten_multimap",
+    "stream_tumbling_count",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parquet_playground_spark import registry
+    from parquet_playground_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    _materialize(registry.QUERIES["agg_global"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = -1.0
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,6 +39,19 @@ def _portable_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Rebalance a small scan across the session's full parallelism.
+
+    A sub-128MB documents file arrives as ONE input split, which would
+    run every downstream explode+hash on a single core. One cheap
+    narrow-row shuffle before the compute-heavy stage unlocks all
+    cores; at 100 TB the source has thousands of splits and this
+    repartition coalesces into AQE's normal planning (same pattern as
+    rebalancing before an expensive per-row transform)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, "doc_id")
+
+
 def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id -> exploded distinct word-k-shingles."""
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -46,7 +59,9 @@ def _shingles(df: DataFrame, text_col: str = "text") -> DataFrame:
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")
     )
-    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return _fanout(df).select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
 
 
 _SHINGLES_SQL = f"""
@@ -84,25 +99,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 permutations from 2 md5 digests: each 128-bit digest yields four
+    independent 32-bit slices (md5 output bits are uniformly mixed), so
+    the md5 cost per shingle drops 4x vs hashing once per permutation.
+    The digests are projected BEFORE the aggregate so each is computed
+    once per row, not once per agg expression."""
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d)
+    digests = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"s{j}:"), F.col("shingle"))).alias(f"m{j}")
+            for j in range(2)
+        ],
+    )
     aggs = [
-        F.min(_portable_hash(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(
-            f"mh{i}"
-        )
+        F.min(
+            F.conv(
+                F.substring(F.col(f"m{i // 4}"), 1 + 8 * (i % 4), 8), 16, 10
+            ).cast("bigint")
+        ).alias(f"mh{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return digests.groupBy("doc_id").agg(*aggs)
 
 
 _MINHASH_ORACLE = f"""
-        WITH sh AS ({_SHINGLES_SQL})
+        WITH sh AS ({_SHINGLES_SQL}),
+        dg AS (
+            SELECT doc_id,
+                   md5(concat('s0:', shingle)) AS m0,
+                   md5(concat('s1:', shingle)) AS m1
+            FROM sh
+        )
         SELECT doc_id,
                {", ".join(
-                   f"min(CAST(concat('0x', substr(md5(concat('s{i}:', shingle)), 1, 8)) AS BIGINT)) AS mh{i}"
+                   f"min(CAST(concat('0x', substr(m{i // 4}, {1 + 8 * (i % 4)}, 8)) AS BIGINT)) AS mh{i}"
                    for i in range(N_HASHES)
                )}
-        FROM sh
+        FROM dg
         GROUP BY doc_id
 """
 
@@ -258,7 +293,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint bit = sign of the sum. Near-dups have small hamming
     distance. Single groupBy(doc_id) — linear, map-combinable."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok = _fanout(d).select(
         "doc_id",
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
     ).withColumn("h", _portable_hash(F.col("tok")))
