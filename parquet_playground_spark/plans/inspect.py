@@ -50,4 +50,13 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Distinct WholeStageCodegen spans in the physical plan.
+
+    Uses the executed-plan string: explain("formatted") marks codegen'd
+    nodes only with a `*` prefix, and under AQE the codegen spans exist
+    only in the final (post-execution) plan."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen'd operators render as `*(N) OperatorName`; N is the span id
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

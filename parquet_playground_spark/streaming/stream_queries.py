@@ -64,8 +64,16 @@ def _stage_events(
     maxFilesPerTrigger=1 yields deterministic multi-batch replay.
 
     kind: "split" (contiguous event_id slices), "late" (split + a
-    straggler clone of the earliest-ts event appended to the LAST
-    chunk), "dup" (two identical full copies).
+    straggler clone of the earliest-ts event in its OWN trailing file),
+    "dup" (two identical full copies).
+
+    The straggler gets a separate file — i.e. a separate micro-batch —
+    because Spark applies the late-record filter with the watermark
+    committed BEFORE the batch that delivered the data establishing it:
+    a late row arriving in the very next batch can still merge into
+    not-yet-evicted state (observed on Spark 4.1; watermark docs only
+    guarantee best-effort dropping). One extra batch makes the drop
+    deterministic.
     """
     key = (sf_dir, kind, n_chunks)
     cached = _STAGED.get(key)
@@ -86,8 +94,7 @@ def _stage_events(
             row = t.sort_by("ts").slice(0, 1).to_pylist()[0]
             row["event_id"] += 10_000_000
             row["event_type"] = "late_marker"
-            straggler = pa.Table.from_pylist([row], schema=t.schema)
-            chunks[-1] = pa.concat_tables([chunks[-1], straggler])
+            chunks.append(pa.Table.from_pylist([row], schema=t.schema))
     for i, chunk in enumerate(chunks):
         dst = os.path.join(out, f"chunk{i}.parquet")
         pq.write_table(chunk, dst)

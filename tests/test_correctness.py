@@ -1,0 +1,108 @@
+"""Oracle-checked correctness over a category-spanning query subset.
+
+Mirrors the driver gate: run the registered Spark query at sf0.01 and
+compare row count, schema, and an order-insensitive canonical value
+hash against the DuckDB oracle (same canonicalization as
+tools/verify_local.py). The full 88-query sweep lives in
+tools/verify_local.py; this suite keeps pytest fast (~2 min) while
+touching every operator category (SURVEY.md §2.3 A-K).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tools.verify_local import canon_rows
+
+# at least one query per §2.3 category, biased toward the ones fixed
+# or previously unverified in round 1
+ORACLE_QUERIES = [
+    "q1_pricing_summary",      # flagship scan+agg
+    "scan_filter_pushdown",    # A
+    "filter_like_regex",       # B (de-vacuized)
+    "join_inner_broadcast",    # C
+    "join_left_anti",          # C (de-vacuized)
+    "join_asof",               # C (ns-unblocked)
+    "agg_collect",             # D (canonicalizer fix)
+    "agg_grouping_sets",       # D
+    "window_range_frame",      # E
+    "topk_per_group",          # F
+    "set_except",              # G (de-vacuized)
+    "fn_date",                 # H (type fix)
+    "fn_array",                # H
+    "flatten_multimap",        # H (signature op)
+    "stream_dedup",            # I (ns-unblocked)
+    "udf_pandas_vectorized",   # J
+    "dedup_exact",             # K
+    "dedup_minhash_signatures",  # K
+    "dedup_embedding_cosine",  # K (de-vacuized)
+    "text_token_count_bpe",    # K (regexp fix)
+    "multimodal_binary_roundtrip",  # K (registry fix)
+]
+
+# rows-only queries: assert they run and return sane row counts
+ROWS_ONLY_QUERIES = {
+    "corpus_smoke_reads": 31,
+    "avro_ingest": 1,
+    "multimodal_decode_features": 500,
+    "stream_stateful_running": None,  # >0
+    "dedup_fuzzy_minhash": None,
+}
+
+
+def _registry():
+    from parquet_playground_spark import registry
+
+    registry.load_all()
+    return registry
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, oracle_con, name):
+    reg = _registry()
+    sdf = reg.QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    rel = oracle_con.sql(reg.ORACLES[name])
+    ocols = list(rel.columns)
+    orows = rel.fetchall()
+
+    assert len(srows) == len(orows), f"rowcount {len(srows)} != {len(orows)}"
+    assert len(srows) > 0, "vacuous pass: zero rows on both sides"
+    assert sorted(scols) == sorted(ocols)
+    assert canon_rows(scols, srows) == canon_rows(ocols, orows)
+
+
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY_QUERIES))
+def test_rows_only_runs(spark, name):
+    reg = _registry()
+    expected = ROWS_ONLY_QUERIES[name]
+    n = reg.QUERIES[name](spark, SF_DIR).count()
+    if expected is None:
+        assert n > 0
+    else:
+        assert n == expected
+
+
+def test_corpus_expectations_all_match(spark):
+    """Every §2.2 corpus file reads (or fails) exactly as declared."""
+    reg = _registry()
+    rows = reg.QUERIES["corpus_smoke_reads"](spark, SF_DIR).collect()
+    mismatched = [r["file"] for r in rows if not r["matches_expectation"]]
+    assert mismatched == []
+
+
+def test_watermark_drops_late_row(spark):
+    """Semantic assertion for stream_watermark_late (SURVEY §7.4): the
+    straggler replayed behind the watermark must be excluded."""
+    reg = _registry()
+    out = reg.QUERIES["stream_watermark_late"](spark, SF_DIR)
+    assert out.filter("late_event_included").count() == 0
+
+
+def test_every_oracle_key_is_registered():
+    reg = _registry()
+    assert set(reg.ORACLES) <= set(reg.QUERIES)
+    assert len(reg.QUERIES) >= 85

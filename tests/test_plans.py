@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the optimizer must actually deliver the
+scale-critical properties (SURVEY.md §4) — pushed filters, pruned scan
+schemas, broadcast joins on small dims, no cartesian products on
+theta joins, and whole-stage codegen in the hot paths. These are the
+properties that keep a 100 TB scan from reading 100 TB; a correctness
+hash can't see them, so they get their own tests.
+"""
+
+from __future__ import annotations
+
+from parquet_playground_spark.plans.inspect import (
+    codegen_stage_count,
+    formatted_plan,
+    has_pushed_filter,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    from parquet_playground_spark import registry
+
+    registry.load_all()
+    return registry.QUERIES[name]
+
+
+def test_filter_reaches_parquet_scan(spark):
+    df = _q("scan_filter_pushdown")(spark, SF_DIR)
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_projection_prunes_read_schema(spark):
+    df = _q("scan_projection")(spark, SF_DIR)
+    cols = read_schema_columns(df)
+    assert sorted(cols) == ["l_linenumber", "l_orderkey", "l_quantity"]
+
+
+def test_flagship_pushes_shipdate_filter(spark):
+    df = _q("q1_pricing_summary")(spark, SF_DIR)
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_dim_join_broadcasts(spark):
+    df = _q("join_inner_broadcast")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_multiway_join_broadcasts_both_dims(spark):
+    plan = formatted_plan(_q("join_multiway")(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_theta_join_is_not_cartesian(spark):
+    plan = formatted_plan(_q("join_theta_range")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_paths_use_whole_stage_codegen(spark):
+    """Codegen spans only appear in the FINAL adaptive plan, so execute
+    first; also pin that no Python evaluation leaks into built-in-only
+    pipelines (the row-at-a-time slow path)."""
+    for name in ["q1_pricing_summary", "text_tokenize_counts", "dedup_exact"]:
+        df = _q(name)(spark, SF_DIR)
+        df.collect()
+        plan = formatted_plan(df)
+        assert codegen_stage_count(df) > 0, f"{name}: no codegen in final plan"
+        assert "BatchEvalPython" not in plan, name
+        assert "Batched: true" in plan, f"{name}: scan not vectorized"
+
+
+def test_asof_join_plans_single_user_shuffle(spark):
+    """The as-of composition must stay linear: one window over the
+    union, no join at all (the quadratic range-join alternative would
+    show SortMergeJoin/NestedLoop here)."""
+    plan = formatted_plan(_q("join_asof")(spark, SF_DIR))
+    assert "Window" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_candidate_join_is_hash_join(spark):
+    """LSH pairs must come from an equi bucket join, never a cross."""
+    plan = formatted_plan(_q("dedup_fuzzy_minhash")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
