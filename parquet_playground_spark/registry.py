@@ -57,7 +57,12 @@ def load_all() -> None:
         text,
         udfs,
     )
-    from parquet_playground_spark.sources import avro, corpus, writes  # noqa: F401
+    from parquet_playground_spark.sources import (  # noqa: F401
+        avro,
+        corpus,
+        encrypted,
+        writes,
+    )
     from parquet_playground_spark.streaming import stream_queries  # noqa: F401
     from parquet_playground_spark.operators import (  # noqa: F401
         aggregates,

@@ -57,6 +57,15 @@ def get_spark(app_name: str = "parquet-playground-spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Parquet modular-encryption factory (sources/encrypted.py): the
+    # pp-crypto.jar holds PlaygroundDecryptionFactory with the corpus's
+    # published keys; classpath entries only apply at JVM launch, so an
+    # already-running session simply leaves the encrypted reads gated.
+    crypto_jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "java", "pp-crypto.jar"
+    )
+    if os.path.exists(crypto_jar):
+        builder = builder.config("spark.driver.extraClassPath", crypto_jar)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
