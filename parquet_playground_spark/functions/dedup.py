@@ -311,6 +311,139 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
 
 
+# ---- random-hyperplane LSH over embeddings (the 100 TB cosine path) ----
+#
+# Hyperplanes are FIXED literal constants (seeded PRNG at module load),
+# embedded identically into the Spark expressions and the DuckDB oracle
+# SQL, so the bucketing — and therefore the full candidate set — is
+# bit-for-bit reproducible on both sides: the LSH approximation itself
+# is oracle-checked, not just sampled.
+import random as _random
+
+_LSH_TABLES = 2  # independent hash tables (recall knob)
+_LSH_BITS = 6  # hyperplanes per table -> 64 buckets each
+_EMB_DIM = 64
+_rng = _random.Random(42)
+_HYPERPLANES = [
+    [
+        [round(_rng.gauss(0.0, 1.0), 6) for _ in range(_EMB_DIM)]
+        for _ in range(_LSH_BITS)
+    ]
+    for _ in range(_LSH_TABLES)
+]
+
+
+def _dot_lit(vec_col: Column, plane: list[float]) -> Column:
+    lit = F.array(*[F.lit(c) for c in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _bucket_expr(vec_col: Column, table: int) -> Column:
+    bits = [
+        F.when(_dot_lit(vec_col, _HYPERPLANES[table][j]) > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(_LSH_BITS)
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def _sql_array(plane: list[float]) -> str:
+    return "[" + ", ".join(f"{c!r}" for c in plane) + "]"
+
+
+def _bucket_sql(table: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_sql_array(_HYPERPLANES[table][j])}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_BITS)
+    )
+
+
+_EMB_LSH_ORACLE = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, v,
+                   {_bucket_sql(0)} AS b0,
+                   {_bucket_sql(1)} AS b1
+            FROM e
+        ),
+        cand AS (
+            SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+            FROM sig x JOIN sig y ON x.b0 = y.b0 AND x.vec_id < y.vec_id
+            UNION
+            SELECT x.vec_id, y.vec_id, x.v, y.v
+            FROM sig x JOIN sig y ON x.b1 = y.b1 AND x.vec_id < y.vec_id
+        )
+        SELECT a, b, round(list_cosine_similarity(va, vb), 4) AS cos_sim
+        FROM cand
+        WHERE list_cosine_similarity(va, vb) > 0.3
+"""
+
+
+@register("dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane (SimHash) LSH —
+    the unbounded-scale replacement for dedup_embedding_cosine's
+    all-pairs check. Each vector gets a 6-bit sign signature in 2
+    independent tables; candidate pairs only materialize inside
+    (table, bucket) groups — one equi-join shuffle keyed by bucket,
+    never |vectors|^2. Exact cosine then confirms candidates. At
+    100 TB you raise bits (smaller buckets) and tables (recall), and
+    feed the confirmed pairs to the same connected-components step as
+    minhash LSH."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = e.select(
+        "vec_id",
+        "v",
+        *[_bucket_expr(F.col("v"), t).alias(f"b{t}") for t in range(_LSH_TABLES)],
+    )
+    buckets = sig.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket")
+                    )
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.t", "tb.bucket")
+    x = buckets.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), "t", "bucket"
+    )
+    y = buckets.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), "t", "bucket"
+    )
+    pairs = (
+        x.join(y, ["t", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda p, q: p * q), F.lit(0.0), lambda acc, p: acc + p
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, p: acc + p * p)
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") > 0.3)
+        .select("a", "b", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""

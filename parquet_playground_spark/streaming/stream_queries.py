@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -279,6 +280,32 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "ts").alias("ts_s"),
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT e.event_id, c.c_mktsegment,
+               CAST(date_trunc('second', e.ts) AS TIMESTAMP) AS ts_s
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_id <= 3000
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: streaming events against the
+    static customer dimension, dimension broadcast into every
+    micro-batch (no state store, no watermark needed — the standard
+    streaming enrichment pattern). availableNow replay makes the
+    result equal the batch join."""
+    staged = _stage_events(spark, sf_dir)
+    s = _read_stream(spark, staged).filter(F.col("event_id") <= 3000)
+    c = load_table(spark, sf_dir, "customer")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey).select(
+        "event_id",
+        "c_mktsegment",
+        F.date_trunc("second", "ts").alias("ts_s"),
+    )
+    return _run_to_table(joined, "append")
 
 
 @register("stream_stateful_running")  # rows-only: custom stateful operator
