@@ -25,6 +25,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # minhash, cosine top-k, flatten, streaming replay).
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
     "agg_groupby",
     "join_multiway",
     "join_left_outer",

@@ -1,0 +1,180 @@
+"""Composite analytics: pivot, subqueries, and TPC-H-shaped headline
+queries.
+
+These exercise Catalyst's heavier rewrites — pivot-to-aggregate
+expansion, scalar/correlated subquery decorrelation (SURVEY §4: no
+custom rules needed, the optimizer plans the decorrelated join), and
+multi-join + agg + top-k pipelines in one plan. All oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot status values into columns. Catalyst expands pivot into one
+    hash aggregate with conditional counts — the same plan as the
+    oracle's FILTER clauses, one shuffle of |groups| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: Catalyst plans the inner aggregate
+    once and broadcasts the scalar — no per-row re-evaluation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM sq_orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM sq_orders)
+        """
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+        SELECT c_custkey,
+               (SELECT round(max(o_totalprice), 4) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        WHERE c_custkey <= 500
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: Catalyst decorrelates into a
+    left-outer aggregate join on the correlation key — linear, one
+    shuffle, never a per-row nested loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sqc_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sqc_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT round(max(o_totalprice), 4) FROM sqc_orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM sqc_customer
+        WHERE c_custkey <= 500
+        """
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: segment filter -> 3-way join -> revenue agg ->
+    global top-10. Filters push to all three scans; the limit runs as
+    TakeOrderedAndProject (no global sort materialization). Tie-break
+    on l_orderkey keeps the LIMIT deterministic (§7.3 rule 4)."""
+    cutoff = F.lit("1998-06-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+        SELECT n.n_name AS nation,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'AMERICA'
+        GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 6-table join keeping only orders supplied from
+    the customer's own nation. region/nation/supplier broadcast; the
+    fact-side join chain shuffles on the join keys with AQE handling
+    skew. One aggregate of |nations| rows at the end."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )

@@ -66,6 +66,7 @@ def load_all() -> None:
     from parquet_playground_spark.streaming import stream_queries  # noqa: F401
     from parquet_playground_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         flatten,
         joins,
         scans,
