@@ -53,6 +53,8 @@ def get_spark(app_name: str = "parquet-playground-spark") -> SparkSession:
         # --- Arrow for all pandas-UDF exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- bucketed-table warehouse outside the repo tree ---
+        .config("spark.sql.warehouse.dir", "/tmp/ppspark_warehouse")
         # --- keep driver logs readable ---
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

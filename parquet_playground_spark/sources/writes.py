@@ -76,6 +76,93 @@ def write_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Create bucketed copies of orders/customer (8 buckets on the join
+    key, sorted in-bucket). Idempotent per (session, sf_dir)."""
+    marker = f"pp_bucketed_for::{sf_dir}"
+    if spark.conf.get("spark.pp.bucketed.marker", "") == marker:
+        return
+    # the in-memory catalog is fresh per session but the warehouse dir
+    # persists on disk; clear both so saveAsTable never hits
+    # LOCATION_ALREADY_EXISTS from a previous session's leftovers
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/ppspark_warehouse"
+    ).removeprefix("file:")
+    for tbl in ("pp_orders_bucketed", "pp_customer_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    (
+        o.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("pp_orders_bucketed")
+    )
+    (
+        c.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("pp_customer_bucketed")
+    )
+    spark.conf.set("spark.pp.bucketed.marker", marker)
+
+
+@register(
+    "write_bucketed_table",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+    """,
+)
+def write_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed table write/read: pre-hash-partitioned storage is the
+    standard way to make repeated big-table joins shuffle-free at
+    100 TB (both sides bucketed on the join key -> co-located join, no
+    Exchange). Matching the oracle over the original table proves the
+    bucketed roundtrip is lossless."""
+    _ensure_bucketed_tables(spark, sf_dir)
+    back = spark.table("pp_orders_bucketed")
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on matching bucketed tables: both sides are
+    pre-partitioned (and pre-sorted) on the join key, so the sort-merge
+    join reads buckets pairwise with NO exchange on either side — the
+    only shuffle in the plan is the tiny final aggregate. This is the
+    bucketing payoff SURVEY §2/§4 promises for repeated fact-fact
+    joins; tests/test_plans.py pins the no-shuffle property."""
+    _ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table("pp_orders_bucketed")
+    c = spark.table("pp_customer_bucketed")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+    )
+
+
 @register(
     "write_csv_json_roundtrip",
     oracle="""

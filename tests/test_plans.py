@@ -80,6 +80,22 @@ def test_asof_join_plans_single_user_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_join_has_no_join_shuffle(spark):
+    """Both sides bucketed on the join key -> the sort-merge join must
+    read buckets pairwise with no Exchange on the join key; the only
+    shuffle allowed is the final aggregate's."""
+    df = _q("join_bucketed_colocated")(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both scans read bucketed layout; no exchange on either join key
+    # (at sf0.01 AQE may further convert to broadcast — also shuffle-free;
+    # at fact-fact scale the same layout gives the bucket-pairwise SMJ)
+    # (plan string repeats scans in Final + Initial AQE sections)
+    assert plan.count("Bucketed: true") >= 2
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+
 def test_lsh_candidate_join_is_hash_join(spark):
     """LSH pairs must come from an equi bucket join, never a cross."""
     plan = formatted_plan(_q("dedup_fuzzy_minhash")(spark, SF_DIR))
