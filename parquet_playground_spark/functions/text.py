@@ -190,6 +190,54 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_corpus_prep",
+    oracle="""
+        WITH q AS (
+            SELECT doc_id, lang, source, text,
+                   len(string_split_regex(lower(text), '\\s+')) AS n_toks
+            FROM documents
+        ),
+        f AS (SELECT * FROM q WHERE n_toks >= 40),
+        k AS (
+            SELECT min(doc_id) AS doc_id
+            FROM f GROUP BY md5(lower(trim(text)))
+        ),
+        kept AS (SELECT f.* FROM f JOIN k USING (doc_id))
+        SELECT lang, source,
+               count(*) AS n_docs,
+               round(avg(n_toks), 4) AS avg_tokens
+        FROM kept
+        GROUP BY lang, source
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep pipeline in ONE plan: token-count quality
+    filter -> exact dedup (keep lowest doc_id per normalized-text hash)
+    -> per-(lang, source) stats. The composition a real training-data
+    job runs; Catalyst fuses the filter into the scan, the dedup is one
+    hash shuffle, and the final agg is |lang x source| rows. At 100 TB
+    the same plan holds — the dedup shuffles 16-byte hashes, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_toks"),
+    ).filter(F.col("n_toks") >= 40)
+    keep = (
+        q.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = q.join(keep, "doc_id")
+    return kept.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
         SELECT doc_id,
