@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import ensure_session_defaults
 
 CORPUS_DIR = "/root/reference"
 
@@ -89,6 +90,7 @@ def corpus_smoke_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read every corpus file; emit (file, expected, status, rows, cols,
     matches_expectation). Encrypted files count as expected failures
     when no decryption keys are configured."""
+    ensure_session_defaults(spark)
     records = []
     for rel, expected in CORPUS_FILES.items():
         rec = smoke_read_one(spark, rel)

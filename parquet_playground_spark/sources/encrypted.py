@@ -69,6 +69,17 @@ def encrypted_corpus_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     check: garbage decryption could not produce the arithmetic series
     the files contain, so a wrong key/AAD shows up as an error row, not
     a silent pass."""
+    from parquet_playground_spark.tables import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    # A session not built by session.get_spark lacks the jar on the
+    # driver classpath; addJar makes it resolvable from task-side
+    # classloaders (the explicit read schema keeps footer work in
+    # tasks), and if that still fails the per-file gate reports it.
+    try:
+        spark.sparkContext._jsc.sc().addJar(CRYPTO_JAR)
+    except Exception:  # noqa: BLE001 — fallback only
+        pass
     records = []
     for rel, needs_aad in ENCRYPTED_FILES.items():
         try:

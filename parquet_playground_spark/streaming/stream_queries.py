@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.registry import register
-from parquet_playground_spark.tables import load_table
+from parquet_playground_spark.tables import ensure_session_defaults, load_table
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -107,6 +107,7 @@ def _stage_events(
 
 
 def _read_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    ensure_session_defaults(spark)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
