@@ -44,6 +44,10 @@ _REQUIRED_DYNAMIC_CONFS = {
     # scan pruning + runtime replan, assumed by the plan design
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.adaptive.enabled": "true",
+    # a foreign session's default 200 shuffle partitions just adds task
+    # overhead at test SFs; AQE coalesces either way, this sets a sane
+    # ceiling matching session.get_spark
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
