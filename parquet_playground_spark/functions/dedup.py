@@ -311,6 +311,125 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
 
 
+# ---- near-dup graph -> clusters (connected components) ----
+
+_JACCARD_EDGES_SQL = f"""
+            WITH sh0 AS ({_SHINGLES_SQL}),
+            shf AS (
+                SELECT doc_id, shingle FROM sh0
+                WHERE shingle IN (
+                    SELECT shingle FROM sh0
+                    GROUP BY shingle HAVING count(*) <= {{max_df}}
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+                FROM shf x JOIN shf y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            edges AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = a
+                JOIN sizes sb ON sb.doc_id = b
+                WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+            )
+"""
+
+_CLUSTERS_ORACLE = (
+    _JACCARD_EDGES_SQL.format(max_df="100")
+    + """
+            , sym AS (
+                SELECT a AS u, b AS v FROM edges
+                UNION SELECT b, a FROM edges
+            ),
+            docs AS (SELECT DISTINCT doc_id FROM documents),
+            cc AS (
+                SELECT doc_id AS doc, doc_id AS label FROM docs
+                UNION
+                SELECT s.u AS doc, cc.label
+                FROM cc JOIN sym s ON s.v = cc.doc
+            )
+        SELECT doc, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM cc
+        GROUP BY doc
+"""
+)
+_CLUSTERS_ORACLE = "WITH RECURSIVE " + _CLUSTERS_ORACLE.split("WITH ", 1)[1]
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the jaccard>=0.2
+    edge set, labeling every doc with the smallest doc_id reachable
+    from it (the canonical representative real dedup keeps). Spark side
+    is iterative min-label propagation — each round one join + one
+    min-aggregate, the standard large-scale CC pattern (GraphX/
+    GraphFrames do the same under the hood); the oracle is a DuckDB
+    recursive CTE over the identical edge set. Converges in
+    O(diameter) rounds; the loop breaks as soon as a round changes no
+    label (a driver-side scalar count, not a data collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh0 = _shingles(d)
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.select(F.col("doc_id").alias("a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    edges = (
+        inter.join(sa, "a").join(sb, "b").filter(jac >= 0.2).select("a", "b")
+    )
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).withColumnsRenamed({"a": "u", "b": "v"})
+
+    labels = d.select(
+        F.col("doc_id").alias("doc"), F.col("doc_id").alias("label")
+    )
+    sym = sym.localCheckpoint()  # freeze the edge set; loop reuses it
+    for _ in range(20):  # diameter bound; real data converges in a few
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.doc)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.u, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").cast("bigint").alias("cluster_id"))
+
+
 # ---- random-hyperplane LSH over embeddings (the 100 TB cosine path) ----
 #
 # Hyperplanes are FIXED literal constants (seeded PRNG at module load),

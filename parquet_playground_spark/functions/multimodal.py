@@ -101,6 +101,54 @@ def multimodal_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   16 + doc_id % 48 AS n_frames,
+                   octet_length(encode(text)) AS payload_len
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(u.i AS INTEGER) AS frame_idx,
+               CAST(floor(CAST(u.i AS BIGINT) * payload_len / n_frames) AS BIGINT)
+                   AS frame_offset
+        FROM f CROSS JOIN unnest(range(0, n_frames, 8)) AS u(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads: every 8th frame
+    index plus its byte offset into the payload. The decode is the
+    stub header (frame count = fake height), but the Spark shape is the
+    real one — per-row explode of sampled indices, all JVM-side, no
+    Python in the loop; a real codec would replace the offset
+    arithmetic with a seek+decode inside mapInPandas (see
+    multimodal_decode_features for that batch pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(d)
+    # frame count = fake header height; payload bytes follow the header
+    n_frames = 16 + F.col("doc_id") % 48
+    payload_len = F.length("media") - 12
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(8))
+    return media.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        payload_len.cast("bigint").alias("payload_len"),
+        F.explode(idx).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.floor(
+            F.col("frame_idx").cast("bigint")
+            * F.col("payload_len")
+            / F.col("n_frames")
+        )
+        .cast("bigint")
+        .alias("frame_offset"),
+    )
+
+
 @register("multimodal_decode_features")  # rows-only: stubbed decoder
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary media via mapInPandas.

@@ -162,3 +162,37 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w_top))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@register("sim_search_ann_recall")  # rows-only: measures the approximation
+def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF path against the exact brute-force top-k —
+    the self-check every ANN deployment ships with. Joins the two
+    result sets per query and reports |ANN ∩ exact| / k. At scale this
+    runs over a sampled query set and drives the probes/centroids
+    tuning loop."""
+    exact = QUERIES_REF["sim_search_cosine_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = QUERIES_REF["sim_search_ann_ivf"](spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor_id")
+    )
+    hits = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (exact.neighbor_id == ann.ann_neighbor_id),
+        "left_semi",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 4).alias("recall_at_k"),
+        )
+    )
+
+
+# late import-free registry handle (avoids a circular import at module load)
+from parquet_playground_spark.registry import QUERIES as QUERIES_REF  # noqa: E402
