@@ -287,11 +287,7 @@ _SIMHASH_ORACLE = f"""
 """
 
 
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per token-hash bit, sum +1/-1 across the doc;
-    fingerprint bit = sign of the sum. Near-dups have small hamming
-    distance. Single groupBy(doc_id) — linear, map-combinable."""
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = _fanout(d).select(
         "doc_id",
@@ -309,6 +305,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_SIMHASH_BITS)
     )
     return per_doc.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per token-hash bit, sum +1/-1 across the doc;
+    fingerprint bit = sign of the sum. Near-dups have small hamming
+    distance. Single groupBy(doc_id) — linear, map-combinable."""
+    return _simhash_fingerprints(spark, sf_dir)
+
+
+_SIMHASH_BANDS = 4  # 4 bands x 4 bits over the 16-bit fingerprint
+_SIMHASH_MAX_HAMMING = 3  # <= bands-1 differing bits => >=1 band identical
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH fp AS ({_SIMHASH_ORACLE})
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via band-bucket join: the
+    16-bit fingerprint splits into 4 bands of 4 bits; by pigeonhole,
+    any pair within hamming 3 shares at least one band verbatim, so the
+    banded equi-join finds EXACTLY the same pairs as the O(n^2) scan
+    the oracle runs — candidates are generated only inside identical
+    (band_idx, band_value) buckets, never all-pairs. Same shape LSH
+    uses; this is the 100 TB plan, the oracle is the ground truth."""
+    fp = _simhash_fingerprints(spark, sf_dir)
+    band_w = _SIMHASH_BITS // _SIMHASH_BANDS
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * band_w).bitwiseAND(
+                        (1 << band_w) - 1
+                    )
+                    for i in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    x = bands.select(
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("fp_a"),
+        "band_idx",
+        "band_val",
+    )
+    y = bands.select(
+        F.col("doc_id").alias("b"),
+        F.col("simhash").alias("fp_b"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        x.join(y, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(ham <= _SIMHASH_MAX_HAMMING)
+        .select("a", "b", ham.cast("int").alias("hamming"))
+        .distinct()
+    )
 
 
 # ---- near-dup graph -> clusters (connected components) ----

@@ -288,3 +288,31 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set(F.substring("n_name", 1, 1))), ","
         ).alias("initials"),
     )
+
+
+@register(
+    "agg_median_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(median(l_quantity), 4) AS med_qty,
+               round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty,
+               round(quantile_cont(l_quantity, 0.75), 4) AS q3_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + interpolated quartiles per group. Spark's
+    median()/percentile() and DuckDB's median()/quantile_cont() share
+    linear-interpolation semantics, so the oracle matches exactly.
+    Exact percentiles sort within each group — at 100 TB swap to the
+    approx_percentile sketch (registered separately) unless exactness
+    is contractual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q1_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q3_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

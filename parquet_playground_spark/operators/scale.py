@@ -1,0 +1,266 @@
+"""Scale-pattern operators: skew mitigation, deterministic sampling,
+sessionization, and column profiling.
+
+These are the patterns a 100 TB pipeline leans on daily:
+  * salted join      — break a hot join key across S salt buckets so no
+                       single reducer owns the whole key (the manual
+                       fallback when AQE skew-join can't split, e.g.
+                       aggregation-before-join or stateful ops)
+  * hash sampling    — deterministic, repartition-free p% sample keyed
+                       on a stable id; the same rows come back on every
+                       run and on every engine (md5-portable, so the
+                       oracle selects the identical sample)
+  * stratified sample— per-stratum rates (boost rare classes), same
+                       deterministic hash predicate
+  * sessionization   — gap-based session ids over an event stream via
+                       lag + running sum, the canonical window pattern
+  * column profiler  — one-pass min/max/null/distinct per column, the
+                       data-quality probe run before any training job
+
+All oracle-checked. None shuffles more than once beyond what the
+semantics require; the profiler is a single scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+SALT_BUCKETS = 8
+SESSION_GAP_SEC = 28800  # 8h; sf0.01 median inter-event gap is ~7.3h
+
+
+def _portable_bucket(col: Column, modulus: int) -> Column:
+    """Deterministic bucket in [0, modulus): first 8 md5 hex chars as a
+    bigint, mod m. Bit-identical in DuckDB via
+    CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) % m (the hash is
+    always non-negative, so % == pmod)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % modulus
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the probe side (lineitem) gets a deterministic
+    salt in [0, S); the build side (orders) is replicated S ways with
+    every salt value; the join key becomes (orderkey, salt). A key that
+    would hash to one reducer now spreads across S — the standard
+    manual skew fix when AQE's skew-join split doesn't apply. The salt
+    never appears in the result, so the oracle is the plain join: any
+    salting bug (missed replica, wrong modulus) changes row counts and
+    fails the hash. Cost: build side ×S rows shuffled (salt S to cover
+    the hot keys, broadcast or split off the cold ones in production)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS))
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)).cast("array<long>")),
+    )
+    joined = li.join(
+        o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt), "inner"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 < 10
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample keyed on the primary key: rows where
+    md5-bucket(o_orderkey) % 100 < 10. Unlike df.sample(), the subset
+    is stable across runs, engines, partitionings, and retries — the
+    property incremental pipelines and train/eval splits actually need.
+    Pure narrow filter: no shuffle, pushes the scan's column pruning."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        _portable_bucket(F.col("o_orderkey").cast("string"), 100) < 10
+    ).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_sampled,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key
+        FROM orders
+        WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100
+              < CASE WHEN o_orderpriority = '1-URGENT' THEN 30 ELSE 5 END
+        GROUP BY o_orderpriority
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: per-stratum rates (boost the
+    rare/important class — here 30% of URGENT orders vs 5% of the
+    rest), same portable hash predicate as sample_hash_deterministic.
+    The Spark analogue of df.sampleBy() but reproducible by key. Output
+    is the per-stratum sampled count + min key so the oracle pins both
+    the rate logic and the membership."""
+    o = load_table(spark, sf_dir, "orders")
+    rate = F.when(F.col("o_orderpriority") == "1-URGENT", 30).otherwise(5)
+    return (
+        o.filter(_portable_bucket(F.col("o_orderkey").cast("string"), 100) < rate)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, event_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                                - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w
+                                > {SESSION_GAP_SEC}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+            SELECT user_id, sec,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM s
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               count(*) AS n_events,
+               min(sec) AS session_start_epoch,
+               max(sec) - min(sec) AS duration_sec
+        FROM t
+        GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same user exceeds SESSION_GAP_SEC. One
+    window (lag -> boundary flag -> running sum = session id) then one
+    aggregate — both partitioned by user_id, so the whole pipeline is a
+    single shuffle on the user key; this is the batch twin of the
+    stream_session_window query. Timestamps are second-truncated before
+    arithmetic (SURVEY §7.3: never compare sub-second across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.when(
+            F.lag(sec).over(w).isNull()
+            | (sec - F.lag(sec).over(w) > SESSION_GAP_SEC),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(w2))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("sec").alias("session_start_epoch"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+    )
+
+
+_PROFILE_COLS = [
+    # (name, kind) — kind drives the min/max stringification
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "double"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "double":
+            lo = f"CAST(CAST(round(min({name}), 4) AS DECIMAL(18,4)) AS VARCHAR)"
+            hi = f"CAST(CAST(round(max({name}), 4) AS DECIMAL(18,4)) AS VARCHAR)"
+        else:
+            lo, hi = f"CAST(min({name}) AS VARCHAR)", f"CAST(max({name}) AS VARCHAR)"
+        parts.append(
+            f"""SELECT '{name}' AS column_name,
+                       count(*) AS n_rows,
+                       count(*) - count({name}) AS n_null,
+                       count(DISTINCT {name}) AS n_distinct,
+                       {lo} AS min_value, {hi} AS max_value
+                FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler over orders: rows/nulls/distincts and
+    stringified min/max per column — the data-quality audit that runs
+    before a table is admitted to a training pipeline. All statistics
+    come from a single aggregate over one scan (the per-column rows are
+    unpivoted from one result row, not one scan each); doubles are
+    fixed to 4 decimals via a decimal cast so both engines print the
+    same string."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, kind in _PROFILE_COLS:
+        c = F.col(name)
+        if kind == "double":
+            lo = F.round(F.min(c), 4).cast("decimal(18,4)").cast("string")
+            hi = F.round(F.max(c), 4).cast("decimal(18,4)").cast("string")
+        else:
+            lo, hi = F.min(c).cast("string"), F.max(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{name}__null"),
+            F.countDistinct(c).alias(f"{name}__distinct"),
+            lo.alias(f"{name}__min"),
+            hi.alias(f"{name}__max"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__rows, {name}__null, {name}__distinct, "
+        f"{name}__min, {name}__max"
+        for name, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
+        )
+    )

@@ -186,3 +186,27 @@ def window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w), 4).alias("first_price"),
         F.round(F.last("o_totalprice").over(w_full), 4).alias("final_price"),
     )
+
+
+@register(
+    "window_cume_percent",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               round(cume_dist() OVER w, 4) AS cd,
+               round(percent_rank() OVER w, 4) AS pr
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist/percent_rank per nation ordered by account balance
+    (unique c_custkey tie-break keeps both engines' orderings
+    identical, §7.3 rule 5)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 4).alias("cd"),
+        F.round(F.percent_rank().over(w), 4).alias("pr"),
+    )
