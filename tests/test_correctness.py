@@ -39,6 +39,12 @@ ORACLE_QUERIES = [
     "dedup_embedding_cosine",  # K (de-vacuized)
     "text_token_count_bpe",    # K (regexp fix)
     "multimodal_binary_roundtrip",  # K (registry fix)
+    "join_skew_salted",        # scale: salted join == plain join
+    "sessionize_events",       # scale: gap sessionization
+    "sample_stratified",       # scale: deterministic stratified sample
+    "profile_columns",         # scale: one-pass profiler
+    "agg_median_percentiles",  # D: exact median/quartiles
+    "dedup_clusters",          # K: connected components
 ]
 
 # rows-only queries: assert they run and return sane row counts

@@ -100,3 +100,43 @@ def test_lsh_candidate_join_is_hash_join(spark):
     """LSH pairs must come from an equi bucket join, never a cross."""
     plan = formatted_plan(_q("dedup_fuzzy_minhash")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_is_single_user_shuffle(spark):
+    """lag-window, running-sum-window, and the session aggregate must
+    all reuse ONE hashpartitioning(user_id) exchange — the whole
+    sessionization costs a single shuffle of the events table."""
+    plan = formatted_plan(_q("sessionize_events")(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]  # numbered tree (details repeat nodes)
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_deterministic_sample_is_narrow(spark):
+    """The hash-predicate sample must plan as scan+filter only: no
+    exchange, no aggregate — the property that makes it free at 100 TB."""
+    plan = formatted_plan(_q("sample_hash_deterministic")(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_profiler_is_single_scan(spark):
+    """All per-column stats must come from ONE scan of orders (the
+    unpivot happens on the aggregated single row, not per column)."""
+    tree = formatted_plan(_q("profile_columns")(spark, SF_DIR)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_salted_join_is_equi(spark):
+    """Salting must keep the join an equi hash/merge join on
+    (orderkey, salt) — never a nested loop over the replicas."""
+    plan = formatted_plan(_q("join_skew_salted")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_join_is_banded(spark):
+    """Candidate pairs must come from the (band_idx, band_val) equi
+    join, never an all-pairs product."""
+    plan = formatted_plan(_q("dedup_simhash_pairs")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
