@@ -423,17 +423,10 @@ _CLUSTERS_ORACLE = (
 _CLUSTERS_ORACLE = "WITH RECURSIVE " + _CLUSTERS_ORACLE.split("WITH ", 1)[1]
 
 
-@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the jaccard>=0.2
-    edge set, labeling every doc with the smallest doc_id reachable
-    from it (the canonical representative real dedup keeps). Spark side
-    is iterative min-label propagation — each round one join + one
-    min-aggregate, the standard large-scale CC pattern (GraphX/
-    GraphFrames do the same under the hood); the oracle is a DuckDB
-    recursive CTE over the identical edge set. Converges in
-    O(diameter) rounds; the loop breaks as soon as a round changes no
-    label (a driver-side scalar count, not a data collect)."""
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edge set (a, b): stop-shingle-filtered shingle
+    self-join, jaccard >= 0.2 — the same pipeline dedup_ngram_jaccard
+    registers, reused by the clustering and verification stages."""
     d = load_table(spark, sf_dir, "documents")
     sh0 = _shingles(d)
     keep = (
@@ -455,9 +448,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    edges = (
-        inter.join(sa, "a").join(sb, "b").filter(jac >= 0.2).select("a", "b")
-    )
+    return inter.join(sa, "a").join(sb, "b").filter(jac >= 0.2).select("a", "b")
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the jaccard>=0.2
+    edge set, labeling every doc with the smallest doc_id reachable
+    from it (the canonical representative real dedup keeps). Spark side
+    is iterative min-label propagation — each round one join + one
+    min-aggregate, the standard large-scale CC pattern (GraphX/
+    GraphFrames do the same under the hood); the oracle is a DuckDB
+    recursive CTE over the identical edge set. Converges in
+    O(diameter) rounds; the loop breaks as soon as a round changes no
+    label (a driver-side scalar count, not a data collect)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = _jaccard_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).withColumnsRenamed({"a": "u", "b": "v"})
@@ -667,4 +673,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cos_sim_raw", cos)
         .filter(F.col("cos_sim_raw") > 0.3)
         .select("a", "b", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )
+
+
+_EDITDIST_ORACLE = (
+    _JACCARD_EDGES_SQL.format(max_df="100")
+    + """
+        SELECT a, b, lev, round(CAST(lev AS DOUBLE) / mx, 4) AS norm_dist
+        FROM (
+            SELECT a, b,
+                   levenshtein(da.text, db.text) AS lev,
+                   greatest(length(da.text), length(db.text)) AS mx
+            FROM edges
+            JOIN documents da ON da.doc_id = a
+            JOIN documents db ON db.doc_id = b
+        )
+"""
+)
+
+
+@register("dedup_verify_editdist", oracle=_EDITDIST_ORACLE)
+def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate -> verify: exact Levenshtein distance over the jaccard
+    candidate pairs — the expensive O(len^2)-per-pair check that only
+    ever runs on the bounded candidate set a cheap stage produced,
+    never on all pairs. This is the canonical two-stage dedup shape at
+    100 TB: LSH/jaccard prunes trillions of pairs to millions, edit
+    distance (or an embedding model) adjudicates the survivors."""
+    edges = _jaccard_edges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    ta = d.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    mx = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        edges.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            lev.alias("lev"),
+            F.round(lev.cast("double") / mx, 4).alias("norm_dist"),
+        )
     )

@@ -196,3 +196,36 @@ def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # late import-free registry handle (avoids a circular import at module load)
 from parquet_playground_spark.registry import QUERIES as QUERIES_REF  # noqa: E402
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+        WITH ex AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS val
+            FROM embeddings
+        )
+        SELECT label,
+               CAST(pos AS INTEGER) AS pos,
+               round(sum(CAST(val AS DOUBLE)), 4) AS sum_val,
+               count(*) AS n_vectors
+        FROM ex
+        GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators: element-wise sum + count over
+    the embedding column, keyed (label, dimension) — the M-step of
+    k-means / class-prototype computation. posexplode turns the array
+    into (pos, val) rows so the aggregation is a plain map-combinable
+    groupBy: |vectors| x dims rows shuffle as partial sums, never whole
+    vectors. Sums (not means) are projected so the oracle comparison
+    never rounds an avg on a boundary; mean = sum_val / n_vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.sum(F.col("val").cast("double")), 4).alias("sum_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -178,3 +178,116 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+            FROM events
+        ),
+        v AS (
+            SELECT user_id, min(sec) FILTER (WHERE event_type = 'view') AS t_view
+            FROM e GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(sec) AS t_click
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND sec > t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(sec) AS t_purchase
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND sec > t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v WHERE t_view IS NOT NULL) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_after,
+               (SELECT count(*) FROM p) AS n_purchased_after
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: each stage counts users
+    whose first stage-event strictly follows their previous stage's
+    first event. Three aggregates chained by joins on user_id — every
+    join key is the user, so at scale the whole funnel is user-
+    partitioned pipeline work; the per-stage tables are tiny (<= one
+    row per user) and broadcast."""
+    from parquet_playground_spark.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+    )
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias("t_view")
+    )
+    c = (
+        e.join(F.broadcast(v), "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("sec") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    p = (
+        e.join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("sec") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    # single-row stage counts combined in ONE plan (no driver-side
+    # counts): each agg yields one row, the cross joins are 1x1x1
+    return (
+        v.agg(F.count("t_view").alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id
+        )
+        SELECT cohort_day,
+               CAST(floor(date_diff('day', cohort_day, d) / 7) AS INTEGER)
+                   AS week_offset,
+               count(DISTINCT e.user_id) AS n_active_users
+        FROM e JOIN cohort USING (user_id)
+        GROUP BY cohort_day, week_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per (cohort, week offset). cohort assignment is a
+    min-aggregate on user_id; the activity join is user-keyed and the
+    cohort table is one row per user (broadcast). The count-distinct
+    shuffles (cohort_day, week_offset, user) — at 100 TB this is the
+    standard two-level distinct aggregate AQE handles."""
+    from parquet_playground_spark.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

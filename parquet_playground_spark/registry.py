@@ -112,6 +112,8 @@ _CHECK_ORDER = [
     "join_skew_salted", "sessionize_events", "sample_hash_deterministic",
     "sample_stratified", "profile_columns",
     "agg_median_percentiles", "window_cume_percent",
+    "events_funnel", "events_retention", "dedup_verify_editdist",
+    "embedding_centroids", "write_sorted_pruning",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

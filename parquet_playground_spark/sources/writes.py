@@ -186,3 +186,41 @@ def write_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("n_name").alias("n_names"),
         F.sum("n_regionkey").cast("bigint").alias("sum_region"),
     )
+
+
+@register(
+    "write_sorted_pruning",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE user_id BETWEEN 40 AND 49
+    """,
+)
+def write_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered layout for data skipping: rewrite events
+    range-partitioned + sorted by user_id, so each output file (and
+    each row group inside it) owns a narrow user_id range, then read
+    back through a user_id filter. Parquet's min/max row-group stats
+    turn that filter into I/O skipping — on the unsorted original the
+    same predicate touches every row group; on the clustered copy it
+    reads only the matching slice. This layout step is the flat-file
+    cousin of Z-ordering and is the difference between scanning 100 TB
+    and scanning 100 GB for selective key ranges. The oracle checks the
+    roundtrip query on the original table: the rewrite must be
+    content-preserving."""
+    e = load_table(spark, sf_dir, "events")
+    out = _tmp("events_sorted")
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("user_id").between(40, 49))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
