@@ -365,3 +365,67 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               CAST(epoch(date_trunc('second', p.ts))
+                    - epoch(date_trunc('second', v.ts)) AS BIGINT) AS lag_sec
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND date_trunc('second', p.ts) > date_trunc('second', v.ts)
+         AND date_trunc('second', p.ts)
+             <= date_trunc('second', v.ts) + INTERVAL 6 HOUR
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views joined to purchases of the
+    same user within 6 hours. Both sides carry event-time watermarks,
+    so the state store only retains rows inside the interval bound —
+    the mechanism that makes an unbounded self-join feasible on an
+    infinite stream. The watermark here exceeds the replayed data's
+    whole time span so availableNow replay emits every match and the
+    batch oracle agrees exactly; production tightens it to the
+    out-of-orderness bound and trades completeness for state size.
+    Event times are second-truncated before the comparison (§7.3: never
+    compare sub-second across engines)."""
+    staged = _stage_events(spark, sf_dir)
+    views = (
+        _read_stream(spark, staged)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.date_trunc("second", "ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "40 days")
+    )
+    purchases = (
+        _read_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.date_trunc("second", "ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "40 days")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts "
+            "AND p_ts <= v_ts + interval 6 hours"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_sec"),
+    )
+    return _run_to_table(joined, "append")
