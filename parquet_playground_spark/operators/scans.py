@@ -101,3 +101,56 @@ def schema_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rows = [(f.name, f.dataType.simpleString()) for f in li.schema.fields]
     return spark.createDataFrame(rows, "col_name string, col_type string")
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM unioned
+        GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across files: an old snapshot written without
+    o_orderpriority and a new snapshot with it land in one directory;
+    mergeSchema=true reconciles the footers into the union schema, and
+    rows from pre-evolution files surface NULL for the added column —
+    the standard additive-column upgrade path for a long-lived 100 TB
+    table (per-file footers stay authoritative; no rewrite of old
+    data). Even/odd orderkey halves stand in for the two snapshots."""
+    o = load_table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "ppspark_schema_evo")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "v=1"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "v=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v=1"), os.path.join(out, "v=2")
+    )
+    return (
+        back.select(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+                "priority"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

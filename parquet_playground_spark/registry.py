@@ -113,7 +113,7 @@ _CHECK_ORDER = [
     "sample_stratified", "profile_columns",
     "agg_median_percentiles", "window_cume_percent",
     "events_funnel", "events_retention", "dedup_verify_editdist",
-    "embedding_centroids", "write_sorted_pruning",
+    "embedding_centroids", "write_sorted_pruning", "scan_schema_evolution",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

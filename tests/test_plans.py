@@ -140,3 +140,18 @@ def test_simhash_pairs_join_is_banded(spark):
     plan = formatted_plan(_q("dedup_simhash_pairs")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """A filter on the Hive partition column must become a
+    PartitionFilter (directory pruning — zero I/O for other statuses),
+    not a post-scan filter."""
+    import os
+    import tempfile
+
+    _q("write_partitioned_parquet")(spark, SF_DIR).collect()  # materialize dir
+    back = spark.read.parquet(
+        os.path.join(tempfile.gettempdir(), "ppspark_orders_partitioned")
+    ).filter("o_orderstatus = 'F'")
+    plan = formatted_plan(back)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
