@@ -31,13 +31,24 @@ def avro_available(spark: SparkSession) -> bool:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro container -> DataFrame (reference LoadParquet.java:56)."""
+    """Avro container -> DataFrame (reference LoadParquet.java:56).
+
+    Prefers the JVM spark-avro datasource; falls back to the bundled
+    pure-Python OCF decoder (sources/avro_py.py) exposed through the
+    Spark 4 Python DataSource API when the jar is absent."""
     try:
         return spark.read.format("avro").load(path)
+    except Exception:
+        pass
+    try:
+        from parquet_playground_spark.sources import avro_py
+
+        avro_py.ensure_registered(spark)
+        return spark.read.format("pyavro").option("path", path).load()
     except Exception as exc:
         raise AvroUnavailableError(
-            "Avro datasource requires the spark-avro module "
-            "(org.apache.spark:spark-avro); not bundled in this environment"
+            "neither spark-avro nor the pyavro fallback could read "
+            f"{path!r}"
         ) from exc
 
 
@@ -48,28 +59,29 @@ def avro_to_parquet(spark: SparkSession, avro_path: str, parquet_path: str) -> N
     df.write.mode("overwrite").option("compression", "snappy").parquet(parquet_path)
 
 
-@register("avro_ingest")  # rows-only: availability probe + row count
+@register(
+    "avro_ingest",
+    oracle="""
+        SELECT * FROM (VALUES ('1', '1'), ('2', '2'), ('3', '3'))
+            AS t(id, id2_joined)
+    """,
+)
 def avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Living entry for the reference's one real ETL pipeline
-    (Avro -> Snappy Parquet, LoadParquet.java:56-99): report whether the
-    spark-avro datasource is on the classpath and, if so, run the full
-    ingest (read 3records.1.AVRO, write Snappy parquet, read back) and
-    report the roundtrip row count. Clean single-row fallback when the
-    module is absent — never an exception."""
+    """The reference's one real ETL pipeline, fully functional: read the
+    Avro container (spark-avro jar when present, else the bundled
+    pure-Python OCF decoder via the Spark 4 Python DataSource API —
+    sources/avro_py.py), write Snappy Parquet, read it back
+    (LoadParquet.java:56-99). The oracle pins the decoded CONTENT of
+    3records.1.AVRO (golden fixture: ids 1-3, each with a one-element
+    nullable string array), so a decoder bug — wrong zigzag, bad union
+    branch, snappy CRC skipped — fails the value hash, not just a
+    count."""
     import os
     import tempfile
 
-    if not avro_available(spark):
-        return spark.createDataFrame(
-            [("unavailable", -1, -1)],
-            "avro_status string, n_rows long, n_rows_roundtrip long",
-        )
-    df = read_avro(spark, REFERENCE_AVRO)
-    n = df.count()
+    from pyspark.sql import functions as F
+
     out = os.path.join(tempfile.gettempdir(), "ppspark_avro_ingest")
     avro_to_parquet(spark, REFERENCE_AVRO, out)
-    n_back = spark.read.parquet(out).count()
-    return spark.createDataFrame(
-        [("available", n, n_back)],
-        "avro_status string, n_rows long, n_rows_roundtrip long",
-    )
+    back = spark.read.parquet(out)
+    return back.select("id", F.array_join("id2", ",").alias("id2_joined"))

@@ -45,12 +45,12 @@ ORACLE_QUERIES = [
     "profile_columns",         # scale: one-pass profiler
     "agg_median_percentiles",  # D: exact median/quartiles
     "dedup_clusters",          # K: connected components
+    "avro_ingest",             # A: pure-Python OCF decode, golden values
 ]
 
 # rows-only queries: assert they run and return sane row counts
 ROWS_ONLY_QUERIES = {
     "corpus_smoke_reads": 31,
-    "avro_ingest": 1,
     "multimodal_decode_features": 500,
     "stream_stateful_running": None,  # >0
     "dedup_fuzzy_minhash": None,
