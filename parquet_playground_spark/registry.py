@@ -120,7 +120,8 @@ _CHECK_ORDER = [
     # (4) streaming — never checked, slow tail last inside the window
     "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
     "stream_watermark_late", "stream_dedup", "stream_static_join",
-    "stream_stream_join", "stream_stateful_running",
+    "stream_stream_join", "stream_transform_with_state",
+    "stream_stateful_running",
     # (5) new rows-only + de-vacuized r1 passes
     "avro_ingest", "encrypted_corpus_reads", "sim_search_ann_recall",
     "filter_like_regex", "join_left_anti", "set_except",

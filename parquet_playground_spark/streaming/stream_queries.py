@@ -429,3 +429,111 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_sec"),
     )
     return _run_to_table(joined, "append")
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running aggregate via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (typed ValueState per key, explicit
+    processor lifecycle) that supersedes applyInPandasWithState. The
+    processor emits its running (count, sum) every micro-batch; the
+    final emission per user equals the batch aggregate, which the
+    oracle checks after selecting each user's last row (running counts
+    are strictly monotonic, so max(struct(n_events, sum_value)) is the
+    final state).
+
+    The v2 API's state protocol needs protobuf (and RocksDB state
+    store), which this environment doesn't bundle — when absent, the
+    identical processor logic runs through applyInPandasWithState (the
+    v1 API), so the semantics and oracle stay exercised and the v2
+    path activates wherever protobuf exists."""
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    staged = _stage_events(spark, sf_dir, n_chunks=3)
+    s = _read_stream(spark, staged)
+
+    try:
+        import google.protobuf  # noqa: F401 — v2 state protocol dep
+
+        has_v2 = True
+    except ImportError:
+        has_v2 = False
+
+    if has_v2:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningAgg(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "agg", "cnt long, total double"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                prev = self._state.get()
+                cnt, total = (
+                    (prev[0], prev[1]) if prev is not None else (0, 0.0)
+                )
+                for pdf in rows:
+                    cnt += len(pdf)
+                    total += float(pdf["value"].sum())
+                self._state.update((cnt, total))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [int(key[0])],
+                        "n_events": [cnt],
+                        "sum_value": [round(total, 4)],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningAgg(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def update(key, pdf_iter, state: GroupState):
+            (user_id,) = key
+            cnt, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdf_iter:
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((cnt, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [cnt],
+                    "sum_value": [round(total, 4)],
+                }
+            )
+
+        result = s.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType="cnt long, total double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    emitted = _run_to_table(result, "append")
+    final = F.max(F.struct("n_events", "sum_value")).alias("f")
+    return emitted.groupBy("user_id").agg(final).select(
+        "user_id", "f.n_events", "f.sum_value"
+    )
