@@ -144,3 +144,47 @@ def udtf_split_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         return d.select(
             "doc_id", F.explode(F.split("text", " ")).alias("token")
         )
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+        SELECT s_suppkey,
+               round(s_acctbal * 1.07, 4) AS adjusted_bal,
+               upper(s_name) AS name_uc
+        FROM supplier
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy end of the UDF hierarchy — the
+    function receives pyarrow RecordBatches directly (no pandas
+    conversion), the right surface for columnar libraries (numpy
+    kernels, tokenizers with Arrow bindings) over wide batches. The
+    batch computation uses Arrow compute kernels only; oracle = the
+    same expressions declaratively."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def adjust(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "s_suppkey": batch.column("s_suppkey"),
+                    "adjusted_bal": pc.round(
+                        pc.multiply(
+                            pc.cast(batch.column("s_acctbal"), pa.float64()),
+                            pa.scalar(1.07),
+                        ),
+                        ndigits=4,
+                    ),
+                    "name_uc": pc.utf8_upper(batch.column("s_name")),
+                }
+            )
+            yield from t.to_batches()
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", "s_name"
+    )
+    return s.mapInArrow(
+        adjust, "s_suppkey long, adjusted_bal double, name_uc string"
+    )

@@ -264,3 +264,49 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
         )
     )
+
+
+@register(
+    "plan_cache_reuse",
+    oracle="""
+        WITH stats AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS spend
+            FROM orders GROUP BY o_custkey
+        ),
+        top AS (SELECT max(spend) AS max_spend FROM stats)
+        SELECT s.o_custkey, s.n_orders, s.spend,
+               round(s.spend / t.max_spend, 4) AS spend_share
+        FROM stats s CROSS JOIN top t
+        WHERE s.n_orders >= 5
+    """,
+)
+def plan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-subplan reuse: the per-customer aggregate is
+    computed once, cached, and consumed twice in one result (as the
+    row stream and as the max-spend scalar). Without persist() Spark
+    recomputes the aggregate per consumer; with it the second consumer
+    reads the in-memory columnar form (InMemoryTableScan — pinned in
+    tests/test_plans.py). At 100 TB this is the
+    checkpoint-the-expensive-stage pattern; production chooses
+    MEMORY_AND_DISK or a parquet checkpoint by reuse count."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        )
+        .persist()
+    )
+    top = stats.agg(F.max("spend").alias("max_spend"))
+    return (
+        stats.filter(F.col("n_orders") >= 5)
+        .crossJoin(top)
+        .select(
+            "o_custkey",
+            "n_orders",
+            "spend",
+            F.round(F.col("spend") / F.col("max_spend"), 4).alias("spend_share"),
+        )
+    )

@@ -224,3 +224,34 @@ def write_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "write_xml_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation
+    """,
+)
+def write_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange via Spark 4's built-in XML source (write with
+    row/root tags, schema-driven read back). Completes the interchange
+    matrix alongside CSV/JSON — XML remains the wire format of many
+    enterprise feeds a 100 TB lake ingests."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = _tmp("nation_xml")
+    (
+        n.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .load(out)
+    )

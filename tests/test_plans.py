@@ -155,3 +155,12 @@ def test_partitioned_layout_prunes_partitions(spark):
     ).filter("o_orderstatus = 'F'")
     plan = formatted_plan(back)
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_cached_subplan_is_reused(spark):
+    """Both consumers of the persisted aggregate must read the
+    in-memory columnar cache, not recompute the scan+aggregate."""
+    df = _q("plan_cache_reuse")(spark, SF_DIR)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan
