@@ -291,3 +291,37 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT o.o_orderkey, t.l_linenumber,
+               round(t.l_extendedprice, 4) AS l_extendedprice
+        FROM orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        WHERE o.o_orderkey <= 1000
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT — top-2 lineitems
+    per order expressed as the SQL standard writes it. Catalyst
+    decorrelates the lateral into a join + per-key window (the same
+    plan topk_per_group builds by hand), so the per-row subquery never
+    executes row-at-a-time; deterministic tie-break on l_linenumber
+    keeps both engines' top-2 identical."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber,
+               round(t.l_extendedprice, 4) AS l_extendedprice
+        FROM lat_orders o,
+        LATERAL (SELECT l_linenumber, l_extendedprice FROM lat_lineitem
+                 WHERE l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+        WHERE o.o_orderkey <= 1000
+        """
+    )

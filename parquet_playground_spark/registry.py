@@ -115,6 +115,7 @@ _CHECK_ORDER = [
     "events_funnel", "events_retention", "dedup_verify_editdist",
     "embedding_centroids", "write_sorted_pruning", "scan_schema_evolution",
     "udf_arrow_map", "write_xml_roundtrip", "plan_cache_reuse",
+    "join_lateral_topn",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",
