@@ -46,6 +46,10 @@ ORACLE_QUERIES = [
     "agg_median_percentiles",  # D: exact median/quartiles
     "dedup_clusters",          # K: connected components
     "avro_ingest",             # A: pure-Python OCF decode, golden values
+    "udf_arrow_map",           # J: mapInArrow surface
+    "join_lateral_topn",       # C: LATERAL decorrelation
+    "write_xml_roundtrip",     # A: XML interchange
+    "stream_transform_with_state",  # I: v2 state API (gated)
 ]
 
 # rows-only queries: assert they run and return sane row counts
