@@ -249,3 +249,30 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smaller"
         ),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k_int,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract(props, '$.nope') AS INT) AS missing_int
+        FROM events
+        WHERE event_id <= 2000
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over the same events.props JSON that
+    fn_json reads with get_json_object: parse once into the binary
+    VARIANT encoding, then typed variant_get extractions. At scale
+    this beats repeated get_json_object calls (one parse, many typed
+    reads) and is the engine's answer to semi-structured columns."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("cast(variant_get(v, '$.k', 'int') as int)").alias("k_int"),
+        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(v, '$.nope', 'int')").alias("missing_int"),
+    )

@@ -316,3 +316,70 @@ def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q3_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(CAST(round(regr_slope(l_extendedprice, l_quantity), 4)
+                    AS DECIMAL(18,4)) AS VARCHAR) AS slope,
+               CAST(CAST(round(regr_intercept(l_extendedprice, l_quantity), 4)
+                    AS DECIMAL(18,4)) AS VARCHAR) AS intercept,
+               CAST(CAST(round(regr_r2(l_extendedprice, l_quantity), 4)
+                    AS DECIMAL(18,4)) AS VARCHAR) AS r2,
+               CAST(CAST(round(corr(l_extendedprice, l_quantity), 4)
+                    AS DECIMAL(18,4)) AS VARCHAR) AS correlation,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (slope/intercept/R^2/corr of
+    extendedprice vs quantity per returnflag). All are single-pass
+    sum-of-products aggregates — map-side combinable, one shuffle of
+    |groups| rows. Cross-engine float parity via the fixed-4-decimal
+    string canon (round -> DECIMAL(18,4) -> string on both sides)."""
+
+    def canon(c):
+        return F.round(c, 4).cast("decimal(18,4)").cast("string")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        canon(F.expr("regr_slope(l_extendedprice, l_quantity)")).alias("slope"),
+        canon(F.expr("regr_intercept(l_extendedprice, l_quantity)")).alias(
+            "intercept"
+        ),
+        canon(F.expr("regr_r2(l_extendedprice, l_quantity)")).alias("r2"),
+        canon(F.corr("l_extendedprice", "l_quantity")).alias("correlation"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_approx_top_k",
+    oracle="""
+        SELECT o_orderpriority AS item, count(*) AS cnt
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY cnt DESC, item
+        LIMIT 3
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via approx_top_k. With <= maxItemsTracked (10k)
+    distinct values the sketch is exact, so the oracle is the exact
+    GROUP BY top-3 (order-insensitive compare absorbs the count tie).
+    At 100 TB cardinalities the same call degrades gracefully to a
+    mergeable space-bounded sketch — that is the point of registering
+    it alongside the exact form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.agg(F.expr("approx_top_k(o_orderpriority, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+        )
+    )

@@ -325,3 +325,48 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey <= 1000
         """
     )
+
+
+@register(
+    "recursive_cte_chain",
+    oracle="""
+        WITH RECURSIVE chain AS (
+            SELECT n_regionkey AS region, n_nationkey AS start_key,
+                   n_nationkey AS cur_key, 0 AS depth
+            FROM nation
+            UNION ALL
+            SELECT c.region, c.start_key, n.n_nationkey, c.depth + 1
+            FROM chain c
+            JOIN nation n ON n.n_regionkey = c.region
+                         AND n.n_nationkey = c.cur_key + 5
+        )
+        SELECT region, count(*) AS paths, max(depth) AS max_chain
+        FROM chain
+        GROUP BY region
+    """,
+)
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE): transitive closure of
+    the 'next nation in region' edge (keys step by 5 within a region
+    in this corpus). Each iteration is one equi-join of the frontier
+    against the edge table — the standard BFS-by-joins shape that
+    scales as |frontier| per step, with Catalyst planning every step
+    as a broadcast join against the small dimension."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rc_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT n_regionkey AS region, n_nationkey AS start_key,
+                   n_nationkey AS cur_key, 0 AS depth
+            FROM rc_nation
+            UNION ALL
+            SELECT c.region, c.start_key, n.n_nationkey, c.depth + 1
+            FROM chain c
+            JOIN rc_nation n ON n.n_regionkey = c.region
+                            AND n.n_nationkey = c.cur_key + 5
+        )
+        SELECT region, count(*) AS paths, max(depth) AS max_chain
+        FROM chain
+        GROUP BY region
+        """
+    )

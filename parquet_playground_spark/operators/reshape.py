@@ -1,0 +1,137 @@
+"""Reshaping and merge operators: unpivot/melt, union-by-name schema
+alignment, and CDC upsert (MERGE emulation).
+
+Reference tie: the reference's flatten-to-key/value semantics
+(ParquetFlattener.java) is itself a melt; `agg_unpivot` is the
+relational form. The CDC upsert is the batch form of the reference's
+Avro->Parquet refresh pipeline (LoadParquet.java:55-72) — at 100 TB
+this is what a training-corpus snapshot refresh looks like without a
+table format: full-outer sort-merge on the key, AQE-skew-safe. With
+Delta/Iceberg it becomes MERGE INTO; the plan shape is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 4)      AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price,
+                   round(sum(l_discount), 4)      AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, measure, value
+        FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregate -> long melt via DataFrame.unpivot (Spark's
+    built-in Expand — one pass, no join, |measures| x |groups| rows).
+    The expensive part (the aggregate) shuffles |groups| rows only;
+    the melt is a map-side Expand and survives any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+@register(
+    "set_union_byname",
+    oracle="""
+        SELECT c_name AS name, c_nationkey AS nationkey,
+               c_acctbal AS acctbal, 'customer' AS side
+        FROM customer WHERE c_nationkey < 3
+        UNION ALL BY NAME
+        SELECT s_name AS name, s_nationkey AS nationkey, 'supplier' AS side
+        FROM supplier WHERE s_nationkey < 3
+    """,
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligning union: unionByName(allowMissingColumns=True)
+    matches columns positionally-independently and null-fills the
+    missing side — the standard way to stack heterogeneous corpus
+    shards without writing a projection per shard. Pure narrow op."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 3)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.lit("customer").alias("side"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 3)
+        .select(
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.lit("supplier").alias("side"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "cdc_upsert",
+    oracle="""
+        WITH delta AS (
+            SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS d_price,
+                   'U' AS d_status
+            FROM orders WHERE o_orderkey % 50 = 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_totalprice, 'I'
+            FROM orders WHERE o_orderkey % 500 = 0
+        )
+        SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+               round(coalesce(d.d_price, b.o_totalprice), 4) AS o_totalprice,
+               coalesce(d.d_status, b.o_orderstatus) AS o_orderstatus
+        FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    """,
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-emulation over plain parquet: base FULL OUTER JOIN delta
+    on the key, delta wins via coalesce. Updates (keys % 50, +10%
+    price, status U) and inserts (shifted keys, status I) are derived
+    deterministically from orders so the oracle can reproduce them.
+
+    100 TB shape: one sort-merge shuffle on the primary key; the delta
+    side is typically tiny -> AQE broadcasts it. Production would use
+    Delta/Iceberg MERGE INTO, which plans the same join."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("b_price"),
+        F.col("o_orderstatus").alias("b_status"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("d_price"),
+        F.lit("U").alias("d_status"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.col("o_totalprice").alias("d_price"),
+        F.lit("I").alias("d_status"),
+    )
+    delta = updates.unionByName(inserts)
+    return base.join(delta, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.round(F.coalesce("d_price", "b_price"), 4).alias("o_totalprice"),
+        F.coalesce("d_status", "b_status").alias("o_orderstatus"),
+    )

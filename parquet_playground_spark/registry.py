@@ -69,11 +69,13 @@ def load_all() -> None:
         analytics,
         flatten,
         joins,
+        reshape,
         scale,
         scans,
         selections,
         setops,
         sorts,
+        timeseries,
         windows,
     )
     _apply_check_order()
@@ -116,6 +118,10 @@ _CHECK_ORDER = [
     "embedding_centroids", "write_sorted_pruning", "scan_schema_evolution",
     "udf_arrow_map", "write_xml_roundtrip", "plan_cache_reuse",
     "join_lateral_topn",
+    "agg_unpivot", "set_union_byname", "cdc_upsert",
+    "ts_gapfill_locf", "ts_rollup_multires",
+    "agg_regression", "agg_approx_top_k", "fn_variant",
+    "recursive_cte_chain",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -50,6 +50,15 @@ ORACLE_QUERIES = [
     "join_lateral_topn",       # C: LATERAL decorrelation
     "write_xml_roundtrip",     # A: XML interchange
     "stream_transform_with_state",  # I: v2 state API (gated)
+    "agg_unpivot",             # D: wide->long melt (Expand)
+    "set_union_byname",        # G: schema-aligning union
+    "cdc_upsert",              # C: MERGE emulation, full-outer + coalesce
+    "ts_gapfill_locf",         # TS: dense spine + day-partitioned LOCF
+    "ts_rollup_multires",      # TS: hypertable rollup grouping sets
+    "agg_regression",          # D: regr_* family
+    "agg_approx_top_k",        # D: heavy-hitters sketch
+    "fn_variant",              # H: VARIANT parse/typed-get
+    "recursive_cte_chain",     # C: WITH RECURSIVE BFS-by-joins
 ]
 
 # rows-only queries: assert they run and return sane row counts
