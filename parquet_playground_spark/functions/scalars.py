@@ -276,3 +276,84 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
         F.expr("try_variant_get(v, '$.nope', 'int')").alias("missing_int"),
     )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   generate_series(1, o_orderkey % 5 + 3) AS arr
+            FROM orders WHERE o_orderkey <= 2000
+        )
+        SELECT o_orderkey,
+               array_to_string(
+                   list_transform(arr, x -> CAST(x * x AS VARCHAR)), ','
+               ) AS squares_csv,
+               array_to_string(
+                   list_transform(
+                       list_filter(list_transform(arr, x -> x * x),
+                                   v -> v % 2 = 0),
+                       v -> CAST(v AS VARCHAR)), ','
+               ) AS evens_csv,
+               CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT)
+                   AS sq_sum,
+               CAST(list_max(arr) AS BIGINT) AS arr_max
+        FROM t
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform/filter/aggregate over
+    a per-row generated array. All lambdas run JVM-side inside
+    whole-stage codegen (no Python), which is the 100 TB answer for
+    per-row array compute; arrays are CSV-serialized for the pandas
+    canonicalizer (same discipline as agg_collect)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    arr = F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 5 + 3)
+    squares = F.transform(arr, lambda x: x * x)
+    return o.select(
+        "o_orderkey",
+        F.array_join(
+            F.transform(squares, lambda v: v.cast("string")), ","
+        ).alias("squares_csv"),
+        F.array_join(
+            F.transform(
+                F.filter(squares, lambda v: v % 2 == 0),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        ).alias("evens_csv"),
+        F.aggregate(
+            squares, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sq_sum"),
+        F.array_max(arr).cast("long").alias("arr_max"),
+    )
+
+
+@register(
+    "fn_binary_hash",
+    oracle="""
+        SELECT c_custkey,
+               md5(c_name) AS md5_hex,
+               sha256(c_name) AS sha256_hex,
+               to_base64(encode(c_name)) AS name_b64,
+               hex(encode(c_name)) AS name_hex,
+               octet_length(encode(c_name)) AS n_bytes
+        FROM customer WHERE c_custkey <= 500
+    """,
+)
+def fn_binary_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/crypto scalar surface: md5, sha2-256, base64, hex over
+    utf8 bytes. These are the content-addressing primitives the dedup
+    family builds on (functions/dedup.py uses md5 for portable
+    hashing); all JVM built-ins, codegen-friendly."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    name_bin = F.col("c_name").cast("binary")
+    return c.select(
+        "c_custkey",
+        F.md5(name_bin).alias("md5_hex"),
+        F.sha2(name_bin, 256).alias("sha256_hex"),
+        F.base64(name_bin).alias("name_b64"),
+        F.hex(name_bin).alias("name_hex"),
+        F.octet_length(name_bin).cast("long").alias("n_bytes"),
+    )

@@ -383,3 +383,22 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("cnt"),
         )
     )
+
+
+@register("sketch_hll_union")
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL): one
+    hll_sketch_agg per priority group, then hll_union_agg merges the
+    group sketches into a global estimate — the partition-then-merge
+    topology every 100 TB distinct-count runs. Rows-only (sketch
+    estimates are engine-specific); tests/test_correctness.py bounds
+    the estimate against the exact distinct count."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custkeys"),
+        F.sum("n_rows").alias("total_rows"),
+    )

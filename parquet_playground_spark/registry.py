@@ -121,7 +121,8 @@ _CHECK_ORDER = [
     "agg_unpivot", "set_union_byname", "cdc_upsert",
     "ts_gapfill_locf", "ts_rollup_multires",
     "agg_regression", "agg_approx_top_k", "fn_variant",
-    "recursive_cte_chain",
+    "recursive_cte_chain", "fn_higher_order", "fn_binary_hash",
+    "sketch_hll_union", "stream_foreachbatch_upsert",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

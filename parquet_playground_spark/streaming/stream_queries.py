@@ -537,3 +537,77 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("user_id").agg(final).select(
         "user_id", "f.n_events", "f.sum_value"
     )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+        SELECT user_id, ts AS last_ts, event_type AS last_type,
+               round(value, 4) AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent upsert sink: each micro-batch reduces to
+    its per-user latest event, merges with the previous state snapshot
+    (full outer on user_id, larger (ts, event_id) wins), and writes a
+    NEW versioned state dir — the Delta-less exactly-once merge-sink
+    pattern. The merge is commutative/associative in (ts, event_id),
+    so the final state is independent of batch order and replays are
+    idempotent; the oracle is the plain batch latest-per-user window.
+
+    100 TB shape: state and batch both shuffle on user_id only; a
+    table format (Delta/Iceberg MERGE) replaces the versioned dirs in
+    production, with the identical join plan."""
+    from pyspark.sql import Window
+
+    staged = _stage_events(spark, sf_dir)
+    src = _read_stream(spark, staged)
+    state_root = tempfile.mkdtemp(prefix="pp_fb_state_")
+    version = {"n": 0}
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w_latest))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .select("user_id", "ts", "event_type", "value", "event_id")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        merged = _latest(batch_df)
+        cur = version["n"]
+        if cur:
+            prev = batch_df.sparkSession.read.parquet(f"{state_root}/v{cur}")
+            merged = _latest(prev.unionByName(merged))
+        merged.write.mode("overwrite").parquet(f"{state_root}/v{cur + 1}")
+        version["n"] = cur + 1
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"),
+    )
+    try:
+        q = (
+            src.writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(f"{state_root}/v{version['n']}").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )

@@ -59,6 +59,9 @@ ORACLE_QUERIES = [
     "agg_approx_top_k",        # D: heavy-hitters sketch
     "fn_variant",              # H: VARIANT parse/typed-get
     "recursive_cte_chain",     # C: WITH RECURSIVE BFS-by-joins
+    "fn_higher_order",         # H: JVM-side array lambdas
+    "fn_binary_hash",          # H: md5/sha2/base64/hex
+    "stream_foreachbatch_upsert",  # I: versioned merge sink
 ]
 
 # rows-only queries: assert they run and return sane row counts
@@ -119,6 +122,20 @@ def test_watermark_drops_late_row(spark):
     reg = _registry()
     out = reg.QUERIES["stream_watermark_late"](spark, SF_DIR)
     assert out.filter("late_event_included").count() == 0
+
+
+def test_hll_sketch_estimate_close_to_exact(spark, oracle_con):
+    """sketch_hll_union is rows-only (estimates are engine-specific);
+    bound the merged-sketch estimate against the exact distinct count."""
+    reg = _registry()
+    row = reg.QUERIES["sketch_hll_union"](spark, SF_DIR).collect()[0]
+    exact = oracle_con.sql(
+        "SELECT count(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert abs(row["approx_custkeys"] - exact) / exact < 0.05
+    assert row["total_rows"] == oracle_con.sql(
+        "SELECT count(*) FROM orders"
+    ).fetchone()[0]
 
 
 def test_every_oracle_key_is_registered():
