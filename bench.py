@@ -27,6 +27,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q18_large_orders",
     "agg_groupby",
     "join_multiway",
     "join_left_outer",

@@ -357,3 +357,35 @@ def fn_binary_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(name_bin).alias("name_hex"),
         F.octet_length(name_bin).cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "fn_calendar",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               dayofweek(o_orderdate) + 1 AS dow,
+               weekofyear(o_orderdate) AS iso_week,
+               quarter(o_orderdate) AS qtr,
+               dayofyear(o_orderdate) AS doy,
+               strftime(o_orderdate, '%Y-%m') AS ym
+        FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar surface beyond fn_date: month arithmetic,
+    month-end, day-of-week/-year, ISO week, quarter, and format. The
+    Spark/DuckDB convention gap (dayofweek is 1-based Sunday-first in
+    Spark, 0-based in DuckDB) is aligned in the oracle, not hidden."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 2).alias("plus_2mo"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )

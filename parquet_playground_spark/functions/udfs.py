@@ -188,3 +188,57 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.mapInArrow(
         adjust, "s_suppkey long, adjusted_bal double, name_uc string"
     )
+
+
+@register(
+    "udf_cogrouped_pandas",
+    oracle="""
+        SELECT c.c_custkey,
+               count(o.o_orderkey) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0), 4) AS total_spend,
+               round(c.c_acctbal, 4) AS acctbal
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey <= 300
+        GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas: the two-sided grouped-map surface —
+    both tables shuffle once on the key, then each (customer-group,
+    order-group) pair lands in one pandas callback. The callback here
+    computes what a LEFT JOIN + agg would, so the SQL oracle proves
+    the cogroup plumbing delivers exactly the join semantics.
+
+    Scale: one co-partitioned shuffle per side (same as the join), and
+    the pandas batch holds one key-group — bounded by the largest
+    single key, not the partition."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        if cust.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "n_orders", "total_spend", "acctbal"]
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cust.c_custkey.iloc[0])],
+                "n_orders": [int(len(orders))],
+                "total_spend": [round(float(orders.o_totalprice.sum()), 4)],
+                "acctbal": [round(float(cust.c_acctbal.iloc[0]), 4)],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            "c_custkey long, n_orders long, total_spend double, acctbal double",
+        )
+    )

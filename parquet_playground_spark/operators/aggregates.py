@@ -402,3 +402,35 @@ def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custkeys"),
         F.sum("n_rows").alias("total_rows"),
     )
+
+
+@register(
+    "agg_boolean_bitwise",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_totalprice > 30000) AS n_big,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               arg_max(o_orderstatus, o_orderkey) AS last_status,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey) AS key_or,
+               bit_xor(o_orderkey) AS key_xor
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean, conditional-count, arg-max, and bitwise aggregate
+    surface. arg_max keys on the unique o_orderkey so both engines
+    pick the same row; all are single-pass map-combinable aggregates
+    (one shuffle of |groups| rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 30000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )

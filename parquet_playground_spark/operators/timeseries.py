@@ -129,3 +129,34 @@ def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@register(
+    "ts_window_time_range",
+    oracle="""
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                   RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW
+               ), 4) AS sum_2h
+        FROM events
+    """,
+)
+def ts_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-user rolling 2-hour sum. The frame
+    is defined on epoch seconds so Spark's rangeBetween and the
+    oracle's RANGE PRECEDING agree exactly (sub-second precision is
+    truncated identically on both sides). One shuffle on user_id;
+    frames never cross partitions, so it scales with users."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-7200, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_2h"),
+    )

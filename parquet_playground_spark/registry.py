@@ -123,6 +123,9 @@ _CHECK_ORDER = [
     "agg_regression", "agg_approx_top_k", "fn_variant",
     "recursive_cte_chain", "fn_higher_order", "fn_binary_hash",
     "sketch_hll_union", "stream_foreachbatch_upsert",
+    "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
+    "udf_cogrouped_pandas", "ts_window_time_range",
+    "fn_calendar", "agg_boolean_bitwise",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -62,6 +62,12 @@ ORACLE_QUERIES = [
     "fn_higher_order",         # H: JVM-side array lambdas
     "fn_binary_hash",          # H: md5/sha2/base64/hex
     "stream_foreachbatch_upsert",  # I: versioned merge sink
+    "q7_volume_shipping",      # headline: bilateral trade join
+    "q18_large_orders",        # headline: HAVING semi-join
+    "udf_cogrouped_pandas",    # J: two-sided grouped map
+    "ts_window_time_range",    # TS: time RANGE frame
+    "fn_calendar",             # H: calendar surface
+    "agg_boolean_bitwise",     # D: bool/bitwise/arg-max aggs
 ]
 
 # rows-only queries: assert they run and return sane row counts
