@@ -61,6 +61,7 @@ def load_all() -> None:
         avro,
         corpus,
         encrypted,
+        stream_pysource,
         writes,
     )
     from parquet_playground_spark.streaming import stream_queries  # noqa: F401
@@ -125,7 +126,7 @@ _CHECK_ORDER = [
     "sketch_hll_union", "stream_foreachbatch_upsert",
     "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
     "udf_cogrouped_pandas", "ts_window_time_range",
-    "fn_calendar", "agg_boolean_bitwise",
+    "fn_calendar", "agg_boolean_bitwise", "stream_python_source",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -1,0 +1,175 @@
+"""Custom STREAMING source via the Spark 4 Python DataSource API.
+
+Completes the Python DataSource story next to the batch ``pyavro``
+reader (sources/avro_py.py): format ``pyevents`` exposes the events
+parquet as a replayable stream with explicit row-range offsets —
+``initialOffset -> latestOffset -> partitions(start, end) -> read`` —
+the same contract a Kafka-like connector implements. Offsets are row
+positions, so recovery/replay is exactly-once by construction; the
+oracle is the plain batch aggregate over the same rows, proving no
+batch is lost or duplicated across the offset protocol.
+
+Scale shape: ``partitions()`` splits each micro-batch's row range into
+fixed-size chunks, one executor task each; a production connector
+swaps the pyarrow row-slice for a broker fetch with the identical
+offset algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import ensure_session_defaults
+
+ROWS_PER_PARTITION = 2000
+
+
+def make_stream_datasource():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _RangePartition(InputPartition):
+        def __init__(self, path: str, start: int, end: int):
+            self.path = path
+            self.start = start
+            self.end = end
+
+    class EventsStreamReader(DataSourceStreamReader):
+        """Row-offset stream over one parquet file."""
+
+        def __init__(self, path: str):
+            self._path = path
+            self._n_rows: int | None = None
+
+        def _total(self) -> int:
+            if self._n_rows is None:
+                import pyarrow.parquet as pq
+
+                self._n_rows = pq.ParquetFile(self._path).metadata.num_rows
+            return self._n_rows
+
+        def initialOffset(self) -> dict:
+            return {"row": 0}
+
+        def latestOffset(self) -> dict:
+            return {"row": self._total()}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["row"], end["row"]
+            return [
+                _RangePartition(self._path, s, min(s + ROWS_PER_PARTITION, hi))
+                for s in range(lo, hi, ROWS_PER_PARTITION)
+            ] or [_RangePartition(self._path, lo, lo)]
+
+        def read(self, partition):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                partition.path,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+            ).slice(partition.start, partition.end - partition.start)
+            # the file stores timestamp[ns] naive; Spark's Arrow bridge
+            # needs tz-aware micros for a session-UTC timestamp column
+            i = tbl.schema.get_field_index("ts")
+            tbl = tbl.set_column(
+                i,
+                pa.field("ts", pa.timestamp("us", tz="UTC")),
+                tbl.column("ts").cast(pa.timestamp("us", tz="UTC"), safe=False),
+            )
+            for row in tbl.to_pylist():
+                yield (
+                    row["event_id"],
+                    row["ts"],
+                    row["user_id"],
+                    row["event_type"],
+                    row["value"],
+                )
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class EventsStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pyevents"
+
+        def schema(self) -> str:
+            return (
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("pyevents: option 'path' is required")
+            return EventsStreamReader(path)
+
+    return EventsStreamDataSource
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_registered(spark: SparkSession) -> None:
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    spark.dataSource.register(make_stream_datasource())
+    _REGISTERED.add(key)
+
+
+@register(
+    "stream_python_source",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value,
+               min(event_id) AS min_id,
+               max(event_id) AS max_id
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream from the custom ``pyevents`` Python DataSource,
+    aggregated per event_type in complete mode. The min/max event_id
+    columns make offset bugs visible: a dropped or doubled row range
+    breaks the count AND the id bounds against the batch oracle."""
+    import os
+    import uuid
+
+    ensure_session_defaults(spark)
+    ensure_registered(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    src = spark.readStream.format("pyevents").option("path", path).load()
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"),
+    )
+    try:
+        sink = f"pp_pysrc_{uuid.uuid4().hex[:12]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

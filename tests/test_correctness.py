@@ -68,6 +68,7 @@ ORACLE_QUERIES = [
     "ts_window_time_range",    # TS: time RANGE frame
     "fn_calendar",             # H: calendar surface
     "agg_boolean_bitwise",     # D: bool/bitwise/arg-max aggs
+    "stream_python_source",    # I: custom Python streaming connector
 ]
 
 # rows-only queries: assert they run and return sane row counts
