@@ -389,3 +389,31 @@ def fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear("o_orderdate").alias("doy"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               round(o_totalprice / nullif(o_orderkey % 7, 0), 4) AS safe_div,
+               TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+               TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS first_digit
+        FROM orders WHERE o_orderkey <= 3000
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic/casts: try_divide and try_cast return
+    NULL instead of failing the job — the difference between one bad
+    record poisoning a 100 TB pipeline and a null you can filter.
+    Oracle mirrors with x/nullif(y,0) and TRY_CAST."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7), 4
+        ).alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.expr(
+            "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
+        ).alias("first_digit"),
+    )

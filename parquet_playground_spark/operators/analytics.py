@@ -530,3 +530,36 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 55000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+    """,
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS predicates: Catalyst rewrites them to a
+    left-semi and a left-anti join on the correlation key — two
+    linear shuffles, never a per-row probe."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ex_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ex_customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM ex_customer c
+        WHERE EXISTS (SELECT 1 FROM ex_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 55000)
+          AND NOT EXISTS (SELECT 1 FROM ex_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        """
+    )

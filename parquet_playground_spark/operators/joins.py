@@ -258,3 +258,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_event_id",
         F.date_trunc("second", "last_event_ts").alias("last_event_ts"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        SELECT coalesce(CAST(c.k AS VARCHAR), 'NULL') AS join_key,
+               count(*) AS n_pairs
+        FROM (SELECT nullif(c_nationkey, 3) AS k FROM customer) c
+        JOIN (SELECT nullif(s_nationkey, 3) AS k FROM supplier) s
+          ON c.k IS NOT DISTINCT FROM s.k
+        GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys match each other instead
+    of vanishing, which is what entity-resolution pipelines need when
+    the join key is optional. Spark hash-partitions NULL like any
+    other value under eqNullSafe, so it stays a plain shuffled
+    hash/SMJ — no fallback to a nested loop."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("sk")
+    )
+    return (
+        c.join(s, c.ck.eqNullSafe(s.sk))
+        .groupBy(
+            F.coalesce(F.col("ck").cast("string"), F.lit("NULL")).alias(
+                "join_key"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -127,6 +127,8 @@ _CHECK_ORDER = [
     "q7_volume_shipping", "q10_returned_items", "q18_large_orders",
     "udf_cogrouped_pandas", "ts_window_time_range",
     "fn_calendar", "agg_boolean_bitwise", "stream_python_source",
+    "write_partition_overwrite", "join_null_safe", "subquery_exists",
+    "fn_try_arithmetic",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -255,3 +255,47 @@ def write_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey int, n_name string, n_regionkey int")
         .load(out)
     )
+
+
+@register(
+    "write_partition_overwrite",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               round(sum(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 0.5
+                              ELSE o_totalprice END), 4) AS total
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def write_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the daily-refresh primitive: a
+    full partitioned snapshot, then an INSERT OVERWRITE that replaces
+    ONLY the partitions present in the incoming batch (here: status
+    'F' rows at half price), leaving sibling partitions untouched.
+    Requires partitionOverwriteMode=dynamic; with STATIC (the default)
+    the same write would wipe the other partitions. The oracle is the
+    expected post-refresh state computed directly from orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = _tmp("part_overwrite")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    refresh = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.5
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        refresh.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

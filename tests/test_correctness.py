@@ -69,6 +69,10 @@ ORACLE_QUERIES = [
     "fn_calendar",             # H: calendar surface
     "agg_boolean_bitwise",     # D: bool/bitwise/arg-max aggs
     "stream_python_source",    # I: custom Python streaming connector
+    "write_partition_overwrite",  # A: dynamic partition refresh
+    "join_null_safe",          # C: <=> null-safe equi-join
+    "subquery_exists",         # C: EXISTS/NOT EXISTS -> semi/anti
+    "fn_try_arithmetic",       # H: error-safe arithmetic/casts
 ]
 
 # rows-only queries: assert they run and return sane row counts
