@@ -417,3 +417,118 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
         ).alias("first_digit"),
     )
+
+
+@register(
+    "fn_map_hof",
+    oracle="""
+        SELECT o_orderkey,
+               array_to_string(
+                   list_transform(
+                       list_sort(list_filter(
+                           [struct_pack(k := 'okey',
+                                        v := CAST(o_orderkey AS DOUBLE) * 2),
+                            struct_pack(k := 'price', v := o_totalprice * 2)],
+                           e -> e.v > 1000)),
+                       e -> e.k || '=' ||
+                            CAST(CAST(round(e.v, 4) AS DECIMAL(18,4))
+                                 AS VARCHAR)),
+                   ','
+               ) AS kept_csv
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — map_from_arrays, transform_values,
+    map_filter, map_entries — all JVM-side lambdas. Entries serialize
+    to a key-sorted k=v CSV (values via the fixed-decimal string
+    canon) so the map surface gets a real value oracle, unlike the
+    rows-only fn_map."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    m = F.map_from_arrays(
+        F.array(F.lit("okey"), F.lit("price")),
+        F.array(
+            F.col("o_orderkey").cast("double"), F.col("o_totalprice")
+        ),
+    )
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v > 1000)
+    return o.select(
+        "o_orderkey",
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(kept)),
+                lambda e: F.concat(
+                    e.key,
+                    F.lit("="),
+                    F.round(e.value, 4)
+                    .cast("decimal(18,4)")
+                    .cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("kept_csv"),
+    )
+
+
+@register(
+    "fn_string_predicates",
+    oracle="""
+        SELECT c_custkey,
+               split_part(c_name, '#', 2) AS num_part,
+               strpos(c_name, '#') AS hash_pos,
+               reverse(c_name) AS rev,
+               ascii(c_name) AS first_code,
+               left(c_name, 8) AS head8,
+               right(c_name, 3) AS tail3,
+               contains(c_name, '00') AS has_00,
+               starts_with(c_name, 'Customer') AS is_cust,
+               ends_with(c_name, '1') AS ends_1
+        FROM customer WHERE c_custkey <= 800
+    """,
+)
+def fn_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String predicate/slicing surface beyond fn_string: split_part,
+    position, reverse, ascii, left/right, contains/starts/ends. All
+    codegen built-ins with identical 1-based semantics in DuckDB."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 800)
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.reverse(F.col("c_name")).alias("rev"),
+        F.ascii(F.col("c_name")).alias("first_code"),
+        F.expr("left(c_name, 8)").alias("head8"),
+        F.expr("right(c_name, 3)").alias("tail3"),
+        F.col("c_name").contains("00").alias("has_00"),
+        F.col("c_name").startswith("Customer").alias("is_cust"),
+        F.col("c_name").endswith("1").alias("ends_1"),
+    )
+
+
+@register(
+    "fn_array_outer",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN CAST([] AS BIGINT[])
+                        ELSE generate_series(1, o_orderkey % 3) END AS arr
+            FROM orders WHERE o_orderkey <= 1000
+        )
+        SELECT o_orderkey,
+               unnest(CASE WHEN len(arr) = 0
+                           THEN [CAST(NULL AS BIGINT)] ELSE arr END) AS x
+        FROM t
+    """,
+)
+def fn_array_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null semantics: rows with empty arrays survive
+    with a NULL element instead of disappearing — the difference
+    between losing and keeping documents whose extraction produced
+    nothing. Narrow op, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    arr = F.when(
+        F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 3))
+    return o.select("o_orderkey", F.explode_outer(arr).alias("x"))

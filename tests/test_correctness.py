@@ -73,6 +73,9 @@ ORACLE_QUERIES = [
     "join_null_safe",          # C: <=> null-safe equi-join
     "subquery_exists",         # C: EXISTS/NOT EXISTS -> semi/anti
     "fn_try_arithmetic",       # H: error-safe arithmetic/casts
+    "fn_map_hof",              # H: map lambdas, serialized oracle
+    "fn_string_predicates",    # H: string slicing/predicates
+    "fn_array_outer",          # H: explode_outer null semantics
 ]
 
 # rows-only queries: assert they run and return sane row counts
