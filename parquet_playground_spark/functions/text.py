@@ -7,9 +7,10 @@ WholeStageCodegen and scales linearly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_playground_spark.functions.dedup import _fanout
 from parquet_playground_spark.registry import register
 from parquet_playground_spark.tables import load_table
 
@@ -257,4 +258,98 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias(
             "bow_fingerprint"
         ),
+    )
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle="""
+        SELECT doc_id,
+               unnest(generate_series(1, n_chars, 80)) AS chunk_start,
+               substr(text, unnest(generate_series(1, n_chars, 80)), 100)
+                   AS chunk,
+               length(substr(text,
+                             unnest(generate_series(1, n_chars, 80)), 100))
+                   AS chunk_len
+        FROM documents
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — 100-char windows, stride 80
+    (20-char overlap) — the context-window prep step for embedding /
+    retrieval pipelines. Pure JVM sequence+explode+substr: narrow
+    until the explode, no Python, parallel per input split (the
+    `_fanout` discipline from the dedup family applies upstream at
+    small SF)."""
+    d = _fanout(load_table(spark, sf_dir, "documents"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_chars").cast("int"), F.lit(1)), F.lit(80)
+    )
+    return d.select(
+        "doc_id",
+        F.explode(starts).alias("chunk_start"),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.substring(F.col("text"), F.col("chunk_start"), 100).alias("chunk"),
+        F.length(
+            F.substring(F.col("text"), F.col("chunk_start"), 100)
+        ).alias("chunk_len"),
+    )
+
+
+@register(
+    "pack_concat_split",
+    oracle="""
+        WITH est AS (
+            SELECT doc_id, doc_id % 8 AS shard,
+                   CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens
+            FROM documents
+        ),
+        run AS (
+            SELECT doc_id, shard, tokens,
+                   sum(tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM est
+        )
+        SELECT shard,
+               CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS pack_id,
+               count(*) AS n_docs,
+               sum(tokens) AS total_tokens
+        FROM run
+        GROUP BY shard, CAST(floor((cum - tokens) / 512.0) AS BIGINT)
+    """,
+)
+def pack_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing, concat-then-split style: docs are laid
+    end-to-end in doc_id order and cut into 512-token packs (token
+    estimate: chars/4). Packing runs per shard (doc_id % 8) so the
+    running sum is a bounded per-partition window — at 100 TB each
+    shard packs independently and no global sort exists. A doc's pack
+    is where its FIRST token lands (cum - tokens), the standard
+    greedy-concat semantics."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = d.withColumn("cum", F.sum("tokens").over(w))
+    return (
+        run.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("tokens")) / 512).cast("long"),
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+        )
     )

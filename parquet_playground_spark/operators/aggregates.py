@@ -434,3 +434,69 @@ def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("key_or"),
         F.bit_xor("o_orderkey").alias("key_xor"),
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+        SELECT c_nationkey,
+               string_agg(c_name, ',' ORDER BY c_name) AS names_csv,
+               count(*) AS n
+        FROM customer
+        WHERE c_custkey <= 200
+        GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL:2023 LISTAGG / string_agg).
+    WITHIN GROUP (ORDER BY) makes the concatenation deterministic, so
+    it oracles exactly — unlike bare collect_list. Map-side partials
+    hold sorted runs; one shuffle of |groups| rows."""
+    load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 200
+    ).createOrReplaceTempView("la_customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)
+                   AS names_csv,
+               count(*) AS n
+        FROM la_customer
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@register(
+    "agg_width_bucket_histogram",
+    oracle="""
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 60000 THEN 13
+                         ELSE floor(o_totalprice / 5000) + 1 END AS BIGINT)
+                   AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 4) AS lo,
+               round(max(o_totalprice), 4) AS hi
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket(price, 0, 60000, 12) —
+    the one-pass distribution profile a pipeline runs before choosing
+    partition bounds. DuckDB v1.0 has no width_bucket, so the oracle
+    emulates the same bucket arithmetic (floor(x/step)+1 with under/
+    overflow buckets 0 and n+1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr("width_bucket(o_totalprice, 0, 60000, 12)").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )

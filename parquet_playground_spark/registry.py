@@ -129,7 +129,8 @@ _CHECK_ORDER = [
     "fn_calendar", "agg_boolean_bitwise", "stream_python_source",
     "write_partition_overwrite", "join_null_safe", "subquery_exists",
     "fn_try_arithmetic", "fn_map_hof", "fn_string_predicates",
-    "fn_array_outer",
+    "fn_array_outer", "doc_chunk_overlap", "pack_concat_split",
+    "agg_listagg", "agg_width_bucket_histogram",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

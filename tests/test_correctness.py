@@ -76,6 +76,10 @@ ORACLE_QUERIES = [
     "fn_map_hof",              # H: map lambdas, serialized oracle
     "fn_string_predicates",    # H: string slicing/predicates
     "fn_array_outer",          # H: explode_outer null semantics
+    "doc_chunk_overlap",       # K: sliding-window chunking
+    "pack_concat_split",       # K: context-window packing
+    "agg_listagg",             # D: ordered LISTAGG
+    "agg_width_bucket_histogram",  # D: equi-width histogram
 ]
 
 # rows-only queries: assert they run and return sane row counts
