@@ -164,3 +164,40 @@ def test_cached_subplan_is_reused(spark):
     df.collect()
     plan = formatted_plan(df)
     assert "InMemoryTableScan" in plan
+
+
+def test_q7_pushes_nation_filter_and_broadcasts(spark):
+    plan = formatted_plan(_q("q7_volume_shipping")(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "NATION_1" in plan  # n_name IN-filter pushed to the scan
+
+
+def test_q18_having_subquery_is_semi_join_topk(spark):
+    plan = formatted_plan(_q("q18_large_orders")(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_upsert_is_keyed_join_not_nested_loop(spark):
+    plan = formatted_plan(_q("cdc_upsert")(spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    plan = formatted_plan(_q("recursive_cte_chain")(spark, SF_DIR))
+    assert "UnionLoop" in plan
+
+
+def test_gapfill_locf_windows_are_day_partitioned(spark):
+    # the spine LOCF must never be one global unpartitioned sort; the
+    # only acceptable unpartitioned window is the |days|-row carry
+    plan = formatted_plan(_q("ts_gapfill_locf")(spark, SF_DIR))
+    assert "windowspecdefinition(day" in plan
+
+
+def test_exists_rewrites_to_semi_and_anti(spark):
+    plan = formatted_plan(_q("subquery_exists")(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
