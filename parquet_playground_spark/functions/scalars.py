@@ -532,3 +532,89 @@ def fn_array_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") % 3 == 0, F.array().cast("array<bigint>")
     ).otherwise(F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 3))
     return o.select("o_orderkey", F.explode_outer(arr).alias("x"))
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   generate_series(1, o_orderkey % 4 + 2) AS a,
+                   generate_series(o_orderkey % 3 + 1, o_orderkey % 3 + 4) AS b
+            FROM orders WHERE o_orderkey <= 1500
+        )
+        SELECT o_orderkey,
+               coalesce(array_to_string(
+                   list_sort(list_distinct(list_cat(a, b))), ','), '')
+                   AS union_csv,
+               coalesce(array_to_string(
+                   list_sort(list_intersect(a, b)), ','), '')
+                   AS intersect_csv,
+               coalesce(array_to_string(
+                   list_sort(list_filter(list_distinct(a),
+                                         x -> NOT list_contains(b, x))), ','),
+                   '') AS except_csv,
+               list_has_any(a, b) AS overlaps
+        FROM t
+    """,
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — union/intersect/except/overlap — all JVM
+    built-ins, serialized sorted for the oracle (Spark and DuckDB
+    order set results differently, so the CSV canon sorts first)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1500)
+    one = F.lit(1).cast("long")
+    a = F.sequence(one, F.col("o_orderkey") % 4 + 2)
+    b = F.sequence(F.col("o_orderkey") % 3 + 1, F.col("o_orderkey") % 3 + 4)
+
+    def csv(arr):
+        return F.array_join(
+            F.transform(F.sort_array(arr), lambda v: v.cast("string")), ","
+        )
+
+    return o.select(
+        "o_orderkey",
+        csv(F.array_union(a, b)).alias("union_csv"),
+        csv(F.array_intersect(a, b)).alias("intersect_csv"),
+        csv(F.array_except(a, b)).alias("except_csv"),
+        F.arrays_overlap(a, b).alias("overlaps"),
+    )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+        SELECT c_nationkey,
+               count(*) FILTER (WHERE upper(seg_mangled) = 'BUILDING')
+                   AS n_building_ci,
+               count(*) AS n_total
+        FROM (
+            SELECT c_nationkey,
+                   CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg_mangled
+            FROM customer
+        )
+        GROUP BY c_nationkey
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): equality under
+    UTF8_LCASE matches case-mangled values without rewriting the data
+    to a canonical case — the collation is a property of the
+    comparison, pushed into the scan like any predicate. Oracle
+    expresses the same semantics via upper()."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_mangled"),
+    )
+    ci_match = F.expr(
+        "collate(seg_mangled, 'UTF8_LCASE') = collate('BUILDING', 'UTF8_LCASE')"
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.count_if(ci_match).alias("n_building_ci"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

@@ -210,3 +210,46 @@ def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 4).alias("cd"),
         F.round(F.percent_rank().over(w), 4).alias("pr"),
     )
+
+
+@register(
+    "window_nth_first_ignore",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               nth_value(c_name, 2) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_name,
+               first_value(CASE WHEN c_acctbal > 5000 THEN round(c_acctbal, 4)
+                           END IGNORE NULLS) OVER (
+                   PARTITION BY c_nationkey ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS first_big_bal
+        FROM customer
+    """,
+)
+def window_nth_first_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame plus a running
+    first_value(... IGNORE NULLS) — the 'first qualifying event so
+    far' pattern. Both engines share frame and null-skipping
+    semantics; order is made total by the unique c_custkey."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    full = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    running = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    big = F.when(F.col("c_acctbal") > 5000, F.round(F.col("c_acctbal"), 4))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.nth_value("c_name", 2).over(full).alias("second_name"),
+        F.first(big, ignorenulls=True).over(running).alias("first_big_bal"),
+    )

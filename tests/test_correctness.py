@@ -80,6 +80,9 @@ ORACLE_QUERIES = [
     "pack_concat_split",       # K: context-window packing
     "agg_listagg",             # D: ordered LISTAGG
     "agg_width_bucket_histogram",  # D: equi-width histogram
+    "fn_array_setops",         # H: array set algebra
+    "fn_collation",            # H: UTF8_LCASE comparison
+    "window_nth_first_ignore",  # E: nth_value + IGNORE NULLS
 ]
 
 # rows-only queries: assert they run and return sane row counts
