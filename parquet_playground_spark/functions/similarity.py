@@ -229,3 +229,75 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("val").cast("double")), 4).alias("sum_val"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@register("kmeans_lloyd_iterations")
+def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm surface: two Lloyd iterations of k-means
+    over the embedding corpus, K=8, deterministically initialized from
+    vec_id < 8. Each iteration is one broadcast-join assignment pass
+    (every vector against K centroids, JVM-side squared distance) and
+    one explode+groupBy centroid update — no Python in the loop, no
+    collect of the corpus; only the K x dim centroid table (driver-
+    sized at any corpus scale) moves between iterations.
+
+    Rows-only by design (iterative fixpoints aren't single-statement
+    SQL); tests/test_correctness.py asserts inertia strictly decreases
+    across the iterations, which a wrong assignment or update breaks.
+    Returns one row per iteration with the total inertia."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    centroids = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    stats = []
+    for it in range(2):
+        assigned = (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", sqdist(F.col("embedding"), F.col("cvec")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("d2", "cid")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "embedding", "d2")
+        )
+        row = assigned.agg(
+            F.round(F.sum("d2"), 4).alias("inertia"),
+            F.count_distinct("cid").alias("k_used"),
+        ).collect()[0]
+        stats.append((it, float(row["inertia"]), int(row["k_used"])))
+        # M-step: element-wise mean per cluster -> next centroid table
+        # (K x dim rows; driver-sized forever)
+        centroids = (
+            assigned.select(
+                "cid", F.posexplode("embedding").alias("dim", "x")
+            )
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mx"))
+                ).alias("pairs")
+            )
+            .select(
+                "cid",
+                F.transform(
+                    F.col("pairs"), lambda p: p.mx.cast("float")
+                ).alias("cvec"),
+            )
+        )
+    return spark.createDataFrame(
+        stats, "iteration int, inertia double, k_used long"
+    )

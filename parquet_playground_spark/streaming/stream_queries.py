@@ -611,3 +611,30 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.round("value", 4).alias("last_value"),
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+        SELECT event_id,
+               CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s,
+               round(value, 4) AS value
+        FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: same exactly-once restoration as
+    stream_dedup, but state for a key is EVICTED once the watermark
+    passes it — bounded state on an unbounded stream, which is the
+    only dedup that survives at 100 TB/day. The duplicate replay here
+    arrives within the watermark, so the result still equals DISTINCT
+    over the original table."""
+    staged = _stage_events(spark, sf_dir, kind="dup")
+    s = _read_stream(spark, staged).withWatermark("ts", "1 day")
+    deduped = s.dropDuplicatesWithinWatermark(["event_id"])
+    result = _run_to_table(deduped, "append")
+    return result.select(
+        "event_id",
+        F.date_trunc("second", "ts").alias("ts_s"),
+        F.round("value", 4).alias("value"),
+    )

@@ -83,6 +83,7 @@ ORACLE_QUERIES = [
     "fn_array_setops",         # H: array set algebra
     "fn_collation",            # H: UTF8_LCASE comparison
     "window_nth_first_ignore",  # E: nth_value + IGNORE NULLS
+    "stream_dedup_within_watermark",  # I: state-evicting dedup
 ]
 
 # rows-only queries: assert they run and return sane row counts
@@ -143,6 +144,32 @@ def test_watermark_drops_late_row(spark):
     reg = _registry()
     out = reg.QUERIES["stream_watermark_late"](spark, SF_DIR)
     assert out.filter("late_event_included").count() == 0
+
+
+def test_kmeans_inertia_decreases(spark):
+    """kmeans_lloyd_iterations is rows-only (iterative fixpoint); a
+    wrong assignment or centroid update breaks monotone improvement."""
+    reg = _registry()
+    rows = {
+        r["iteration"]: r
+        for r in reg.QUERIES["kmeans_lloyd_iterations"](spark, SF_DIR).collect()
+    }
+    assert rows[1]["inertia"] < rows[0]["inertia"]
+    assert rows[0]["k_used"] == 8
+
+
+def test_approx_percentile_brackets_exact(spark, oracle_con):
+    """agg_approx_percentile is rows-only (sketch); bound each quartile
+    against the exact value within 2%."""
+    reg = _registry()
+    approx = reg.QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()[0][
+        "price_quartiles"
+    ]
+    exact = oracle_con.sql(
+        "SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) FROM lineitem"
+    ).fetchone()[0]
+    for a, x in zip(approx, exact):
+        assert abs(a - x) / x < 0.02
 
 
 def test_hll_sketch_estimate_close_to_exact(spark, oracle_con):
