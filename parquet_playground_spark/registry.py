@@ -133,6 +133,7 @@ _CHECK_ORDER = [
     "agg_listagg", "agg_width_bucket_histogram",
     "fn_array_setops", "fn_collation", "window_nth_first_ignore",
     "stream_dedup_within_watermark", "kmeans_lloyd_iterations",
+    "write_orc_roundtrip", "source_corrupt_records",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

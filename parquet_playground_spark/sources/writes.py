@@ -299,3 +299,71 @@ def write_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "write_orc_roundtrip",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(DISTINCT s_suppkey) AS n_keys,
+               round(sum(s_acctbal), 4) AS sum_bal
+        FROM supplier
+    """,
+)
+def write_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write/read roundtrip — the second columnar interchange
+    format next to Parquet (same committer-based parallel write, same
+    predicate-pushdown/column-pruning scan path on re-read). The
+    oracle checks the re-read aggregate equals the source table, so a
+    lossy type mapping would surface as a hash mismatch."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = _tmp("orc_roundtrip")
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("s_suppkey").alias("n_keys"),
+        F.round(F.sum("s_acctbal"), 4).alias("sum_bal"),
+    )
+
+
+@register("source_corrupt_records")
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingestion of a JSONL batch where every 7th line
+    is deliberately malformed (truncated JSON): bad records land in
+    _corrupt_record instead of failing the job — the reference's
+    robust-ingestion theme (its corpus ships malformed files; README
+    'should fail cleanly') mapped to Spark's per-record quarantine.
+    Rows-only with exact expected counts asserted in tests (the line
+    corpus is derived deterministically from orders)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            # truncated record: unparseable on purpose
+            F.concat(F.lit('{"k": '), F.col("o_orderkey").cast("string"), F.lit(', "p": ')),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("p"),
+                )
+            )
+        )
+        .alias("value")
+    )
+    path = _tmp("corrupt_jsonl")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("k long, p double, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("k").alias("n_good"),
+        F.count("_corrupt_record").alias("n_bad"),
+        F.round(F.sum("p"), 4).alias("sum_good_p"),
+    )

@@ -84,6 +84,7 @@ ORACLE_QUERIES = [
     "fn_collation",            # H: UTF8_LCASE comparison
     "window_nth_first_ignore",  # E: nth_value + IGNORE NULLS
     "stream_dedup_within_watermark",  # I: state-evicting dedup
+    "write_orc_roundtrip",     # A: second columnar format
 ]
 
 # rows-only queries: assert they run and return sane row counts
@@ -144,6 +145,20 @@ def test_watermark_drops_late_row(spark):
     reg = _registry()
     out = reg.QUERIES["stream_watermark_late"](spark, SF_DIR)
     assert out.filter("late_event_included").count() == 0
+
+
+def test_corrupt_records_are_quarantined_not_fatal(spark, oracle_con):
+    """source_corrupt_records is rows-only; the good/bad split must
+    equal the deterministic corruption rule (every 7th key)."""
+    reg = _registry()
+    row = reg.QUERIES["source_corrupt_records"](spark, SF_DIR).collect()[0]
+    n_total, n_bad = oracle_con.sql(
+        "SELECT count(*), count(*) FILTER (WHERE o_orderkey % 7 = 0) "
+        "FROM orders WHERE o_orderkey <= 2000"
+    ).fetchone()
+    assert row["n_total"] == n_total
+    assert row["n_bad"] == n_bad
+    assert row["n_good"] == n_total - n_bad
 
 
 def test_kmeans_inertia_decreases(spark):
