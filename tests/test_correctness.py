@@ -3,7 +3,7 @@
 Mirrors the driver gate: run the registered Spark query at sf0.01 and
 compare row count, schema, and an order-insensitive canonical value
 hash against the DuckDB oracle (same canonicalization as
-tools/verify_local.py). The full 88-query sweep lives in
+tools/verify_local.py). The full all-query sweep lives in
 tools/verify_local.py; this suite keeps pytest fast (~2 min) while
 touching every operator category (SURVEY.md §2.3 A-K).
 """
@@ -204,4 +204,4 @@ def test_hll_sketch_estimate_close_to_exact(spark, oracle_con):
 def test_every_oracle_key_is_registered():
     reg = _registry()
     assert set(reg.ORACLES) <= set(reg.QUERIES)
-    assert len(reg.QUERIES) >= 85
+    assert len(reg.QUERIES) >= 160
