@@ -716,3 +716,94 @@ def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(lev.cast("double") / mx, 4).alias("norm_dist"),
         )
     )
+
+
+_LSH_RERANK_ORACLE = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, v,
+                   {_bucket_sql(0)} AS b0,
+                   {_bucket_sql(1)} AS b1
+            FROM e
+        ),
+        cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   q.v AS qv, c.v AS cv
+            FROM sig q JOIN sig c
+              ON (q.b0 = c.b0 OR q.b1 = c.b1)
+             AND q.vec_id < 5 AND c.vec_id >= 5
+        ),
+        scored AS (
+            SELECT query_id, vec_id,
+                   round(list_cosine_similarity(qv, cv), 4) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY list_cosine_similarity(qv, cv) DESC, vec_id
+                   ) AS rank
+            FROM cand
+        )
+        SELECT query_id, vec_id, rank, cos_sim FROM scored WHERE rank <= 3
+"""
+
+
+@register("sim_search_lsh_rerank", oracle=_LSH_RERANK_ORACLE)
+def sim_search_lsh_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: stage 1
+    generates candidates ONLY from shared LSH buckets (either of 2
+    hyperplane tables), stage 2 exact-cosine reranks and keeps top-3
+    per query. Work is |candidates|, never |queries| x |corpus|; the
+    rerank window is per-query (bounded). Same hyperplanes as
+    dedup_embedding_lsh, so the oracle reproduces the buckets
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = e.select(
+        "vec_id",
+        "v",
+        *[_bucket_expr(F.col("v"), t).alias(f"b{t}") for t in range(_LSH_TABLES)],
+    )
+    q = sig.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    c = sig.filter(F.col("vec_id") >= 5)
+    # one equi-join per hash table, then de-dup: OR-of-buckets would
+    # degrade to a nested loop; the union of hash joins keeps stage 1
+    # strictly bucket-keyed (broadcast: the query side is tiny)
+    cand = (
+        F.broadcast(q)
+        .join(c, F.col("qb0") == F.col("b0"))
+        .select("query_id", "vec_id", "qv", "v")
+        .unionByName(
+            F.broadcast(q)
+            .join(c, F.col("qb1") == F.col("b1"))
+            .select("query_id", "vec_id", "qv", "v")
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda p, r: p * r), F.lit(0.0), lambda a, p: a + p
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda a, p: a + p * p)
+    )
+    scored = cand.withColumn(
+        "cos_raw", dot / (nrm(F.col("qv")) * nrm(F.col("v")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "vec_id", "rank", F.round("cos_raw", 4).alias("cos_sim")
+        )
+    )

@@ -134,6 +134,7 @@ _CHECK_ORDER = [
     "fn_array_setops", "fn_collation", "window_nth_first_ignore",
     "stream_dedup_within_watermark", "kmeans_lloyd_iterations",
     "write_orc_roundtrip", "source_corrupt_records",
+    "sim_search_lsh_rerank",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

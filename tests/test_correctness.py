@@ -85,6 +85,7 @@ ORACLE_QUERIES = [
     "window_nth_first_ignore",  # E: nth_value + IGNORE NULLS
     "stream_dedup_within_watermark",  # I: state-evicting dedup
     "write_orc_roundtrip",     # A: second columnar format
+    "sim_search_lsh_rerank",   # K: two-stage retrieval
 ]
 
 # rows-only queries: assert they run and return sane row counts
