@@ -201,3 +201,9 @@ def test_exists_rewrites_to_semi_and_anti(spark):
     plan = formatted_plan(_q("subquery_exists")(spark, SF_DIR))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_lsh_rerank_stage1_is_hash_join(spark):
+    plan = formatted_plan(_q("sim_search_lsh_rerank")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
