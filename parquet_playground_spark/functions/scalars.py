@@ -618,3 +618,30 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(ci_match).alias("n_building_ci"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@register(
+    "fn_regex_suite",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(c_name, '#0*([1-9][0-9]*)', '<\\1>') AS tagged,
+               len(regexp_extract_all(c_name, '0')) AS n_zeros,
+               regexp_matches(c_name, '[0-9]{3}') AS has_3digits,
+               regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_num
+        FROM customer WHERE c_custkey <= 800
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: backreference replace (Spark `$1` vs DuckDB
+    `\\1` — same semantics, dialectal syntax aligned in the oracle),
+    match counting, boolean match, and anchored group extraction."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 800)
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.col("c_name"), F.lit("#0*([1-9][0-9]*)"), F.lit("<$1>")
+        ).alias("tagged"),
+        F.regexp_count(F.col("c_name"), F.lit("0")).alias("n_zeros"),
+        F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)$", 1).alias("trailing_num"),
+    )

@@ -86,6 +86,9 @@ ORACLE_QUERIES = [
     "stream_dedup_within_watermark",  # I: state-evicting dedup
     "write_orc_roundtrip",     # A: second columnar format
     "sim_search_lsh_rerank",   # K: two-stage retrieval
+    "q14_promo_revenue",       # headline: promo share ratio
+    "q19_bracket_predicates",  # headline: OR-bracket join filter
+    "fn_regex_suite",          # H: regex surface
 ]
 
 # rows-only queries: assert they run and return sane row counts
