@@ -292,3 +292,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               round(sum(l.l_extendedprice), 4) AS sum_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 55000
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruning: the selective orders side builds a
+    bloom filter that is injected as a might_contain() predicate on
+    the lineitem scan BEFORE the shuffle — at 100 TB this drops most
+    probe rows at the scan instead of shuffling them. Results are
+    identical to the plain join (the filter is conservative), which is
+    exactly what the oracle checks; tests pin might_contain in the
+    plan. Conf is scoped: the probe-side size threshold defaults to
+    10GB, sized here to the test data."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 55000
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

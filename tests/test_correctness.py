@@ -89,6 +89,7 @@ ORACLE_QUERIES = [
     "q14_promo_revenue",       # headline: promo share ratio
     "q19_bracket_predicates",  # headline: OR-bracket join filter
     "fn_regex_suite",          # H: regex surface
+    "join_bloom_runtime_filter",  # C: runtime scan pruning
 ]
 
 # rows-only queries: assert they run and return sane row counts

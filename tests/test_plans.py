@@ -207,3 +207,35 @@ def test_lsh_rerank_stage1_is_hash_join(spark):
     plan = formatted_plan(_q("sim_search_lsh_rerank")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_runtime_filter_injects_might_contain(spark):
+    """Under the scoped confs join_bloom_runtime_filter uses, the
+    optimizer must inject a bloom might_contain() predicate on the
+    probe side before the shuffle (the conf restore in the query fn
+    means the plan must be captured inside the scope)."""
+    from parquet_playground_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 55000
+        )
+        plan = formatted_plan(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
