@@ -645,3 +645,42 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike("[0-9]{3}").alias("has_3digits"),
         F.regexp_extract(F.col("c_name"), "([0-9]+)$", 1).alias("trailing_num"),
     )
+
+
+@register(
+    "fn_struct_ops",
+    oracle="""
+        SELECT o_orderkey,
+               struct_extract(struct_pack(
+                   status := o_orderstatus,
+                   price := round(o_totalprice, 4)), 'status') AS status_out,
+               struct_extract(struct_pack(
+                   status := o_orderstatus,
+                   price := round(o_totalprice, 4)), 'price') AS price_out,
+               struct_pack(status := o_orderstatus,
+                           price := round(o_totalprice, 4))
+                   = struct_pack(status := 'F',
+                                 price := round(o_totalprice, 4))
+                   AS is_f_struct
+        FROM orders WHERE o_orderkey <= 1500
+    """,
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct (nested record) surface: construction, field access, and
+    whole-struct equality — the nested-type navigation the reference's
+    flatten op consumes (ParquetConverter.java record handling). All
+    columnar field extractions, no serialization."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1500)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+    s_f = F.struct(
+        F.lit("F").alias("status"), F.round("o_totalprice", 4).alias("price")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("status_out"),
+        s.getField("price").alias("price_out"),
+        (s == s_f).alias("is_f_struct"),
+    )

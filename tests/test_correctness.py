@@ -90,6 +90,7 @@ ORACLE_QUERIES = [
     "q19_bracket_predicates",  # headline: OR-bracket join filter
     "fn_regex_suite",          # H: regex surface
     "join_bloom_runtime_filter",  # C: runtime scan pruning
+    "fn_struct_ops",           # H: nested record surface
 ]
 
 # rows-only queries: assert they run and return sane row counts

@@ -239,3 +239,10 @@ def test_bloom_runtime_filter_injects_might_contain(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Spark 3.5+ pushes rank<=k into the window as WindowGroupLimit —
+    the per-group top-k never materializes full partitions."""
+    plan = formatted_plan(_q("topk_per_group")(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
