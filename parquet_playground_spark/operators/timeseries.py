@@ -160,3 +160,64 @@ def ts_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 4).alias("sum_2h"),
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT event_type, hour, cnt,
+                   avg(cnt) OVER w AS mu,
+                   stddev_samp(cnt) OVER w AS sigma
+            FROM hourly
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_type, hour, cnt,
+               CAST(CAST(round((cnt - mu) / sigma, 4) AS DECIMAL(18,4))
+                    AS VARCHAR) AS z,
+               (cnt - mu) / sigma > 2.0 AS is_spike
+        FROM scored
+        WHERE sigma IS NOT NULL AND sigma > 0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each hour's event count per
+    type scored against the trailing 24-hour window (excluding the
+    current hour — no self-leak). One shuffle on event_type; trailing
+    frames are bounded, so state per partition is 24 rows at any
+    scale. The z value uses the fixed-decimal string canon for
+    cross-engine float parity."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sigma"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return scored.filter(
+        F.col("sigma").isNotNull() & (F.col("sigma") > 0)
+    ).select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.round(z, 4).cast("decimal(18,4)").cast("string").alias("z"),
+        (z > 2.0).alias("is_spike"),
+    )

@@ -91,6 +91,7 @@ ORACLE_QUERIES = [
     "fn_regex_suite",          # H: regex surface
     "join_bloom_runtime_filter",  # C: runtime scan pruning
     "fn_struct_ops",           # H: nested record surface
+    "ts_anomaly_zscore",       # TS: rolling z-score spikes
 ]
 
 # rows-only queries: assert they run and return sane row counts
