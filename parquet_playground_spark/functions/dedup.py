@@ -150,14 +150,40 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signatures(spark, sf_dir)
 
 
-@register("dedup_fuzzy_minhash")  # rows-only: LSH candidate generation
+_FUZZY_MINHASH_ORACLE = f"""
+        SELECT p.a, p.b,
+               ({" + ".join(
+                   f"CAST(xa.mh{i} = xb.mh{i} AS INT)" for i in range(N_HASHES)
+               )}) / {float(N_HASHES)} AS est_jaccard
+        FROM (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM ({_MINHASH_ORACLE}) x JOIN ({_MINHASH_ORACLE}) y
+              ON x.doc_id < y.doc_id
+             AND ({" OR ".join(
+                 "(" + " AND ".join(
+                     f"x.mh{b * BAND_ROWS + r} = y.mh{b * BAND_ROWS + r}"
+                     for r in range(BAND_ROWS)
+                 ) + ")"
+                 for b in range(N_HASHES // BAND_ROWS)
+             )})
+        ) p
+        JOIN ({_MINHASH_ORACLE}) xa ON xa.doc_id = p.a
+        JOIN ({_MINHASH_ORACLE}) xb ON xb.doc_id = p.b
+"""
+
+
+@register("dedup_fuzzy_minhash", oracle=_FUZZY_MINHASH_ORACLE)
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature (4 bands x 2
     rows), bucket-join docs sharing any band, estimate jaccard as the
     fraction of matching signature positions.
 
-    Scale shape: |docs| x n_bands rows shuffle on (band, bucket-hash);
-    pairs only materialize inside buckets — never |docs|^2.
+    Scale shape: |docs| x n_bands rows shuffle on (band, bucket); pairs
+    only materialize inside buckets — never |docs|^2. The bucket key is
+    the band's raw signature values (portable concat), so the candidate
+    set is engine-reproducible and the DuckDB oracle checks the full
+    (a, b, est_jaccard) output — the oracle's OR-of-bands join is the
+    semantic spec; the banded equi-join is the scale implementation.
     """
     sigs = _minhash_signatures(spark, sf_dir)
     n_bands = N_HASHES // BAND_ROWS
@@ -165,8 +191,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.hash(
-                    *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * BAND_ROWS + r}").cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
                 ).alias("bucket"),
             )
             for b in range(n_bands)

@@ -92,6 +92,7 @@ ORACLE_QUERIES = [
     "join_bloom_runtime_filter",  # C: runtime scan pruning
     "fn_struct_ops",           # H: nested record surface
     "ts_anomaly_zscore",       # TS: rolling z-score spikes
+    "dedup_fuzzy_minhash",     # K: LSH candidates, now oracle-checked
 ]
 
 # rows-only queries: assert they run and return sane row counts
@@ -99,7 +100,6 @@ ROWS_ONLY_QUERIES = {
     "corpus_smoke_reads": 31,
     "multimodal_decode_features": 500,
     "stream_stateful_running": None,  # >0
-    "dedup_fuzzy_minhash": None,
 }
 
 
