@@ -96,7 +96,57 @@ N_CENTROIDS = 8
 N_PROBES = 2
 
 
-@register("sim_search_ann_ivf")  # rows-only: approximate by design
+_IVF_ORACLE = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c AS (
+            SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id < {N_CENTROIDS}
+        ),
+        assigned AS (
+            SELECT vec_id, v, centroid_id AS bucket_id FROM (
+                SELECT e.vec_id, e.v, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(c.cv, e.v) DESC,
+                                    c.centroid_id
+                       ) AS arnk
+                FROM e CROSS JOIN c
+            ) WHERE arnk = 1
+        ),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY}
+        ),
+        probes AS (
+            SELECT query_id, qv, centroid_id AS bucket_id FROM (
+                SELECT q.query_id, q.qv, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
+                                    c.centroid_id
+                       ) AS prnk
+                FROM q CROSS JOIN c
+            ) WHERE prnk <= {N_PROBES}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
+            FROM probes p JOIN assigned a USING (bucket_id)
+            WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id
+                   ) AS rnk
+            FROM cand
+        ) WHERE rnk <= {TOP_K}
+"""
+
+
+@register("sim_search_ann_ivf", oracle=_IVF_ORACLE)
 def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN: coarse-quantize the corpus to the
     nearest of K seed centroids (vec_id 0..K-1 as deterministic seeds),

@@ -93,6 +93,7 @@ ORACLE_QUERIES = [
     "fn_struct_ops",           # H: nested record surface
     "ts_anomaly_zscore",       # TS: rolling z-score spikes
     "dedup_fuzzy_minhash",     # K: LSH candidates, now oracle-checked
+    "sim_search_ann_ivf",      # K: IVF ANN, now oracle-checked
 ]
 
 # rows-only queries: assert they run and return sane row counts
