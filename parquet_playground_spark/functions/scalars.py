@@ -684,3 +684,32 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("price").alias("price_out"),
         (s == s_f).alias("is_f_struct"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey << 3 AS shl3,
+               o_orderkey >> 2 AS shr2,
+               o_orderkey & 255 AS low_byte,
+               o_orderkey | 4096 AS with_flag,
+               xor(o_orderkey, 65535) AS xored,
+               bit_count(o_orderkey) AS popcount
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface — shifts, masks, xor, popcount — the
+    primitives the simhash/LSH family builds on, pinned directly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(65535)).alias("xored"),
+        F.bit_count(k).alias("popcount"),
+    )

@@ -650,3 +650,49 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(rev), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t1,
+                   lead(event_type, 2) OVER w AS t2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || t1 || '>' || t2 AS path3,
+               count(*) AS n
+        FROM ordered
+        WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path3
+        LIMIT 20
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the top 3-step event-type sequences
+    across users (lead-window n-grams over each user's ordered event
+    stream). One shuffle on user_id for the window, then a
+    map-combinable count — the same shape at any number of users;
+    (ts, event_id) ordering makes the sequence total."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        ordered.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("path3")
+        )
+        .groupBy("path3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path3")
+        .limit(20)
+    )

@@ -94,6 +94,8 @@ ORACLE_QUERIES = [
     "ts_anomaly_zscore",       # TS: rolling z-score spikes
     "dedup_fuzzy_minhash",     # K: LSH candidates, now oracle-checked
     "sim_search_ann_ivf",      # K: IVF ANN, now oracle-checked
+    "fn_bitwise",              # H: bitwise scalar surface
+    "events_path_trigrams",    # scale: behavioral path mining
 ]
 
 # rows-only queries: assert they run and return sane row counts
