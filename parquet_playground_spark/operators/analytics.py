@@ -696,3 +696,37 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path3")
         .limit(20)
     )
+
+
+@register(
+    "sql_modern_parameterized",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        WHERE o_totalprice > 30000 AND o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_modern_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL-surface pin, four features in one statement:
+    named parameter markers (injection-safe literals), a session
+    variable (DECLARE/SET VARIABLE), the IDENTIFIER() clause (safe
+    dynamic table reference), and GROUP BY ALL. Semantically identical
+    to the literal oracle — the features are about how the query is
+    authored, not what it computes."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE pp_price_thr DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE pp_price_thr = 30000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > pp_price_thr AND o_orderstatus = :status
+        GROUP BY ALL
+        """,
+        args={"tbl": "param_orders", "status": "O"},
+    )

@@ -96,6 +96,7 @@ ORACLE_QUERIES = [
     "sim_search_ann_ivf",      # K: IVF ANN, now oracle-checked
     "fn_bitwise",              # H: bitwise scalar surface
     "events_path_trigrams",    # scale: behavioral path mining
+    "sql_modern_parameterized",  # params/variables/IDENTIFIER/GROUP BY ALL
 ]
 
 # rows-only queries: assert they run and return sane row counts
