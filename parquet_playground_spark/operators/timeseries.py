@@ -76,9 +76,11 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("minute")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the DAG forks below (day_last + final join both consume intra);
+    # persist so the scan→agg→spine-join→window subtree runs once
     intra = joined.withColumn(
         "locf_intra", F.last("sum_value", ignorenulls=True).over(w_day)
-    )
+    ).persist()
     # Pass 2: carry across day boundaries via a |days|-row aggregate:
     # each day's carry-in is the last non-null value of any PRIOR day.
     day_last = (
