@@ -182,3 +182,61 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batch,
         schema="doc_id long, width int, height int, content_md5 string",
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS payload_len,
+                   64 + (doc_id % 3) * 32 AS chunk_bytes
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(u.i AS BIGINT) AS chunk_idx,
+               12 + u.i * chunk_bytes AS byte_start,
+               least(chunk_bytes, payload_len - u.i * chunk_bytes)
+                   AS byte_len,
+               CAST(floor(
+                   least(chunk_bytes, payload_len - u.i * chunk_bytes)
+                   * 1000.0 / 32000
+               ) AS BIGINT) AS duration_ms
+        FROM m CROSS JOIN unnest(
+            range(0, CAST(ceil(payload_len / CAST(chunk_bytes AS DOUBLE))
+                          AS BIGINT))
+        ) u(i)
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style chunk planning over binary payloads: treat the
+    post-header bytes as PCM16@16kHz and emit fixed-size chunk spans
+    (variable chunk size per doc) with byte offsets and durations —
+    the seek table a transcription pipeline feeds to its decoder. All
+    JVM integer arithmetic; the actual PCM decode is the documented
+    stub boundary (multimodal.py decode), the planning is real and
+    oracle-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(d)
+    payload_len = (F.length("media") - 12).cast("bigint")
+    chunk_bytes = (64 + (F.col("doc_id") % 3) * 32).cast("bigint")
+    n_chunks = F.ceil(payload_len / chunk_bytes.cast("double")).cast("bigint")
+    chunked = media.select(
+        "doc_id",
+        payload_len.alias("payload_len"),
+        chunk_bytes.alias("chunk_bytes"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    byte_len = F.least(
+        F.col("chunk_bytes"),
+        F.col("payload_len") - F.col("chunk_idx") * F.col("chunk_bytes"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        (12 + F.col("chunk_idx") * F.col("chunk_bytes")).alias("byte_start"),
+        byte_len.alias("byte_len"),
+        F.floor(byte_len * 1000.0 / 32000).cast("bigint").alias("duration_ms"),
+    )

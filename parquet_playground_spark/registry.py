@@ -138,6 +138,7 @@ _CHECK_ORDER = [
     "q14_promo_revenue", "q19_bracket_predicates", "fn_regex_suite",
     "join_bloom_runtime_filter", "fn_struct_ops", "ts_anomaly_zscore",
     "fn_bitwise", "events_path_trigrams", "sql_modern_parameterized",
+    "multimodal_audio_chunks",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -97,6 +97,7 @@ ORACLE_QUERIES = [
     "fn_bitwise",              # H: bitwise scalar surface
     "events_path_trigrams",    # scale: behavioral path mining
     "sql_modern_parameterized",  # params/variables/IDENTIFIER/GROUP BY ALL
+    "multimodal_audio_chunks",  # K: audio seek-table planning
 ]
 
 # rows-only queries: assert they run and return sane row counts
