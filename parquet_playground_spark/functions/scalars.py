@@ -178,9 +178,22 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnsRenamed({"col": "tok"})
 
 
-@register("fn_map")  # rows-only: DuckDB map syntax/semantics differ (§2.3)
+@register(
+    "fn_map",
+    oracle="""
+        SELECT n_nationkey,
+               n_name AS name,
+               'name,region' AS keys_csv,
+               2 AS n_entries
+        FROM nation
+    """,
+)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + lookup + keys (reference nested_maps corpus)."""
+    """Map construction + lookup + keys (reference nested_maps corpus).
+    Map-typed cells can't cross the pandas canonicalizer, so the
+    lookup/keys/size results serialize to plain columns — the oracle
+    states the expected values directly (the map here is built from
+    known columns, so its contents are fully determined)."""
     n = load_table(spark, sf_dir, "nation")
     m = n.select(
         "n_nationkey",
@@ -192,8 +205,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n_nationkey",
         F.element_at("props", "name").alias("name"),
-        F.map_keys("props").alias("keys"),
-        F.size("props").alias("n_entries"),
+        F.array_join(F.sort_array(F.map_keys("props")), ",").alias("keys_csv"),
+        F.size("props").cast("int").alias("n_entries"),
     )
 
 

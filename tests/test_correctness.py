@@ -98,6 +98,7 @@ ORACLE_QUERIES = [
     "events_path_trigrams",    # scale: behavioral path mining
     "sql_modern_parameterized",  # params/variables/IDENTIFIER/GROUP BY ALL
     "multimodal_audio_chunks",  # K: audio seek-table planning
+    "fn_map",                  # H: map surface, now oracle-checked
 ]
 
 # rows-only queries: assert they run and return sane row counts
