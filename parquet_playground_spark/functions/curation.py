@@ -1,0 +1,436 @@
+"""Corpus-curation operators: the governance passes a training-data
+pipeline runs between raw ingest and tokenization.
+
+  * PII redaction         — regex scrub of emails/phones with per-doc
+                            redaction counts and a byte-exact
+                            fingerprint of the scrubbed text
+  * benchmark contamination — word-4-gram overlap between the training
+                            split and a held-out eval split (the
+                            decontamination join every LLM corpus runs)
+  * quality gate (Gopher-style rules) — per-doc boolean rule columns
+                            (length bounds, mean word length, stopword
+                            fraction) and the surviving-keep flag
+  * language rebalancing  — deterministic per-language downsampling to
+                            target proportions (md5-keyed, so the same
+                            rows survive on every engine and retry)
+  * incremental near-dedup — a new ingest batch LSH-probed against the
+                            already-indexed corpus; only batch rows
+                            shuffle, the corpus side is the stored
+                            band index
+
+All five are oracle-checked; hashes are md5-derived so DuckDB computes
+identical values (same discipline as functions/dedup.py).
+
+Reference tie: the corpus curation surface extends the reference's
+golden-file ingest gate (README.md:19 "compatibility and regression
+testing") from file-level smoke checks to content-level governance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.functions.dedup import (
+    BAND_ROWS,
+    N_HASHES,
+    _fanout,
+    _minhash_signatures,
+    _MINHASH_ORACLE,
+)
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# text_pii_redaction
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+# Deterministic PII injection: the synthetic corpus carries no PII, so
+# both engines append identical address/phone spans derived from
+# (source, doc_id) before scrubbing. The operator under test is the
+# scrub itself; the injection just makes it non-vacuous and varied
+# (docs differ in how many emails/phones they carry).
+_PII_TEXT_SQL = """
+    concat(text, ' contact ', source, CAST(doc_id AS VARCHAR), '@example.com',
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' cc ', source, '@mail.org') ELSE '' END,
+           CASE WHEN doc_id % 4 <> 1
+                THEN concat(' phone 555-',
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                ELSE '' END)
+"""
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS raw FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}',
+                                                 '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g'))
+                   AS fingerprint
+        FROM t
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and replace email/phone spans per document,
+    emitting md5(redacted) so the oracle pins the scrub byte-for-byte
+    (a pattern that over- or under-matches changes the fingerprint).
+    Pure JVM regex — narrow, no shuffle, scales linearly with the
+    corpus; at 100 TB this runs as a map-only stage fused into the
+    scan. Patterns are RE2/Java-regex common subset so both engines
+    match identical spans."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.expr(_PII_TEXT_SQL.replace("AS VARCHAR", "AS STRING"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_contamination_ngram
+
+_CONTAM_K = 4  # word-4-grams: selective on this corpus (8 pairs at sf0.01)
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out eval split
+
+
+@register(
+    "text_contamination_ngram",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_K - 1} AS INTEGER)], ' ')
+                       FOR i IN range(1, len(toks) - {_CONTAM_K} + 2)
+                   ])) AS g
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        )
+        SELECT t.doc_id AS train_doc,
+               b.doc_id AS bench_doc,
+               count(DISTINCT t.g) AS n_shared_grams
+        FROM grams t
+        JOIN grams b ON t.g = b.g
+        WHERE t.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+        GROUP BY t.doc_id, b.doc_id
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    word-4-gram with the held-out eval split (doc_id % 97 == 0), with
+    the shared-gram count per (train, bench) pair.
+
+    Scale shape: the eval split is tiny relative to the corpus (real
+    benchmarks are a few thousand docs), so its exploded grams are
+    BROADCAST — the 100 TB training side never shuffles; contamination
+    detection rides the corpus scan. Distinct grams per doc bound the
+    join fan-out."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - _CONTAM_K)
+    grams = _fanout(d).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.array_join(F.slice(toks, i + 1, _CONTAM_K), " "),
+                )
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .withColumnRenamed("doc_id", "bench_doc")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy(F.col("doc_id").alias("train_doc"), "bench_doc")
+        .agg(F.count_distinct("g").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_gopher
+
+_STOPWORDS = ("the", "a", "of", "and")
+_MIN_WORDS, _MAX_WORDS = 20, 90
+_MAX_MEAN_WORD_LEN = 5.0
+_MIN_STOP_FRAC = 0.05
+
+
+@register(
+    "text_quality_gopher",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS mean_word_len,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the', 'a', 'of', 'and')))
+                              AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS stop_frac
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               mean_word_len, stop_frac,
+               n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS} AS pass_len,
+               mean_word_len <= {_MAX_MEAN_WORD_LEN} AS pass_mwl,
+               stop_frac >= {_MIN_STOP_FRAC} AS pass_stop,
+               (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+                   AND mean_word_len <= {_MAX_MEAN_WORD_LEN}
+                   AND stop_frac >= {_MIN_STOP_FRAC} AS keep
+        FROM m
+    """,
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 §A1.1 heuristics,
+    re-tuned to this corpus): word-count bounds, mean-word-length cap,
+    stopword-fraction floor — emitted as per-rule boolean columns plus
+    the combined keep flag, so downstream can audit WHICH rule dropped
+    a doc (the thresholds are tuned non-vacuous: every rule fails some
+    docs at sf0.01). Map-only expression work, no shuffle; at 100 TB
+    this fuses into the ingest scan like text_pii_redaction."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mwl = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("double")
+        / n_words,
+        4,
+    )
+    stop_frac = F.round(
+        F.size(
+            F.filter(
+                toks,
+                lambda w: w.isin(*_STOPWORDS),
+            )
+        ).cast("double")
+        / n_words,
+        4,
+    )
+    m = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+    )
+    pass_len = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    pass_mwl = F.col("mean_word_len") <= _MAX_MEAN_WORD_LEN
+    pass_stop = F.col("stop_frac") >= _MIN_STOP_FRAC
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_frac",
+        pass_len.alias("pass_len"),
+        pass_mwl.alias("pass_mwl"),
+        pass_stop.alias("pass_stop"),
+        (pass_len & pass_mwl & pass_stop).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_lang_rebalance
+
+_EN_RATE = 33  # downsample the dominant language to ~33%
+
+
+@register(
+    "corpus_lang_rebalance",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_before,
+               count(*) FILTER (
+                   WHERE CAST(concat('0x',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT) % 100
+                         < CASE WHEN lang = 'en' THEN {_EN_RATE} ELSE 100 END
+               ) AS n_after
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def corpus_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing: the dominant language (en is ~44% of this
+    corpus) is deterministically downsampled to ~33% of its rows while
+    minority languages keep 100% — md5-bucket keyed on doc_id, so the
+    surviving set is identical across engines, runs, and retries (the
+    property a multi-epoch training mix needs; df.sample() has none of
+    it). Narrow filter + one map-combinable aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", _EN_RATE).otherwise(100)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(bucket < rate, 1).otherwise(0)).alias("n_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_lsh
+
+_CORPUS_MAX_DOC = 400  # doc_id < 400 -> indexed corpus; >= 400 -> new batch
+_DUP_THRESHOLD = 0.5  # est_jaccard >= this -> reject from the batch
+
+_BANDS_ON = " OR ".join(
+    "("
+    + " AND ".join(
+        f"c.mh{b * BAND_ROWS + r} = n.mh{b * BAND_ROWS + r}"
+        for r in range(BAND_ROWS)
+    )
+    + ")"
+    for b in range(N_HASHES // BAND_ROWS)
+)
+_EST_SQL = (
+    "("
+    + " + ".join(f"CAST(c.mh{i} = n.mh{i} AS INT)" for i in range(N_HASHES))
+    + f") / {float(N_HASHES)}"
+)
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+        WITH sigs AS ({_MINHASH_ORACLE}),
+        cand AS (
+            SELECT n.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+                   {_EST_SQL} AS est
+            FROM sigs n JOIN sigs c
+              ON n.doc_id >= {_CORPUS_MAX_DOC}
+             AND c.doc_id < {_CORPUS_MAX_DOC}
+             AND ({_BANDS_ON})
+        ),
+        best AS (
+            SELECT batch_doc, corpus_doc, est,
+                   row_number() OVER (PARTITION BY batch_doc
+                                      ORDER BY est DESC, corpus_doc ASC) AS rn,
+                   count(*) OVER (PARTITION BY batch_doc) AS n_candidates
+            FROM cand
+        )
+        SELECT s.doc_id,
+               CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+               b.est AS max_est_jaccard,
+               b.corpus_doc AS best_match_doc,
+               coalesce(b.est >= {_DUP_THRESHOLD}, FALSE) = FALSE AS admitted
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id >= {_CORPUS_MAX_DOC}) s
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON s.doc_id = b.batch_doc
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: a new ingest batch (doc_id >= 400) is
+    MinHash-LSH probed against the already-indexed corpus (doc_id <
+    400). Band buckets of the batch equi-join the corpus band index;
+    candidates are scored by signature agreement; a batch doc is
+    admitted unless its best corpus match reaches est_jaccard >= 0.5.
+
+    Scale shape: production stores the corpus band index as a bucketed
+    table keyed on (band, bucket) — only the NEW batch computes
+    signatures and shuffles (|batch| x n_bands rows); the corpus is
+    probed in place and never rescanned in full. Per batch doc the
+    output keeps (n_candidates, best match, admitted), so the reject
+    decision is auditable. Oracle = OR-of-bands spec join."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * BAND_ROWS + r}").cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", *[F.col(f"mh{i}") for i in range(N_HASHES)],
+        F.explode(bands).alias("bb")
+    ).select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(N_HASHES)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    corpus = banded.filter(F.col("doc_id") < _CORPUS_MAX_DOC)
+    batch = banded.filter(F.col("doc_id") >= _CORPUS_MAX_DOC)
+    pairs = (
+        batch.alias("n")
+        .join(
+            corpus.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("batch_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+            *[
+                F.col(f"n.mh{i}").alias(f"n_mh{i}")
+                for i in range(N_HASHES)
+            ],
+            *[
+                F.col(f"c.mh{i}").alias(f"c_mh{i}")
+                for i in range(N_HASHES)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(
+        F.when(F.col(f"n_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    ) / float(N_HASHES)
+    cand = pairs.select("batch_doc", "corpus_doc", est.alias("est"))
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.col("est").desc(), F.col("corpus_doc").asc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(
+            Window.partitionBy("batch_doc")
+        ))
+        .filter(F.col("rn") == 1)
+    )
+    batch_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= _CORPUS_MAX_DOC)
+        .select("doc_id")
+    )
+    return batch_docs.join(
+        best, batch_docs.doc_id == best.batch_doc, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+            "n_candidates"
+        ),
+        F.col("est").alias("max_est_jaccard"),
+        F.col("corpus_doc").alias("best_match_doc"),
+        (
+            F.coalesce(F.col("est") >= _DUP_THRESHOLD, F.lit(False)) == False  # noqa: E712
+        ).alias("admitted"),
+    )

@@ -50,6 +50,7 @@ def load_all() -> None:
     # is easy to localize, and so `import parquet_playground_spark`
     # stays cheap.
     from parquet_playground_spark.functions import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         scalars,
@@ -139,6 +140,8 @@ _CHECK_ORDER = [
     "join_bloom_runtime_filter", "fn_struct_ops", "ts_anomaly_zscore",
     "fn_bitwise", "events_path_trigrams", "sql_modern_parameterized",
     "multimodal_audio_chunks",
+    "text_pii_redaction", "text_contamination_ngram", "text_quality_gopher",
+    "corpus_lang_rebalance", "dedup_incremental_lsh",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -99,6 +99,11 @@ ORACLE_QUERIES = [
     "sql_modern_parameterized",  # params/variables/IDENTIFIER/GROUP BY ALL
     "multimodal_audio_chunks",  # K: audio seek-table planning
     "fn_map",                  # H: map surface, now oracle-checked
+    "text_pii_redaction",      # K: regex scrub, fingerprint-pinned
+    "text_contamination_ngram",  # K: benchmark decontamination join
+    "text_quality_gopher",     # K: per-rule quality gate
+    "corpus_lang_rebalance",   # K: deterministic language mix
+    "dedup_incremental_lsh",   # K: batch-vs-corpus LSH probe
 ]
 
 # rows-only queries: assert they run and return sane row counts
