@@ -1,0 +1,275 @@
+"""Table-maintenance operators: the housekeeping jobs that keep a
+100 TB lakehouse queryable.
+
+  * SCD2 dimension build — event log -> type-2 slowly-changing
+                           dimension with validity intervals and a
+                           current flag (the nightly dim refresh)
+  * small-file compaction — many-small-files layout rewritten into few
+                           large files with content-equality proof
+                           (the compaction job every streaming sink
+                           needs)
+  * skew diagnosis       — hottest keys with share-of-total and
+                           ratio-over-mean (the probe run before
+                           choosing salting / AQE skew hints)
+  * Z-order layout       — Morton-interleaved sort of two dimensions
+                           so range filters on EITHER column prune
+                           chunks (Delta OPTIMIZE ZORDER's core idea,
+                           expressed as portable arithmetic)
+
+All oracle-checked. Reference tie: compaction and layout rewrite are
+the engine-side descendants of the reference's footer/row-group
+pruning machinery (MutableParquetMetadata.java:35-115) — organize the
+data so pruning has something to prune.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+_SEC = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+
+@register(
+    "scd2_dimension_build",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_type, event_id, {_SEC} AS sec,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ), v AS (
+            SELECT user_id, event_type, sec, event_id
+            FROM t WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type,
+               sec AS valid_from,
+               lead(sec) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version_seq,
+               lead(sec) OVER w IS NULL AS is_current
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    """,
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build from an event log: consecutive same-type events
+    collapse, each type CHANGE opens a new version row with
+    [valid_from, valid_to) validity and the open version flagged
+    current — the standard dimension-refresh job. Two windows, both
+    partitioned by user_id, so the whole build is ONE shuffle on the
+    dimension key; at 100 TB the log is processed incrementally by
+    unioning yesterday's open versions with today's events (same plan,
+    bounded input). Timestamps are second-truncated (SURVEY §7.3)."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w_scan = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        sec.alias("sec"),
+        F.lag("event_type").over(w_scan).alias("prev"),
+    )
+    versions = flagged.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.col("sec").alias("valid_from"),
+        F.lead("sec").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version_seq"),
+        F.lead("sec").over(w).isNull().alias("is_current"),
+    )
+
+
+_SMALL_FILES = 32
+_COMPACTED_FILES = 4
+
+
+@register(
+    "compact_small_files",
+    oracle=f"""
+        SELECT 'small' AS phase, {_SMALL_FILES} AS n_files,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               round(sum(o_totalprice), 2) AS price_sum
+        FROM orders
+        UNION ALL
+        SELECT 'compacted', {_COMPACTED_FILES}, count(*),
+               CAST(sum(o_orderkey) AS BIGINT), round(sum(o_totalprice), 2)
+        FROM orders
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented layout (32 part-files) is
+    rewritten into 4 large files; both layouts are re-read and content-
+    checksummed (row count, key sum, price sum) so the oracle proves
+    compaction is lossless, and the per-phase file count (from the
+    `_metadata.file_name` hidden column of the actual re-read) proves
+    the file count really dropped 8x. The expected counts are exact:
+    round-robin repartition(32) fills all 32, coalesce(4) merges
+    without shuffle. At 100 TB this is the nightly compaction of a
+    streaming sink's minute-files — coalesce avoids the shuffle;
+    repartitionByRange would additionally restore sort order for
+    min/max pruning (see zorder_morton_layout)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    small_dir = os.path.join(tempfile.gettempdir(), "ppspark_compact_small")
+    big_dir = os.path.join(tempfile.gettempdir(), "ppspark_compact_big")
+    o.repartition(_SMALL_FILES).write.mode("overwrite").parquet(small_dir)
+    small = spark.read.parquet(small_dir)
+    small.coalesce(_COMPACTED_FILES).write.mode("overwrite").parquet(big_dir)
+
+    def checksum(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count_distinct(F.col("_metadata.file_name")).cast("int").alias(
+                "n_files"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        ).select(F.lit(phase).alias("phase"), "n_files", "n_rows",
+                 "key_sum", "price_sum")
+
+    return checksum(small, "small").unionByName(
+        checksum(spark.read.parquet(big_dir), "compacted")
+    )
+
+
+_TOP_KEYS = 10
+
+
+@register(
+    "skew_diagnose_keys",
+    oracle=f"""
+        WITH per_key AS (
+            SELECT o_custkey, count(*) AS n
+            FROM orders GROUP BY o_custkey
+        ), tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM per_key
+        ), ranked AS (
+            SELECT o_custkey, n,
+                   row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rnk
+            FROM per_key
+        )
+        SELECT r.o_custkey, r.n, CAST(r.rnk AS BIGINT) AS rnk,
+               round(CAST(r.n AS DOUBLE) / t.total, 6) AS share,
+               round(CAST(r.n AS DOUBLE) * t.n_keys / t.total, 2)
+                   AS x_over_mean
+        FROM ranked r CROSS JOIN tot t
+        WHERE r.rnk <= {_TOP_KEYS}
+    """,
+)
+def skew_diagnose_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew probe: the {_TOP_KEYS} hottest join/agg keys with their
+    share of total rows and hotness ratio over the mean key — the
+    diagnostic run before deciding between broadcast, salting
+    (join_skew_salted), or AQE skew hints. One map-combinable count per
+    key, a top-k window over the (small) per-key aggregate, and the
+    totals broadcast back — the corpus never shuffles twice. Unique
+    tie-break on the key keeps the top-k deterministic (SURVEY §7.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("o_custkey").asc())
+    ranked = per_key.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _TOP_KEYS
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "n",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("n").cast("double") * F.col("n_keys") / F.col("total"), 2
+        ).alias("x_over_mean"),
+    )
+
+
+_Z_BITS = 4  # 4 bits per dimension -> 16x16 grid, 8-bit Morton code
+_Z_CHUNKS = 16
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """8-bit Morton interleave of two 4-bit bucket ids, as portable
+    integer arithmetic (identical text works in Spark SQL and DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZX = "(o_custkey % 16)"
+_ZY = "((CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate)) % 16)"
+
+
+@register(
+    "zorder_morton_layout",
+    oracle=f"""
+        WITH z AS (
+            SELECT o_orderkey, {_ZX} AS bx, {_ZY} AS by_,
+                   {_morton_sql(_ZX, _ZY)} AS zcode
+            FROM orders
+        ), chunked AS (
+            SELECT *, ntile({_Z_CHUNKS}) OVER (ORDER BY zcode, o_orderkey)
+                       AS chunk
+            FROM z
+        )
+        SELECT CAST(chunk AS BIGINT) AS chunk, count(*) AS n_rows,
+               CAST(min(bx) AS BIGINT) AS min_cust_bucket,
+               CAST(max(bx) AS BIGINT) AS max_cust_bucket,
+               CAST(min(by_) AS BIGINT) AS min_month_bucket,
+               CAST(max(by_) AS BIGINT) AS max_month_bucket,
+               CAST(min(zcode) AS BIGINT) AS min_z,
+               CAST(max(zcode) AS BIGINT) AS max_z
+        FROM chunked
+        GROUP BY chunk
+    """,
+)
+def zorder_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering: customer-bucket and order-month
+    bucket are bit-interleaved into one sort key; sorting by it and
+    cutting the table into {_Z_CHUNKS} chunks gives every chunk a
+    NARROW min/max range on BOTH dimensions simultaneously — so a
+    range filter on either column skips most chunks via footer min/max
+    stats (the reference's row-group pruning,
+    MutableParquetMetadata.java:35-49, is exactly the machinery this
+    layout feeds). Output = per-chunk min/max envelopes, i.e. the
+    pruning index itself. The portable formulation uses ntile for
+    deterministic chunk ids; the production write path is
+    `repartitionByRange(z).sortWithinPartitions(z)` (same plan shape as
+    write_sorted_pruning) — the global window here exists only so the
+    oracle can pin chunk assignment exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    z = o.selectExpr(
+        "o_orderkey",
+        f"{_ZX} AS bx",
+        f"{_ZY} AS by_",
+        f"{_morton_sql(_ZX, _ZY)} AS zcode",
+    )
+    w = Window.orderBy("zcode", "o_orderkey")
+    chunked = z.withColumn("chunk", F.ntile(_Z_CHUNKS).over(w))
+    return chunked.groupBy(F.col("chunk").cast("bigint").alias("chunk")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("bx").cast("bigint").alias("min_cust_bucket"),
+        F.max("bx").cast("bigint").alias("max_cust_bucket"),
+        F.min("by_").cast("bigint").alias("min_month_bucket"),
+        F.max("by_").cast("bigint").alias("max_month_bucket"),
+        F.min("zcode").cast("bigint").alias("min_z"),
+        F.max("zcode").cast("bigint").alias("max_z"),
+    )

@@ -71,6 +71,7 @@ def load_all() -> None:
         analytics,
         flatten,
         joins,
+        maintenance,
         reshape,
         scale,
         scans,
@@ -142,6 +143,8 @@ _CHECK_ORDER = [
     "multimodal_audio_chunks",
     "text_pii_redaction", "text_contamination_ngram", "text_quality_gopher",
     "corpus_lang_rebalance", "dedup_incremental_lsh",
+    "scd2_dimension_build", "compact_small_files", "skew_diagnose_keys",
+    "zorder_morton_layout",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -104,6 +104,10 @@ ORACLE_QUERIES = [
     "text_quality_gopher",     # K: per-rule quality gate
     "corpus_lang_rebalance",   # K: deterministic language mix
     "dedup_incremental_lsh",   # K: batch-vs-corpus LSH probe
+    "scd2_dimension_build",    # L: type-2 dimension refresh
+    "compact_small_files",     # L: lossless 8x file-count reduction
+    "skew_diagnose_keys",      # L: hot-key probe
+    "zorder_morton_layout",    # L: Morton clustering envelopes
 ]
 
 # rows-only queries: assert they run and return sane row counts
