@@ -28,6 +28,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q18_large_orders",
+    "q6_forecast_revenue",
+    "q21_waiting_supplier",
     "agg_groupby",
     "join_multiway",
     "join_left_outer",

@@ -730,3 +730,322 @@ def sql_modern_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "param_orders", "status": "O"},
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: every TPC-H query shape expressible on this schema
+# (no partsupp table; no commit/receipt dates or ship modes on lineitem
+# — q4/q12/q21 substitute "shipped late vs order date" for the
+# commit-vs-receipt lateness predicate, same plan shape).
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: orders per priority in one half-year having at
+    least one line shipped after the order date. Catalyst rewrites the
+    EXISTS to a left-semi join — lineitem never duplicates orders rows
+    and the date filter pushes into the orders scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM q4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM q4_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6: pure scan-filter-aggregate revenue forecast. All three
+    predicates push to the parquet scan (row-group min/max skipping on
+    the date); no shuffle at all beyond the final 1-row reduce — the
+    cheapest plan shape in the suite and the canonical pushdown test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q12_late_lines",
+    oracle="""
+        SELECT l.l_linestatus,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_linestatus
+    """,
+)
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: late-shipped lines (> 30 days after the order
+    date) per line status, split into high/low-priority counts — the
+    conditional-aggregation-over-join pattern. The year filter pushes
+    to the lineitem scan; the lateness predicate is a join-time
+    residual."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                              AND o.o_orderpriority <> '5-LOW'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13: distribution of customers by order count (excluding
+    one priority class via the join condition, so customers with zero
+    qualifying orders still appear with c_count = 0 — the LEFT-JOIN-
+    with-residual-condition pattern). Two aggregations: the first
+    shuffles on custkey, the second on the (tiny) count domain."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15: the quarter's top-revenue supplier via a reused
+    subplan (the revenue aggregate feeds both the row stream and the
+    max scalar — same reuse shape as plan_cache_reuse). Revenue is
+    rounded to 4 decimals BEFORE the max-equality compare so the
+    equality is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#2'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17: revenue lost to small-quantity orders of one brand.
+    The correlated scalar subquery (per-part average quantity)
+    decorrelates into an aggregate joined back on partkey; the brand
+    filter broadcasts. The per-part averages are exact in double (small
+    integer quantities), so the threshold compare is engine-stable."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#2'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM q17_lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          AND n.n_name = 'NATION_1'
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order (lateness = shipped > 30 days after
+    the order date on this schema). The double EXISTS / NOT EXISTS over
+    the same fact table becomes a semi- plus anti-join in Catalyst —
+    three passes over lineitem, all co-shuffled on orderkey; the
+    nation filter broadcasts. Deterministic top-10 with name
+    tie-break."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q21_nation")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM q21_supplier s
+        JOIN q21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN q21_orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN q21_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+          AND n.n_name = 'NATION_1'
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 10
+        """
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+        SELECT c.c_mktsegment, count(*) AS numcust,
+               round(sum(c.c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: above-average-balance customers with no recent
+    orders, grouped by market segment (this schema has no phone
+    country code, so segment stands in). The uncorrelated scalar
+    average broadcasts; the NOT EXISTS becomes a left-anti join
+    against the date-filtered orders scan. Balance values sit ~0.01
+    apart while cross-engine average drift is ~1e-10 relative, so the
+    raw-average threshold compare is stable."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS numcust,
+               round(sum(c.c_acctbal), 4) AS totacctbal
+        FROM q22_customer c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM q22_customer c2
+                             WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c.c_mktsegment
+        """
+    )

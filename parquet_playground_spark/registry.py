@@ -145,6 +145,9 @@ _CHECK_ORDER = [
     "corpus_lang_rebalance", "dedup_incremental_lsh",
     "scd2_dimension_build", "compact_small_files", "skew_diagnose_keys",
     "zorder_morton_layout",
+    "q4_order_priority", "q6_forecast_revenue", "q12_late_lines",
+    "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
+    "q21_waiting_supplier", "q22_idle_rich_customers",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

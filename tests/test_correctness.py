@@ -108,6 +108,12 @@ ORACLE_QUERIES = [
     "compact_small_files",     # L: lossless 8x file-count reduction
     "skew_diagnose_keys",      # L: hot-key probe
     "zorder_morton_layout",    # L: Morton clustering envelopes
+    "q4_order_priority",       # headline: EXISTS semi-join
+    "q6_forecast_revenue",     # headline: pure pushdown scan-agg
+    "q13_customer_distribution",  # headline: left-join count dist
+    "q17_small_quantity",      # headline: correlated scalar subquery
+    "q21_waiting_supplier",    # headline: semi+anti over same fact
+    "q22_idle_rich_customers",  # headline: scalar avg + anti-join
 ]
 
 # rows-only queries: assert they run and return sane row counts
