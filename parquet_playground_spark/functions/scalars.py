@@ -726,3 +726,77 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.bitwiseXOR(F.lit(65535)).alias("xored"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+_URL_SQL = (
+    "concat('https://', source, '.example.com/docs/', "
+    "CAST(doc_id AS STRING), '?lang=', lang, '&page=2')"
+)
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   concat('https://', source, '.example.com/docs/',
+                          CAST(doc_id AS VARCHAR), '?lang=', lang,
+                          '&page=2') AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+               regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+        FROM t
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition via parse_url (protocol/host/path/query plus a
+    single query parameter) — the canonical web-corpus curation scalar
+    (dedup by canonical host/path, filter by domain). URLs are built
+    deterministically from (source, doc_id, lang) so both engines parse
+    identical strings; the oracle mirrors each component with an
+    anchored regex. JVM-side, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.expr(_URL_SQL)
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "fn_format_output",
+    oracle="""
+        SELECT c_custkey,
+               printf('%s #%05d bal %.2f hex %x',
+                      c_mktsegment, c_custkey, round(c_acctbal, 2),
+                      c_custkey) AS line
+        FROM customer
+    """,
+)
+def fn_format_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style row formatting (format_string): string, zero-padded
+    int, fixed-decimal float, and hex conversions in one template —
+    the egestion scalar for fixed-width/log-line exports (the
+    reference's flatten-to-string semantics, ParquetConverter.java:142,
+    generalized to formatted output). Floats are pre-rounded so Java's
+    HALF_UP and C's round-to-nearest agree on every printed digit."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string(
+            "%s #%05d bal %.2f hex %x",
+            F.col("c_mktsegment"),
+            F.col("c_custkey"),
+            F.round(F.col("c_acctbal"), 2),
+            F.col("c_custkey"),
+        ).alias("line"),
+    )

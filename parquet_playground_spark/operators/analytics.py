@@ -1049,3 +1049,31 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@register(
+    "sql_pivot_syntax",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (parser surface, distinct from the DataFrame
+    groupBy().pivot() path of agg_pivot): status values rotate into
+    labeled count columns. Catalyst compiles both paths to the same
+    single-shuffle conditional aggregate — pinned by the shared FILTER
+    oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pvt_orders")
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus FROM pvt_orders
+        )
+        PIVOT (count(*) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+        """
+    )

@@ -273,3 +273,51 @@ def zorder_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zcode").cast("bigint").alias("min_z"),
         F.max("zcode").cast("bigint").alias("max_z"),
     )
+
+
+@register(
+    "pipeline_observe_metrics",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (WHERE o_totalprice <= 0) AS n_nonpositive,
+               round(sum(o_totalprice), 4) AS total_price,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+    """,
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via the Observation API: the
+    validation counters (row count, non-positive prices, total, max
+    key) ride the SAME pass that computes the job's real output — no
+    second scan, which is the whole point at 100 TB (a separate audit
+    query would double the read). The observed metrics come back to
+    the driver as one tiny row on action completion; here they ARE the
+    result so the oracle can check them. Production keeps the main
+    result and ships the metrics to the job monitor."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("quality_gate")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive"
+        ),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+    # the job's "real" output; materializing it populates the metrics
+    observed.groupBy("o_orderstatus").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_nonpositive"],
+                float(m["total_price"]),
+                m["max_key"],
+            )
+        ],
+        "n_rows bigint, n_nonpositive bigint, total_price double, max_key bigint",
+    )

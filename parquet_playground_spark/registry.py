@@ -148,6 +148,8 @@ _CHECK_ORDER = [
     "q4_order_priority", "q6_forecast_revenue", "q12_late_lines",
     "q13_customer_distribution", "q15_top_supplier", "q17_small_quantity",
     "q21_waiting_supplier", "q22_idle_rich_customers",
+    "fn_url_parse", "fn_format_output", "sql_pivot_syntax",
+    "pipeline_observe_metrics",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

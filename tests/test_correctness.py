@@ -114,6 +114,10 @@ ORACLE_QUERIES = [
     "q17_small_quantity",      # headline: correlated scalar subquery
     "q21_waiting_supplier",    # headline: semi+anti over same fact
     "q22_idle_rich_customers",  # headline: scalar avg + anti-join
+    "fn_url_parse",            # H: parse_url component extraction
+    "fn_format_output",        # H: printf-style formatting
+    "sql_pivot_syntax",        # D: SQL PIVOT parser surface
+    "pipeline_observe_metrics",  # L: Observation in-flight metrics
 ]
 
 # rows-only queries: assert they run and return sane row counts
