@@ -351,3 +351,67 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, "iteration int, inertia double, k_used long"
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   round(sqrt(list_reduce(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                       (a, b) -> a + b)), 4) AS l2_norm,
+                   round(127.0 / list_max(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                       6) AS scale,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)
+                            * (127.0 / list_max(list_transform(embedding,
+                                 y -> abs(CAST(y AS DOUBLE))))) + 0.5)
+                            AS BIGINT)) AS qv
+            FROM embeddings
+        )
+        SELECT vec_id, l2_norm, scale,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(list_min(qv) AS BIGINT) AS q_min,
+               CAST(list_max(qv) AS BIGINT) AS q_max
+        FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (max-abs per-vector scaling, the
+    symmetric scheme vector stores use to cut index memory 4x):
+    scale = 127/max|x|, q = round(x*scale). Output per vector: the L2
+    norm (proves the corpus is pre-normalized), the scale, and the
+    quantized sum/min/max — exact integer checksums of the full
+    quantized vector, so one mis-rounded element fails the oracle.
+    All JVM-side array lambdas (transform/aggregate), no Python, no
+    shuffle; the ordered fold makes the norm bit-identical across
+    engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(as_double, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ),
+        4,
+    )
+    max_abs = F.array_max(F.transform(as_double, F.abs))
+    scale = 127.0 / max_abs
+    qv = F.transform(
+        as_double, lambda x: F.floor(x * scale + 0.5).cast("bigint")
+    )
+    return e.select(
+        "vec_id",
+        norm.alias("l2_norm"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "q_sum"
+        ),
+        F.array_min(qv).cast("bigint").alias("q_min"),
+        F.array_max(qv).cast("bigint").alias("q_max"),
+    )

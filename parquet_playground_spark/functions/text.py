@@ -353,3 +353,167 @@ def pack_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tokens").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring: TF-IDF and BM25
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY doc_id, t
+        ), idf AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df), 6)
+                       AS tfidf
+            FROM tf JOIN idf USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic keyword extractor
+    (and the weighting BM25 refines). Three aggregations, each
+    map-combinable: term counts shuffle on (doc, term), document
+    frequencies on term (a vocab-sized table that broadcasts back),
+    and the corpus size is one scalar. Scores are rounded to 6
+    decimals BEFORE ranking so the per-doc top-3 is engine-stable,
+    with the term as the deterministic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        _fanout(d)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+_BM25_TERMS = ("spark", "vector", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+        WITH dl AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            WHERE t IN ({_BM25_TERMS_SQL})
+            GROUP BY doc_id, t
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT tf.doc_id,
+                   ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / s.avgdl)) AS term_score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+        )
+        SELECT doc_id, round(sum(term_score), 6) AS bm25
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {_BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval for a fixed query ({", ".join(_BM25_TERMS)}):
+    the standard lexical ranker (Robertson/Sparck Jones; the sparse
+    half of hybrid RAG retrieval). Term frequencies shuffle on
+    (doc, term) but only for the query's terms — the IN filter prunes
+    the exploded stream before the shuffle, so cost scales with hits,
+    not corpus tokens. Document-frequency and corpus stats are
+    broadcast scalars. Deterministic top-{_BM25_TOPK} (score desc,
+    doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        _fanout(d)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )

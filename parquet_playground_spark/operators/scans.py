@@ -154,3 +154,88 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "scan_recursive_glob",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               round(sum(o_totalprice), 2) AS price_sum
+        FROM orders
+    """,
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive lake-directory ingestion: orders staged as a
+    Hive-partitioned tree (one subdir per status) plus a non-parquet
+    decoy file, then read back with recursiveFileLookup +
+    pathGlobFilter('*.parquet') — the pattern for sweeping a landing
+    zone whose layout you don't control. The glob filter keeps the
+    decoy out at FILE-LISTING time (driver-side, before any task
+    launches — at 100 TB listing discipline is what keeps planning
+    fast); the content checksum proves no partition dir was missed.
+    Note recursiveFileLookup disables partition-column inference by
+    design, so the partition column must already be materialized in
+    the files (it is here: partitionBy writes it into the path, and we
+    re-derive nothing from it)."""
+    o = load_table(spark, sf_dir, "orders")
+    root = os.path.join(tempfile.gettempdir(), "ppspark_lake_tree")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
+    # decoy the glob must skip
+    with open(os.path.join(root, "manifest.json"), "w") as fh:
+        fh.write('{"note": "not parquet"}')
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+_META_BUCKETS = 4
+
+
+@register(
+    "scan_metadata_columns",
+    oracle=f"""
+        SELECT count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        GROUP BY CAST(concat('0x',
+                 substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {_META_BUCKETS}
+    """,
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns: orders is staged as exactly one
+    file per deterministic md5-bucket, re-read, and aggregated BY
+    `_metadata.file_name` — proving the reader surfaces real file
+    provenance (the lineage/debugging column every incremental
+    pipeline leans on) and that the physical layout follows the
+    declared bucketing. The oracle groups by the same portable bucket
+    expression: per-file (row count, key sum) must equal per-bucket —
+    any row landing in the wrong file breaks the multiset match. The
+    file name itself is run-dependent so it is grouped on, never
+    projected."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % _META_BUCKETS
+    )
+    root = os.path.join(tempfile.gettempdir(), "ppspark_meta_buckets")
+    with_b = o.withColumn("b", bucket)
+    for i in range(_META_BUCKETS):
+        with_b.filter(F.col("b") == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"b={i}"))
+    back = spark.read.option("recursiveFileLookup", "true").parquet(root)
+    return back.groupBy(F.col("_metadata.file_name")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    ).drop("file_name")

@@ -150,6 +150,8 @@ _CHECK_ORDER = [
     "q21_waiting_supplier", "q22_idle_rich_customers",
     "fn_url_parse", "fn_format_output", "sql_pivot_syntax",
     "pipeline_observe_metrics",
+    "text_tfidf_topterms", "text_bm25_search", "embedding_quantize_int8",
+    "scan_recursive_glob", "scan_metadata_columns",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

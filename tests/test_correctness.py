@@ -118,6 +118,11 @@ ORACLE_QUERIES = [
     "fn_format_output",        # H: printf-style formatting
     "sql_pivot_syntax",        # D: SQL PIVOT parser surface
     "pipeline_observe_metrics",  # L: Observation in-flight metrics
+    "text_tfidf_topterms",     # K: keyword extraction ranking
+    "text_bm25_search",        # K: lexical retrieval top-10
+    "embedding_quantize_int8",  # K: max-abs int8 quantization
+    "scan_recursive_glob",     # A: landing-zone sweep w/ glob filter
+    "scan_metadata_columns",   # A: file provenance via _metadata
 ]
 
 # rows-only queries: assert they run and return sane row counts
