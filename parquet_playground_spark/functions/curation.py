@@ -434,3 +434,42 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("est") >= _DUP_THRESHOLD, F.lit(False)) == False  # noqa: E712
         ).alias("admitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# anonymize_k_audit
+
+_K_ANON = 5
+
+
+@register(
+    "anonymize_k_audit",
+    oracle=f"""
+        SELECT c_mktsegment,
+               CAST(c_nationkey % 5 AS BIGINT) AS region_bucket,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket,
+               count(*) AS group_size,
+               count(*) >= {_K_ANON} AS meets_k
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey % 5, floor(c_acctbal / 2000)
+    """,
+)
+def anonymize_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (segment x region x
+    balance band): every QI combination with its group size and
+    whether it meets k={_K_ANON} — the privacy gate run before a
+    derived dataset ships (groups below k must be suppressed or
+    generalized; the flag column IS the suppression list). One
+    map-combinable aggregate; the QI generalization (bucketing)
+    happens map-side, so the shuffle carries QI cells, not people.
+    floor() keeps negative balances in well-defined bands on both
+    engines (CAST would round in DuckDB)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_mktsegment",
+        (F.col("c_nationkey") % 5).cast("bigint").alias("region_bucket"),
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) >= _K_ANON).alias("meets_k"),
+    )

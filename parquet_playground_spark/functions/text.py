@@ -517,3 +517,116 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(_BM25_TOPK)
     )
+
+
+_VOCAB_MIN_FREQ = 5
+
+
+@register(
+    "tokenizer_vocab_build",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), freq AS (
+            SELECT term, count(*) AS n FROM tok GROUP BY term
+        ), tot AS (
+            SELECT sum(n) AS total FROM freq
+        )
+        SELECT f.term, f.n,
+               CAST(row_number() OVER (ORDER BY f.n DESC, f.term ASC) - 1
+                    AS BIGINT) AS token_id,
+               round(CAST(f.n AS DOUBLE) / t.total, 6) AS share
+        FROM freq f CROSS JOIN tot t
+        WHERE f.n >= {_VOCAB_MIN_FREQ}
+    """,
+)
+def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: corpus term frequencies above
+    a floor, assigned dense token ids by (freq desc, term asc) — the
+    deterministic id assignment a tokenizer build needs so two runs
+    (or two engines) emit the same vocab file. The id window runs over
+    the VOCABULARY (small), not the corpus: token counting shuffles on
+    the term, the global sort touches only surviving terms — at 100 TB
+    the corpus pass is map-combinable counts and the sort is trivial."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        _fanout(d)
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _VOCAB_MIN_FREQ)
+    )
+    # total over ALL terms (before the floor) must come from the
+    # unfiltered counts; recompute cheaply from the corpus
+    tot = (
+        _fanout(d)
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .agg(F.count(F.lit(1)).alias("total"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        freq.withColumn("token_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "n",
+            "token_id",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+_SEQ_BUCKET = 10
+
+
+@register(
+    "seq_len_distribution",
+    oracle=f"""
+        WITH lens AS (
+            SELECT CAST(floor(len(string_split(text, ' '))
+                              / {_SEQ_BUCKET}) * {_SEQ_BUCKET} AS BIGINT)
+                       AS bucket
+            FROM documents
+        ), hist AS (
+            SELECT bucket, count(*) AS n_docs FROM lens GROUP BY bucket
+        ), tot AS (SELECT sum(n_docs) AS total FROM hist)
+        SELECT h.bucket, h.n_docs,
+               CAST(sum(h.n_docs) OVER (ORDER BY h.bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+               round(CAST(sum(h.n_docs) OVER (ORDER BY h.bucket
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.total, 6)
+                   AS cum_share
+        FROM hist h CROSS JOIN tot t
+    """,
+)
+def seq_len_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution with cumulative coverage — the
+    histogram that picks a training context length ("what fraction of
+    docs fit in N tokens?"). Doc lengths bucket map-side; the
+    cumulative window runs over the few dozen BUCKETS, not documents,
+    so the global (unpartitioned) window is deliberately tiny — the
+    same histogram-then-window shape as skew_diagnose_keys."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.floor(F.size(F.split(F.col("text"), " ")) / _SEQ_BUCKET) * _SEQ_BUCKET
+    ).cast("bigint")
+    hist = d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = hist.agg(F.sum("n_docs").alias("total"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("cum_docs", F.sum("n_docs").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "cum_docs",
+            F.round(
+                F.col("cum_docs").cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )

@@ -9,7 +9,7 @@ multi-join + agg + top-k pipelines in one plan. All oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.registry import register
@@ -1076,4 +1076,66 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         PIVOT (count(*) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
         """
+    )
+
+
+_COOCCUR_TOPK = 20
+
+
+@register(
+    "part_co_occurrence",
+    oracle=f"""
+        WITH per_order AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   count(*) AS n_orders
+            FROM per_order a JOIN per_order b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, n_orders, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY n_orders DESC,
+                                         part_a ASC, part_b ASC) AS rnk
+            FROM pairs
+        )
+        WHERE rnk <= {_COOCCUR_TOPK}
+    """,
+)
+def part_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining ("frequently bought together"): top part
+    pairs sharing an order. The self-join is WITHIN the order key, so
+    fan-out per order is bounded by (lines-per-order choose 2) — a
+    small constant on this schema — and the join co-shuffles both
+    sides on orderkey once; it never approaches |parts|^2. This is the
+    item-item co-occurrence stage of a recommender / co-click matrix
+    at 100 TB scale, with the same hot-key caveat as
+    dedup_ngram_jaccard (a mega-order would need the order-size cap).
+    Deterministic top-{_COOCCUR_TOPK} by (count, pair)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.select("l_orderkey", "l_partkey").distinct()
+    a = per_order.alias("a")
+    b = per_order.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _COOCCUR_TOPK)
+        .select("part_a", "part_b", "n_orders",
+                F.col("rnk").cast("bigint").alias("rnk"))
     )

@@ -123,6 +123,10 @@ ORACLE_QUERIES = [
     "embedding_quantize_int8",  # K: max-abs int8 quantization
     "scan_recursive_glob",     # A: landing-zone sweep w/ glob filter
     "scan_metadata_columns",   # A: file provenance via _metadata
+    "tokenizer_vocab_build",   # K: deterministic vocab ids
+    "seq_len_distribution",    # K: context-length coverage histogram
+    "anonymize_k_audit",       # K: k-anonymity privacy gate
+    "part_co_occurrence",      # scale: bounded within-key self-join
 ]
 
 # rows-only queries: assert they run and return sane row counts
