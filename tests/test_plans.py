@@ -246,3 +246,63 @@ def test_topk_per_group_uses_window_group_limit(spark):
     the per-group top-k never materializes full partitions."""
     plan = formatted_plan(_q("topk_per_group")(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_q6_pushes_all_three_predicates(spark):
+    """q6 is the canonical pushdown probe: date + discount + quantity
+    must all reach the parquet scan."""
+    df = _q("q6_forecast_revenue")(spark, SF_DIR)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), col
+
+
+def test_contamination_broadcasts_eval_split(spark):
+    """The tiny benchmark split must broadcast — the training corpus
+    side of the decontamination join must never shuffle."""
+    df = _q("text_contamination_ngram")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_co_occurrence_is_keyed_self_join(spark):
+    """The within-order pair join must stay an equi-join on orderkey
+    (bounded fan-out), never a cartesian/nested-loop pair blowup."""
+    plan = formatted_plan(_q("part_co_occurrence")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_filters_terms_below_tf_aggregate(spark):
+    """The IN(query terms) row filter must sit BELOW the tf aggregate
+    (cost scales with hits, not corpus tokens). In formatted-explain
+    numbering children get lower ids than parents, so the term Filter's
+    node id must be smaller than every HashAggregate's."""
+    import re
+
+    plan = formatted_plan(_q("text_bm25_search")(spark, SF_DIR))
+    filter_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter\n(?:.*\n)*?Condition : (.*)", plan)
+        if "term#" in m.group(2)
+    ]
+    agg_ids = [
+        int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)
+    ]
+    assert filter_ids, "no row filter on term found"
+    assert min(filter_ids) < min(agg_ids)
+
+
+def test_incremental_lsh_probe_is_hash_join(spark):
+    """Batch-vs-corpus band probe must be a hash equi-join on the
+    (band, bucket) key — the property that keeps it from all-pairs."""
+    plan = formatted_plan(_q("dedup_incremental_lsh")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantize_has_no_shuffle_and_no_python(spark):
+    """Quantization is map-only JVM lambda work: no exchange, no
+    Python evals in the plan."""
+    plan = formatted_plan(_q("embedding_quantize_int8")(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
