@@ -242,3 +242,62 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey long, n_orders long, total_spend double, acctbal double",
         )
     )
+
+
+@register(
+    "udtf_analyze_dynamic",
+    oracle="""
+        SELECT o_orderkey,
+               string_split(concat(o_orderstatus, '|', o_orderpriority, '|',
+                                   CAST(o_custkey AS VARCHAR)), '|')[1] AS f0,
+               string_split(concat(o_orderstatus, '|', o_orderpriority, '|',
+                                   CAST(o_custkey AS VARCHAR)), '|')[2] AS f1,
+               string_split(concat(o_orderstatus, '|', o_orderpriority, '|',
+                                   CAST(o_custkey AS VARCHAR)), '|')[3] AS f2
+        FROM orders
+        WHERE o_orderkey <= 2000
+    """,
+)
+def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a dynamic output schema: the ``analyze`` static
+    method computes the column list (f0..fN) from the LITERAL width
+    argument at plan time — the Spark 4 polymorphic-UDTF surface
+    (SPARK-44503), which a fixed returnType UDTF (udtf_split_rows)
+    can't express. The splitter itself mirrors the reference's
+    flatten-to-string semantics (ParquetConverter.java:115-134):
+    delimited leaf values out of one composite string. Deterministic,
+    so fully oracle-checked against the SQL split."""
+    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.types import StructType
+
+    class UnpackDelimited:
+        @staticmethod
+        def analyze(row_id, text, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType().add("o_orderkey", "long")
+            for i in range(n.value):
+                schema = schema.add(f"f{i}", "string")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row_id, text, n):
+            parts = text.split("|")
+            parts = (parts + [None] * n)[:n]
+            yield (row_id, *parts)
+
+    unpack = udtf(UnpackDelimited)
+    spark.udtf.register("pp_unpack_delimited", unpack)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "|", "o_orderstatus", "o_orderpriority",
+            F.col("o_custkey").cast("string"),
+        ).alias("line"),
+    ).createOrReplaceTempView("udtf_dyn_src")
+    return spark.sql(
+        """
+        SELECT t.* FROM udtf_dyn_src,
+        LATERAL pp_unpack_delimited(o_orderkey, line, 3) t
+        """
+    )

@@ -1139,3 +1139,36 @@ def part_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", "n_orders",
                 F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "agg_pivot_multi",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+                   AS O_total,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4)
+                   AS F_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + sum
+    rotate together into {value}_{agg} columns) — the general pivot
+    shape agg_pivot's single-agg case doesn't cover. Catalyst still
+    compiles it to one conditional aggregate over a single shuffle;
+    explicit pivot values keep the plan static (no value-discovery
+    pre-pass, which is the scalable form — discovery needs its own
+    scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )

@@ -153,7 +153,7 @@ _CHECK_ORDER = [
     "text_tfidf_topterms", "text_bm25_search", "embedding_quantize_int8",
     "scan_recursive_glob", "scan_metadata_columns",
     "tokenizer_vocab_build", "seq_len_distribution", "anonymize_k_audit",
-    "part_co_occurrence",
+    "part_co_occurrence", "udtf_analyze_dynamic", "agg_pivot_multi",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

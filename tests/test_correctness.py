@@ -127,6 +127,8 @@ ORACLE_QUERIES = [
     "seq_len_distribution",    # K: context-length coverage histogram
     "anonymize_k_audit",       # K: k-anonymity privacy gate
     "part_co_occurrence",      # scale: bounded within-key self-join
+    "udtf_analyze_dynamic",    # J: polymorphic UDTF (analyze schema)
+    "agg_pivot_multi",         # D: multi-aggregate pivot
 ]
 
 # rows-only queries: assert they run and return sane row counts
