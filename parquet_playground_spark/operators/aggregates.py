@@ -500,3 +500,29 @@ def agg_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "agg_covariance",
+    oracle="""
+        SELECT l_returnflag,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+               round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+               round(corr(l_quantity, l_extendedprice), 6) AS r
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance family (sample/population) + Pearson correlation per
+    group — the df.stat surface as declarative aggregates, completing
+    the second-moment set next to agg_stats (variance) and
+    agg_regression (regr_*). Single map-combinable aggregate; the
+    co-moments merge associatively so the partial-aggregate tree is
+    exactly the 100 TB plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_p"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+    )

@@ -129,6 +129,7 @@ ORACLE_QUERIES = [
     "part_co_occurrence",      # scale: bounded within-key self-join
     "udtf_analyze_dynamic",    # J: polymorphic UDTF (analyze schema)
     "agg_pivot_multi",         # D: multi-aggregate pivot
+    "agg_covariance",          # D: co-moment aggregate family
 ]
 
 # rows-only queries: assert they run and return sane row counts
@@ -248,3 +249,27 @@ def test_every_oracle_key_is_registered():
     reg = _registry()
     assert set(reg.ORACLES) <= set(reg.QUERIES)
     assert len(reg.QUERIES) >= 160
+
+
+def test_every_oracle_parses_in_duckdb(oracle_con):
+    """EXPLAIN every registered oracle in DuckDB — catches SQL typos
+    and dialect slips in oracles the category subset doesn't execute,
+    without paying a Spark run."""
+    reg = _registry()
+    bad = []
+    for name, sql in reg.ORACLES.items():
+        try:
+            oracle_con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e).splitlines()[0]))
+    assert bad == []
+
+
+def test_check_order_names_are_registered():
+    """Every _CHECK_ORDER entry must name a real query — a typo would
+    silently drop it from the driver's official-check window."""
+    from parquet_playground_spark import registry
+
+    registry.load_all()
+    missing = [n for n in registry._CHECK_ORDER if n not in registry.QUERIES]
+    assert missing == []

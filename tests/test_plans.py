@@ -306,3 +306,23 @@ def test_quantize_has_no_shuffle_and_no_python(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_sql_broadcast_hint_is_respected(spark):
+    """The SQL BROADCAST hint must produce a BroadcastHashJoin even
+    where size stats alone might pick sort-merge — the escape hatch
+    when a dimension's stats are missing at 100 TB."""
+    from parquet_playground_spark.tables import load_table
+
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("hint_orders")
+    load_table(spark, SF_DIR, "customer").createOrReplaceTempView(
+        "hint_customer"
+    )
+    df = spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */ c.c_mktsegment, count(*) AS n
+        FROM hint_orders o JOIN hint_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+    assert uses_broadcast_join(df)
