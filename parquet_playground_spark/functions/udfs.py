@@ -301,3 +301,50 @@ def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL pp_unpack_delimited(o_orderkey, line, 3) t
         """
     )
+
+
+@register(
+    "udf_grouped_arrow",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 4) AS total,
+               round(max(l_extendedprice) - min(l_extendedprice), 4)
+                   AS price_range
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over zero-copy Arrow tables (applyInPandas's
+    columnar sibling, Spark 4 `applyInArrow`): each group arrives as a
+    pyarrow.Table, is reduced with Arrow compute kernels (no pandas
+    materialization, no per-row Python), and returns one Arrow batch.
+    The per-group reduction (count/sum/range) is SQL-expressible, so
+    the oracle fully checks the group routing and kernel math. At
+    100 TB the shuffle is the groupBy key exchange; inside each task
+    the work stays in Arrow's columnar buffers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def reduce_group(tbl: pa.Table) -> pa.Table:
+        price = tbl.column("l_extendedprice")
+        total = pc.sum(price).as_py() or 0.0
+        lo = pc.min(price).as_py()
+        hi = pc.max(price).as_py()
+        return pa.table(
+            {
+                "l_returnflag": [tbl.column("l_returnflag")[0].as_py()],
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "total": pa.array([round(total, 4)], pa.float64()),
+                "price_range": pa.array([round(hi - lo, 4)], pa.float64()),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInArrow(
+        reduce_group,
+        "l_returnflag string, n long, total double, price_range double",
+    )

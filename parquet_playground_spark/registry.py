@@ -154,7 +154,7 @@ _CHECK_ORDER = [
     "scan_recursive_glob", "scan_metadata_columns",
     "tokenizer_vocab_build", "seq_len_distribution", "anonymize_k_audit",
     "part_co_occurrence", "udtf_analyze_dynamic", "agg_pivot_multi",
-    "agg_covariance",
+    "agg_covariance", "sink_python_datasource", "udf_grouped_arrow",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

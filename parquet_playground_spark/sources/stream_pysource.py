@@ -173,3 +173,123 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITER half of the Python DataSource API: format "pysink"
+
+
+def make_sink_datasource():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _PartResult(WriterCommitMessage):
+        def __init__(self, path: str, n_rows: int):
+            self.path = path
+            self.n_rows = n_rows
+
+    class JsonlWriter(DataSourceWriter):
+        """Per-task JSON-lines writer with a commit protocol: tasks
+        write part files and return commit messages; commit() writes
+        the manifest LAST, so readers listing via the manifest never
+        see a partial job — the same two-phase contract Spark's file
+        committers implement."""
+
+        def __init__(self, options):
+            self._dir = options["path"]
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            os.makedirs(self._dir, exist_ok=True)
+            part = os.path.join(self._dir, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(part, "w") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _PartResult(part, n)
+
+        def commit(self, messages):
+            import json
+            import os
+
+            manifest = {
+                "files": sorted(
+                    os.path.basename(m.path) for m in messages if m.n_rows
+                ),
+                "n_rows": sum(m.n_rows for m in messages),
+            }
+            with open(os.path.join(self._dir, "_MANIFEST.json"), "w") as fh:
+                json.dump(manifest, fh)
+
+        def abort(self, messages):
+            import os
+
+            for m in messages:
+                if os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "pysink"
+
+        def writer(self, schema, overwrite):
+            return JsonlWriter(self.options)
+
+    return JsonlSink
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch SINK via the Spark 4 Python DataSource writer API —
+    the write half of the connector story next to the pyavro reader
+    and pyevents stream source. Executors write JSON-lines part files
+    in parallel and return commit messages; the driver's commit()
+    publishes a manifest only after every task succeeded (two-phase,
+    so a failed job leaves no visible output — abort() removes parts).
+    The staged files are read back through Spark's JSON reader and
+    re-aggregated; matching the direct oracle proves no row was lost
+    or duplicated across the task/commit protocol."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from parquet_playground_spark.tables import load_table
+
+    ensure_session_defaults(spark)
+    spark.dataSource.register(make_sink_datasource())
+    out = os.path.join(tempfile.gettempdir(), "ppspark_pysink")
+    shutil.rmtree(out, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    o.write.format("pysink").mode("append").option("path", out).save()
+    # the manifest is the committed source of truth
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    files = [os.path.join(out, f) for f in manifest["files"]]
+    assert files and len(files) == len(glob.glob(os.path.join(out, "part-*")))
+    back = spark.read.schema("o_orderkey long, o_orderstatus string").json(
+        files
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

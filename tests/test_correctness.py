@@ -130,6 +130,8 @@ ORACLE_QUERIES = [
     "udtf_analyze_dynamic",    # J: polymorphic UDTF (analyze schema)
     "agg_pivot_multi",         # D: multi-aggregate pivot
     "agg_covariance",          # D: co-moment aggregate family
+    "sink_python_datasource",  # A: Python DataSource write protocol
+    "udf_grouped_arrow",       # J: applyInArrow grouped map
 ]
 
 # rows-only queries: assert they run and return sane row counts
