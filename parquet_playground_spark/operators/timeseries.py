@@ -223,3 +223,202 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).cast("decimal(18,4)").cast("string").alias("z"),
         (z > 2.0).alias("is_spike"),
     )
+
+
+# portable total-order key: second-truncated epoch * 1e6 + unique id
+# (raw ts must never order across engines — ns vs us, SURVEY §7.3)
+_OKEY = "CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000 + event_id"
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle=f"""
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               round(arg_min(value, {_OKEY}), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(arg_max(value, {_OKEY}), 4) AS close,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling (open/high/low/close per type-hour) — the
+    canonical financial downsample, built on min_by/max_by over a
+    portable total-order key (second-epoch * 1e6 + event_id, so ties
+    at one-second resolution break identically on both engines). One
+    map-combinable aggregate: arg-min/max partials merge
+    associatively, so the 100 TB plan is the same partial->final tree
+    as any sum."""
+    e = load_table(spark, sf_dir, "events")
+    okey = (
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))) * 1000000
+        + F.col("event_id")
+    )
+    return e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(
+        F.round(F.min_by("value", okey), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", okey), 4).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_EWMA_DECAY = 0.7  # (1 - alpha), alpha = 0.3
+_EWMA_SPAN = 10  # trailing rows in the frame
+
+
+@register(
+    "ts_ewma_bounded",
+    oracle=f"""
+        WITH w AS (
+            SELECT user_id, event_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                   list(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS {_EWMA_SPAN - 1} PRECEDING) AS vals
+            FROM events
+        )
+        SELECT user_id, event_id, sec,
+               round(list_reduce(vals, (a, b) -> a * {_EWMA_DECAY} + b)
+                     / ((1 - pow({_EWMA_DECAY}, len(vals)))
+                        / (1 - {_EWMA_DECAY})), 6) AS ewma
+        FROM w
+    """,
+)
+def ts_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA per user: exponentially-decayed weighted
+    mean of the trailing {_EWMA_SPAN} values (decay {_EWMA_DECAY}),
+    computed as an ORDERED fold over the frame's collect_list —
+    acc*decay + x from oldest to newest, normalized by the closed-form
+    geometric weight sum. The fold order is pinned by the window
+    frame, so the float result is bit-identical across engines (same
+    trick as embedding_quantize_int8's norm). One shuffle on user_id;
+    the frame bound keeps state O(span) — the batch twin of a
+    streaming decayed aggregate, without unbounded pow() overflow."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    vals = F.collect_list("value").over(w)
+    # DuckDB list_reduce seeds with the first element; mirror exactly
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda a, x: a * _EWMA_DECAY + x,
+    )
+    wsum = (1 - F.pow(F.lit(_EWMA_DECAY), F.size(vals))) / (1 - _EWMA_DECAY)
+    return e.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.round(folded / wsum, 6).alias("ewma"),
+    )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM events
+        )
+        SELECT user_id, event_id, sec,
+               CAST(sum(first_seen) OVER (PARTITION BY user_id
+                                          ORDER BY sec, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_types_seen
+        FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — not directly supported
+    by any engine, so it is decomposed into the standard two-window
+    identity: flag each value's first occurrence per (user, type),
+    then running-sum the flags per user. Both windows hash on user_id
+    (the second reuses the first's shuffle modulo the type subkey);
+    the distinct state never materializes — the flag IS the state.
+    This is the "unique items seen so far" metric of any funnel /
+    exploration dashboard at event-log scale."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("n_types_seen"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS cur_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), t AS (
+            SELECT cur_type, next_type, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY cur_type, next_type
+        )
+        SELECT cur_type, next_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY cur_type), 6) AS p
+        FROM t
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    P(next_type | cur_type) with counts — the behavioral-model prep
+    for next-action prediction (and the n=2 case of
+    events_path_trigrams). The lead window shuffles on user once; the
+    transition aggregate and row-normalization run over the tiny
+    |types|^2 matrix, so normalization's unpartitioned window is
+    deliberately trivial."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy("cur_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    w_norm = Window.partitionBy("cur_type")
+    return t.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_norm), 6).alias(
+            "p"
+        ),
+    )

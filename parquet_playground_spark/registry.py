@@ -155,6 +155,8 @@ _CHECK_ORDER = [
     "tokenizer_vocab_build", "seq_len_distribution", "anonymize_k_audit",
     "part_co_occurrence", "udtf_analyze_dynamic", "agg_pivot_multi",
     "agg_covariance", "sink_python_datasource", "udf_grouped_arrow",
+    "ts_resample_ohlc", "ts_ewma_bounded", "window_running_distinct",
+    "events_markov_transitions",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -132,6 +132,10 @@ ORACLE_QUERIES = [
     "agg_covariance",          # D: co-moment aggregate family
     "sink_python_datasource",  # A: Python DataSource write protocol
     "udf_grouped_arrow",       # J: applyInArrow grouped map
+    "ts_resample_ohlc",        # TS: OHLC bars via min_by/max_by
+    "ts_ewma_bounded",         # TS: ordered-fold decayed mean
+    "window_running_distinct",  # E: two-window distinct-so-far
+    "events_markov_transitions",  # scale: transition matrix
 ]
 
 # rows-only queries: assert they run and return sane row counts
