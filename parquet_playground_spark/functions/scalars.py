@@ -800,3 +800,35 @@ def fn_format_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey"),
         ).alias("line"),
     )
+
+
+_AES_KEY = "0123456789012345"  # 16-byte key, reference README.md key style
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority AS decrypted, TRUE AS matches
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level AES encrypt/decrypt roundtrip (ECB for determinism;
+    production uses GCM whose random IV is exactly why ciphertext
+    can't be oracle-checked — the ROUNDTRIP is the checkable
+    contract). The engine-side sibling of the corpus' Parquet modular
+    encryption (reference README.md:37-50, encrypted_corpus_reads):
+    there the FILE decrypts, here an individual column does, with the
+    same published-key discipline. JVM-side, no shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    key = F.lit(_AES_KEY)
+    mode = F.lit("ECB")
+    enc = F.aes_encrypt(
+        F.col("o_orderpriority").cast("binary"), key.cast("binary"), mode
+    )
+    dec = F.aes_decrypt(enc, key.cast("binary"), mode).cast("string")
+    return o.select(
+        "o_orderkey",
+        dec.alias("decrypted"),
+        (dec == F.col("o_orderpriority")).alias("matches"),
+    )

@@ -321,3 +321,83 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_nonpositive bigint, total_price double, max_key bigint",
     )
+
+
+@register(
+    "table_snapshot_diff",
+    oracle="""
+        WITH v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN round(o_totalprice * 1.1, 2)
+                        ELSE round(o_totalprice, 2) END AS price
+            FROM orders WHERE o_orderkey % 17 <> 0
+            UNION ALL
+            SELECT o_orderkey + 1000000, round(o_totalprice, 2)
+            FROM orders WHERE o_orderkey % 19 = 0
+        ), v1 AS (
+            SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        )
+        SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+               CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                    WHEN v2.o_orderkey IS NULL THEN 'removed'
+                    ELSE 'updated' END AS change_type,
+               v1.price AS old_price,
+               v2.price AS new_price
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+           OR v1.price <> v2.price
+    """,
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: added / removed / updated rows between two table
+    versions (v2 is derived deterministically: every 17th key deleted,
+    every 13th repriced +10%, every 19th re-inserted under a new key) —
+    the change-data-capture audit run between lakehouse snapshots, and
+    the generalization of cdc_upsert from apply to DIFF. One full-outer
+    hash join on the primary key; unchanged rows are filtered before
+    leaving the join, so the output is proportional to the churn, not
+    the table. Prices are rounded to 2 decimals BEFORE comparison so
+    the change predicate is engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 17 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0,
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            )
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("price"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 19 == 0).select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                F.round("o_totalprice", 2).alias("price"),
+            )
+        )
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"),
+        F.col("v1.o_orderkey") == F.col("v2.o_orderkey"),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("v1.o_orderkey"), F.col("v2.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("v1.o_orderkey").isNull(), "added")
+        .when(F.col("v2.o_orderkey").isNull(), "removed")
+        .otherwise("updated")
+        .alias("change_type"),
+        F.col("v1.price").alias("old_price"),
+        F.col("v2.price").alias("new_price"),
+    ).filter(
+        F.col("v1.o_orderkey").isNull()
+        | F.col("v2.o_orderkey").isNull()
+        | (F.col("v1.price") != F.col("v2.price"))
+    )

@@ -157,6 +157,7 @@ _CHECK_ORDER = [
     "agg_covariance", "sink_python_datasource", "udf_grouped_arrow",
     "ts_resample_ohlc", "ts_ewma_bounded", "window_running_distinct",
     "events_markov_transitions",
+    "write_max_records_per_file", "fn_aes_roundtrip", "table_snapshot_diff",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -367,3 +367,41 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt_record").alias("n_bad"),
         F.round(F.sum("p"), 4).alias("sum_good_p"),
     )
+
+
+_MAX_RECORDS = 1000
+
+
+@register(
+    "write_max_records_per_file",
+    oracle=f"""
+        WITH tot AS (SELECT count(*) AS n FROM orders)
+        SELECT CAST(ceil(CAST(n AS DOUBLE) / {_MAX_RECORDS}) AS BIGINT)
+                   AS n_files,
+               n AS n_rows,
+               (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS key_sum
+        FROM tot
+    """,
+)
+def write_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance on write: maxRecordsPerFile caps every
+    output file at {_MAX_RECORDS} rows, so a single fat task can never
+    emit a multi-GB file (the writer-side half of the small-file
+    problem — compact_small_files is the reader-side half). The
+    re-read counts real files via `_metadata.file_name`; with the data
+    written from one task the file count is exactly
+    ceil(rows/cap), which the oracle states from the row count. The
+    content checksum proves the split is lossless."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    out = _tmp("orders_capped")
+    o.coalesce(1).write.mode("overwrite").option(
+        "maxRecordsPerFile", _MAX_RECORDS
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count_distinct(F.col("_metadata.file_name")).cast("bigint").alias(
+            "n_files"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

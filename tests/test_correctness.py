@@ -136,6 +136,9 @@ ORACLE_QUERIES = [
     "ts_ewma_bounded",         # TS: ordered-fold decayed mean
     "window_running_distinct",  # E: two-window distinct-so-far
     "events_markov_transitions",  # scale: transition matrix
+    "write_max_records_per_file",  # A: writer-side file-size cap
+    "fn_aes_roundtrip",        # H: column AES encrypt/decrypt
+    "table_snapshot_diff",     # L: CDC diff between snapshots
 ]
 
 # rows-only queries: assert they run and return sane row counts
