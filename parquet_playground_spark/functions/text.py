@@ -30,9 +30,12 @@ from parquet_playground_spark.tables import load_table
 )
 def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global term + document frequencies (the TF/DF core of any corpus
-    statistic). explode -> groupBy(token): map-side combinable."""
+    statistic). explode -> groupBy(token): map-side combinable. The
+    _fanout rebalance spreads the single-split documents file across
+    all cores before the explode (same lesson as dedup: a sub-128MB
+    file is ONE task without it — 1.7 s -> 0.65 s cold at sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok = _fanout(d).select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     return tok.groupBy("tok").agg(
