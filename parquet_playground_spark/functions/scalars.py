@@ -832,3 +832,49 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.alias("decrypted"),
         (dec == F.col("o_orderpriority")).alias("matches"),
     )
+
+
+@register(
+    "fn_json_nested_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS status_back,
+               round(o_totalprice, 2) AS price_back,
+               o_orderpriority AS tag
+        FROM orders
+        WHERE o_orderkey <= 2000
+    """,
+)
+def fn_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON roundtrip: rows serialize to a nested document
+    (struct + array fields via to_json), parse back with an explicit
+    nested schema (from_json), and the array explodes to rows — the
+    degrade-to-JSON / recover-typed cycle the reference's
+    stringification fallback implies (ParquetConverter.java:300-303:
+    complex values become LONGVARCHAR). The oracle checks the
+    recovered values equal the originals — any serialization or
+    schema-mapping drift breaks equality. JVM-side json codecs, no
+    Python."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.round("o_totalprice", 2).alias("price"),
+            ).alias("order"),
+            F.array(F.col("o_orderpriority")).alias("tags"),
+        )
+    )
+    schema = (
+        "STRUCT<order: STRUCT<status: STRING, price: DOUBLE>, "
+        "tags: ARRAY<STRING>>"
+    )
+    parsed = o.select(
+        "o_orderkey", F.from_json(doc, schema).alias("j")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("j.order.status").alias("status_back"),
+        F.col("j.order.price").alias("price_back"),
+        F.explode(F.col("j.tags")).alias("tag"),
+    )

@@ -1186,3 +1186,166 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey,
+                   CAST(max(epoch(o_orderdate) // 86400) AS BIGINT)
+                       AS recency_day,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, recency_day, frequency, monetary,
+               CAST(ntile(4) OVER (ORDER BY recency_day, o_custkey) AS BIGINT)
+                   AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+                   AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+                   AS m_score
+        FROM base
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartile scores — the classic lifecycle-marketing rollup. The
+    heavy pass is one map-combinable aggregate of orders; the three
+    ntile windows run over the CUSTOMER aggregate (3 sorts of |custs|
+    rows — at 100 TB this is the small table; range-partitioned sort
+    if it isn't). Every ntile orders by (metric, custkey) so quartile
+    boundaries are engine-deterministic (§7.3 rule 4)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(
+            F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400).cast(
+                "bigint"
+            )
+        ).alias("recency_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy("recency_day", "o_custkey")
+    w_f = Window.orderBy("frequency", "o_custkey")
+    w_m = Window.orderBy("monetary", "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_day",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(4).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(4).over(w_m).cast("bigint").alias("m_score"),
+    )
+
+
+@register(
+    "pareto_abc_classes",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey, round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (SELECT sum(revenue) AS total FROM rev),
+        ranked AS (
+            SELECT r.l_partkey, r.revenue,
+                   round(sum(r.revenue) OVER (ORDER BY r.revenue DESC,
+                                              r.l_partkey ASC
+                                              ROWS UNBOUNDED PRECEDING)
+                         / t.total, 6) AS cum_share
+            FROM rev r CROSS JOIN tot t
+        )
+        SELECT l_partkey, revenue, cum_share,
+               CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+)
+def pareto_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: parts ranked by revenue with
+    cumulative share, classed A (top 80% of revenue), B (next 15%), C
+    (tail) — the inventory-prioritization rollup. Revenue aggregates
+    map-side; the cumulative window runs over the per-part aggregate
+    with a unique (revenue, partkey) order so the running sum folds in
+    the same sequence on both engines. The global window is over the
+    part dimension, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        F.round(F.sum("revenue").over(w) / F.col("total"), 6).alias(
+            "cum_share"
+        ),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+_AB_CONV_TYPE = "purchase"
+
+
+@register(
+    "events_ab_test_lift",
+    oracle=f"""
+        WITH assign AS (
+            SELECT user_id,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 2 AS variant,
+                   max(CASE WHEN event_type = '{_AB_CONV_TYPE}'
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT CAST(variant AS BIGINT) AS variant,
+               count(*) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted,
+               round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+                   AS conversion_rate
+        FROM assign
+        GROUP BY variant
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to two
+    variants by md5 hash (the same engine/run/retry-stable assignment
+    rule as sample_hash_deterministic — randomized assignment that is
+    still reproducible is the whole trick of online experimentation),
+    then per-variant conversion to '{_AB_CONV_TYPE}'. Two
+    map-combinable aggregates, both shuffling only user-level rows."""
+    e = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    assign = e.groupBy("user_id").agg(
+        F.first(variant).alias("variant"),
+        F.max(
+            F.when(F.col("event_type") == _AB_CONV_TYPE, 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return assign.groupBy(F.col("variant").cast("bigint").alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )

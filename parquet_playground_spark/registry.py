@@ -158,6 +158,8 @@ _CHECK_ORDER = [
     "ts_resample_ohlc", "ts_ewma_bounded", "window_running_distinct",
     "events_markov_transitions",
     "write_max_records_per_file", "fn_aes_roundtrip", "table_snapshot_diff",
+    "customer_rfm_segments", "pareto_abc_classes", "events_ab_test_lift",
+    "fn_json_nested_roundtrip",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -139,6 +139,10 @@ ORACLE_QUERIES = [
     "write_max_records_per_file",  # A: writer-side file-size cap
     "fn_aes_roundtrip",        # H: column AES encrypt/decrypt
     "table_snapshot_diff",     # L: CDC diff between snapshots
+    "customer_rfm_segments",   # scale: quartile lifecycle scores
+    "pareto_abc_classes",      # scale: cumulative-share classing
+    "events_ab_test_lift",     # scale: deterministic experiment readout
+    "fn_json_nested_roundtrip",  # H: nested to_json/from_json cycle
 ]
 
 # rows-only queries: assert they run and return sane row counts
