@@ -239,3 +239,49 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     ).drop("file_name")
+
+
+_GEN_N = 100000
+_GEN_PRIME = 1000003
+
+
+@register(
+    "synthetic_data_generate",
+    oracle=f"""
+        WITH g AS (
+            SELECT range AS id,
+                   CAST(concat('0x', substr(md5(CAST(range AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10 AS bucket,
+                   (range * 2654435761) % {_GEN_PRIME} AS val
+            FROM range(0, {_GEN_N})
+        )
+        SELECT bucket, count(*) AS n,
+               CAST(sum(val) AS BIGINT) AS val_sum,
+               CAST(min(val) AS BIGINT) AS val_min
+        FROM g GROUP BY bucket
+    """,
+)
+def synthetic_data_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator source: spark.range as a table-valued row generator
+    with derived deterministic columns (md5 bucket, Knuth
+    multiplicative-hash values) — how test fixtures and load-test
+    datasets are synthesized WITHOUT reading storage. range() splits
+    its [start, end) interval across all cores (a parallelized
+    iota, no input files at all); the oracle is DuckDB's own range()
+    TVF over identical arithmetic. The only shuffle is the final
+    10-bucket aggregate."""
+    g = spark.range(0, _GEN_N).select(
+        F.col("id"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % 10
+        ).alias("bucket"),
+        ((F.col("id") * 2654435761) % _GEN_PRIME).alias("val"),
+    )
+    return g.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("bigint").alias("val_sum"),
+        F.min("val").cast("bigint").alias("val_min"),
+    )

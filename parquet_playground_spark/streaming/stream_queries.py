@@ -638,3 +638,56 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("second", "ts").alias("ts_s"),
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "stream_progress_metrics",
+    oracle="""
+        SELECT count(*) AS num_input_rows,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM events
+    """,
+)
+def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OBSERVABILITY surface: run a stream to completion and
+    report what the engine's own progress telemetry
+    (StreamingQuery.recentProgress -> numInputRows) counted, next to a
+    metric computed by the stream itself. The telemetry total must
+    equal the batch count of the same source — proving no micro-batch
+    was dropped or double-counted by the progress accounting (the
+    number an SLA dashboard would alarm on). The batch twin of
+    pipeline_observe_metrics."""
+    staged = _stage_events(spark, sf_dir)
+    stream = _read_stream(spark, staged)
+    counted = stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p"),
+    )
+    sparkSession = stream.sparkSession
+    prev = sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sparkSession.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"),
+    )
+    try:
+        sink = f"pp_sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        telemetry_rows = sum(p.numInputRows for p in q.recentProgress)
+    finally:
+        sparkSession.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.table(sink).collect()[-1]
+    assert telemetry_rows == result["n"], (telemetry_rows, result["n"])
+    return spark.createDataFrame(
+        [(int(telemetry_rows), int(result["p"]))],
+        "num_input_rows bigint, n_purchases bigint",
+    )

@@ -143,6 +143,8 @@ ORACLE_QUERIES = [
     "pareto_abc_classes",      # scale: cumulative-share classing
     "events_ab_test_lift",     # scale: deterministic experiment readout
     "fn_json_nested_roundtrip",  # H: nested to_json/from_json cycle
+    "stream_progress_metrics",  # I: telemetry == batch truth
+    "synthetic_data_generate",  # A: range() generator source
 ]
 
 # rows-only queries: assert they run and return sane row counts
