@@ -878,3 +878,84 @@ def fn_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j.order.price").alias("price_back"),
         F.explode(F.col("j.tags")).alias("tag"),
     )
+
+
+@register(
+    "fn_try_datetime_parse",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN 'not-a-date'
+                        ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END
+                       AS raw
+            FROM orders
+        )
+        SELECT count(*) AS n_rows,
+               count(TRY_CAST(raw AS TIMESTAMP)) AS n_parsed,
+               CAST(min(epoch(TRY_CAST(raw AS TIMESTAMP))) AS BIGINT)
+                   AS min_epoch
+        FROM t
+    """,
+)
+def fn_try_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant timestamp parsing: a string column with injected
+    garbage (every 5th row) goes through try_to_timestamp — bad rows
+    become NULL instead of failing the job, the ingestion-quarantine
+    discipline for datetime fields (sibling of fn_try_arithmetic and
+    source_corrupt_records). Counts + min epoch pin exactly which rows
+    parsed."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = F.when(F.col("o_orderkey") % 5 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    parsed = F.try_to_timestamp(raw)
+    return o.select(parsed.alias("p")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p").alias("n_parsed"),
+        F.min(F.unix_timestamp(F.col("p"))).cast("bigint").alias("min_epoch"),
+    )
+
+
+@register(
+    "fn_map_merge",
+    oracle="""
+        SELECT o_orderkey,
+               concat('n:', CAST(o_orderkey % 7 AS VARCHAR),
+                      '|p:', o_orderpriority,
+                      '|s:', o_orderstatus, '+', o_orderpriority)
+                   AS merged_ser
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map merge with conflict resolution: two maps sharing a key are
+    combined via map_zip_with (concatenating both values on conflict,
+    keeping the survivor otherwise) after a map_concat-free union —
+    the remaining map HOF next to fn_map_hof's transform/filter. The
+    result serializes to sorted k:v text (maps are unordered — §7.3
+    discipline from fn_map), so the oracle states the expected
+    serialization directly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    m1 = F.create_map(
+        F.lit("n"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("s"), F.col("o_orderstatus"),
+    )
+    m2 = F.create_map(
+        F.lit("p"), F.col("o_orderpriority"),
+        F.lit("s"), F.col("o_orderpriority"),
+    )
+    merged = F.map_zip_with(
+        m1, m2, lambda k, v1, v2: F.coalesce(
+            F.concat(v1, F.lit("+"), v2), v1, v2
+        )
+    )
+    ser = F.array_join(
+        F.sort_array(
+            F.transform(
+                F.map_entries(merged),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+            )
+        ),
+        "|",
+    )
+    return o.select("o_orderkey", ser.alias("merged_ser"))

@@ -102,3 +102,31 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", F.round("c_acctbal", 4).alias("bal"))
     )
+
+
+@register(
+    "topk_offset_pagination",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+    """,
+)
+def topk_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: page 3 of the price ranking via
+    LIMIT 10 OFFSET 20 (the SQL OFFSET clause, Spark 3.4+). The plan
+    still runs as a global top-(offset+limit) — fine for shallow
+    pages; the docstring caveat every engine shares is that deep
+    OFFSET degrades to top-N with huge N, where keyset pagination
+    (WHERE price < last_seen) is the scale answer. Unique tie-break
+    keeps pages deterministic."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pag_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM pag_orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+        """
+    )

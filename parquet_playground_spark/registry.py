@@ -160,7 +160,8 @@ _CHECK_ORDER = [
     "write_max_records_per_file", "fn_aes_roundtrip", "table_snapshot_diff",
     "customer_rfm_segments", "pareto_abc_classes", "events_ab_test_lift",
     "fn_json_nested_roundtrip", "stream_progress_metrics",
-    "synthetic_data_generate",
+    "synthetic_data_generate", "stream_checkpoint_recovery",
+    "fn_try_datetime_parse", "fn_map_merge", "topk_offset_pagination",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -691,3 +691,71 @@ def stream_progress_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(telemetry_rows), int(result["p"]))],
         "num_input_rows bigint, n_purchases bigint",
     )
+
+
+@register(
+    "stream_checkpoint_recovery",
+    oracle="""
+        WITH c AS (SELECT count(*) AS n FROM events)
+        SELECT n AS n_total,
+               CAST(n - (n // 2 + 1) AS BIGINT) AS n_second_run_input,
+               TRUE AS exactly_once
+        FROM c
+    """,
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once recovery across RESTARTS: run a counting stream
+    over half the input with a checkpoint, stop it, land the second
+    half, and restart from the SAME checkpoint. The restarted query's
+    own telemetry must show it ingested ONLY the new files (the
+    checkpoint's file-source log skips the committed ones), while its
+    recovered state still yields the full-corpus count — together,
+    no-loss and no-reprocessing, which is the whole exactly-once
+    contract a production restart relies on. Oracle states the exact
+    phase sizes from the deterministic split."""
+    t = _events_arrow(sf_dir)
+    n = t.num_rows
+    step = n // 2 + 1
+    src = os.path.join(tempfile.gettempdir(), "ppspark_ckpt_src")
+    ckpt = os.path.join(tempfile.gettempdir(), "ppspark_ckpt_cp")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(src)
+
+    def _run(sink: str):
+        stream = _read_stream(spark, src)
+        counted = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p.numInputRows for p in q.recentProgress)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8"),
+    )
+    try:
+        pq.write_table(t.slice(0, step), os.path.join(src, "phase_a.parquet"))
+        first_in = _run(f"pp_ckpt_a_{uuid.uuid4().hex[:8]}")
+        pq.write_table(
+            t.slice(step, n - step), os.path.join(src, "phase_b.parquet")
+        )
+        sink_b = f"pp_ckpt_b_{uuid.uuid4().hex[:8]}"
+        second_in = _run(sink_b)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    final_count = spark.table(sink_b).collect()[-1]["n"]
+    exactly_once = (
+        first_in == step and second_in == n - step and final_count == n
+    )
+    return spark.createDataFrame(
+        [(int(final_count), int(second_in), bool(exactly_once))],
+        "n_total bigint, n_second_run_input bigint, exactly_once boolean",
+    )

@@ -145,6 +145,10 @@ ORACLE_QUERIES = [
     "fn_json_nested_roundtrip",  # H: nested to_json/from_json cycle
     "stream_progress_metrics",  # I: telemetry == batch truth
     "synthetic_data_generate",  # A: range() generator source
+    "stream_checkpoint_recovery",  # I: exactly-once across restarts
+    "fn_try_datetime_parse",   # H: error-tolerant datetime parse
+    "fn_map_merge",            # H: map_zip_with conflict merge
+    "topk_offset_pagination",  # F: LIMIT/OFFSET paging
 ]
 
 # rows-only queries: assert they run and return sane row counts
