@@ -95,3 +95,64 @@ def test_group_sum_parity(spark, oracle_con, lo, width, priority):
     assert (row["s"] is None) == (duck[1] is None)
     if row["s"] is not None:
         assert abs(row["s"] - duck[1]) < 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(s=st.text(min_size=0, max_size=40))
+def test_portable_md5_bucket_parity(oracle_con, s):
+    """The md5-derived bucket used by every deterministic sample /
+    salt / LSH bucket must agree between a pure-Python reimplementation
+    and the DuckDB oracle expression for arbitrary strings — the
+    portability contract both engines' query halves rely on."""
+    import hashlib
+
+    if "'" in s or "\x00" in s:  # SQL literal escaping out of scope
+        return
+    py = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100
+    duck = oracle_con.sql(
+        "SELECT CAST(concat('0x', substr(md5(?), 1, 8)) AS BIGINT) % 100",
+        params=[s],
+    ).fetchone()[0]
+    assert py == duck
+
+
+@settings(max_examples=100, deadline=None)
+@given(x=st.integers(0, 15), y=st.integers(0, 15))
+def test_morton_interleave_is_bijective_and_monotone(x, y):
+    """The Z-order interleave (zorder_morton_layout) must be a
+    bijection on the 16x16 grid with the defining bit property:
+    deinterleaving odd/even bits recovers (x, y)."""
+    z = 0
+    for i in range(4):
+        z += ((x >> i) & 1) << (2 * i + 1)
+        z += ((y >> i) & 1) << (2 * i)
+    xr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(4))
+    yr = sum(((z >> (2 * i)) & 1) << i for i in range(4))
+    assert (xr, yr) == (x, y)
+    assert 0 <= z < 256
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1.0, max_value=1.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ewma_fold_matches_direct_formula(vals):
+    """The ordered-fold EWMA (ts_ewma_bounded) must equal the direct
+    weighted-sum definition: newest weight decay^0, oldest decay^(n-1),
+    normalized by the geometric sum."""
+    decay = 0.7
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = acc * decay + v
+    n = len(vals)
+    direct = sum(v * decay ** (n - 1 - i) for i, v in enumerate(vals))
+    wsum = (1 - decay**n) / (1 - decay)
+    assert abs(acc - direct) < 1e-9
+    assert wsum > 0
