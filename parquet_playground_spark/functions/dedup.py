@@ -22,7 +22,7 @@ are unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.registry import register
@@ -836,4 +836,76 @@ def sim_search_lsh_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "vec_id", "rank", F.round("cos_raw", 4).alias("cos_sim")
         )
+    )
+
+
+_CHARGRAM_W = 20  # substring width (chars)
+_CHARGRAM_STRIDE = 10  # stride bounds grams/doc to ~len/10
+_CHARGRAM_TOPK = 15
+
+
+@register(
+    "dedup_char_ngram_repeats",
+    oracle=f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   substr(text, CAST(i AS INTEGER), {_CHARGRAM_W}) AS g
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1,
+                     greatest(length(text) - {_CHARGRAM_W} + 2, 2),
+                     {_CHARGRAM_STRIDE})) AS i)
+        ), rep AS (
+            SELECT g, count(*) AS n_docs
+            FROM grams
+            GROUP BY g HAVING count(*) >= 2
+        )
+        SELECT g, n_docs, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT g, n_docs,
+                     row_number() OVER (ORDER BY n_docs DESC, g ASC) AS rnk
+              FROM rep)
+        WHERE rnk <= {_CHARGRAM_TOPK}
+    """,
+)
+def dedup_char_ngram_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring detection at CHARACTER level (the signal
+    behind suffix-array dedup, Lee et al. 2021 "Deduplicating Training
+    Data Makes Language Models Better"): strided {_CHARGRAM_W}-char
+    grams per doc, cross-document repeat counts, top-{_CHARGRAM_TOPK}
+    most-shared substrings. The stride bounds work to ~len/stride
+    grams per doc (a true suffix array is n grams — this is the
+    scalable screen that feeds exact verification); the gram hash, not
+    the text, is what shuffles. Complements the word-level shingle
+    family: catches boilerplate that word tokenization splits
+    differently."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - _CHARGRAM_W + 1, F.lit(1)),
+        F.lit(_CHARGRAM_STRIDE),
+    )
+    grams = (
+        _fanout(d)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        starts,
+                        lambda i: F.substring(F.col("text"), i, _CHARGRAM_W),
+                    )
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    rep = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("g").asc())
+    return (
+        rep.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CHARGRAM_TOPK)
+        .select("g", "n_docs", F.col("rnk").cast("bigint").alias("rnk"))
     )

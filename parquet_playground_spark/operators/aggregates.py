@@ -8,7 +8,7 @@ decimals on both sides (SURVEY.md §7.3 rule 1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.registry import register
@@ -525,4 +525,47 @@ def agg_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_s"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_p"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+    )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH counts AS (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY n DESC,
+                                                    o_orderpriority ASC)
+                            AS rnk
+              FROM counts)
+        WHERE rnk = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent priority per status, ties
+    broken by value — built as count + top-1 window instead of the
+    built-in mode(), whose tie choice is undefined on BOTH engines
+    (an undefined-tie aggregate can never be oracle-checked; this
+    formulation can, and is the one to ship when reproducibility
+    matters). Two aggregations over the tiny (status, priority)
+    domain."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
     )

@@ -401,3 +401,63 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("v2.o_orderkey").isNull()
         | (F.col("v1.price") != F.col("v2.price"))
     )
+
+
+_DQ_RULES = [
+    ("price_positive", "o_totalprice > 0"),
+    ("status_known", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("key_unique_range", "o_orderkey BETWEEN 0 AND 100000000"),
+    ("priority_wellformed", "o_orderpriority RLIKE '^[1-5]-'"),
+    ("date_in_window",
+     "o_orderdate >= TIMESTAMP '1990-01-01' "
+     "AND o_orderdate < TIMESTAMP '2005-01-01'"),
+]
+
+
+def _dq_oracle() -> str:
+    parts = []
+    for name, pred in _DQ_RULES:
+        duck_pred = pred.replace("RLIKE", "SIMILAR TO").replace(
+            "'^[1-5]-'", "'[1-5]-.*'"
+        )
+        parts.append(
+            f"""SELECT '{name}' AS rule_name,
+                       count(*) AS n_checked,
+                       count(*) FILTER (WHERE NOT ({duck_pred}))
+                           AS n_violations,
+                       count(*) FILTER (WHERE NOT ({duck_pred})) = 0
+                           AS passed
+                FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("pipeline_dq_rules", oracle=_dq_oracle())
+def pipeline_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine: a rule set (name, SQL
+    predicate) evaluated in ONE scan — each rule becomes a conditional
+    count in a single aggregate, then unpivots to per-rule rows
+    (checked, violations, pass flag). The Great-Expectations-style
+    contract check that gates a table promotion; at 100 TB the
+    one-scan property is the difference between one audit job and one
+    per rule (same single-pass shape as profile_columns). Rules are
+    ordinary SQL predicates, so the rule library needs no engine
+    changes to grow."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, pred in _DQ_RULES:
+        viol = F.sum(F.when(~F.expr(pred), 1).otherwise(0))
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__checked"),
+            viol.alias(f"{name}__viol"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', {name}__checked, {name}__viol" for name, _ in _DQ_RULES
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_DQ_RULES)}, {stack}) AS "
+            "(rule_name, n_checked, n_violations)"
+        )
+    ).withColumn("passed", F.col("n_violations") == 0)

@@ -149,6 +149,9 @@ ORACLE_QUERIES = [
     "fn_try_datetime_parse",   # H: error-tolerant datetime parse
     "fn_map_merge",            # H: map_zip_with conflict merge
     "topk_offset_pagination",  # F: LIMIT/OFFSET paging
+    "pipeline_dq_rules",       # L: one-scan DQ rule engine
+    "dedup_char_ngram_repeats",  # K: char-level repeated substrings
+    "agg_mode_deterministic",  # D: tie-stable mode
 ]
 
 # rows-only queries: assert they run and return sane row counts
