@@ -240,3 +240,85 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_len.alias("byte_len"),
         F.floor(byte_len * 1000.0 / 32000).cast("bigint").alias("duration_ms"),
     )
+
+
+_RESIZE_MAX_SIDE = 32
+
+
+@register(
+    "multimodal_image_resize_plan",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   16 + doc_id % 64 AS in_w,
+                   16 + doc_id % 48 AS in_h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(in_w AS BIGINT) AS in_w,
+               CAST(in_h AS BIGINT) AS in_h,
+               CAST(CASE WHEN greatest(in_w, in_h) <= {_RESIZE_MAX_SIDE}
+                         THEN in_w
+                         ELSE greatest(floor(in_w * {_RESIZE_MAX_SIDE}
+                                             / greatest(in_w, in_h)), 1)
+                    END AS BIGINT) AS out_w,
+               CAST(CASE WHEN greatest(in_w, in_h) <= {_RESIZE_MAX_SIDE}
+                         THEN in_h
+                         ELSE greatest(floor(in_h * {_RESIZE_MAX_SIDE}
+                                             / greatest(in_w, in_h)), 1)
+                    END AS BIGINT) AS out_h,
+               CAST(CASE WHEN greatest(in_w, in_h) <= {_RESIZE_MAX_SIDE}
+                         THEN in_w
+                         ELSE greatest(floor(in_w * {_RESIZE_MAX_SIDE}
+                                             / greatest(in_w, in_h)), 1)
+                    END
+                    * CASE WHEN greatest(in_w, in_h) <= {_RESIZE_MAX_SIDE}
+                           THEN in_h
+                           ELSE greatest(floor(in_h * {_RESIZE_MAX_SIDE}
+                                               / greatest(in_w, in_h)), 1)
+                      END * 3 AS BIGINT) AS out_bytes
+        FROM dims
+    """,
+)
+def multimodal_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE over Arrow batches: each batch's payload headers
+    are decoded in the Pandas worker (the stub decoder —
+    _decode_fake_header stands in for PIL/libjpeg, which this
+    environment cannot install), target dimensions are computed to fit
+    a {_RESIZE_MAX_SIDE}px bounding box preserving aspect ratio, and
+    the output-buffer size (RGB bytes) is planned per image. The
+    mapInPandas plumbing — schema, Arrow batching, binary column in,
+    typed metadata out — is real and oracle-checked against pure
+    arithmetic on the deterministic header values; only the pixel
+    resample itself is stubbed (it would run here, batch-local, with
+    the real codec). Completes the decode / feature-extract / resize /
+    frame-sample multimodal quartet (reference binary.parquet, R7)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(d).repartition(8, "doc_id")
+
+    def plan_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h = _decode_fake_header(bytes(payload))
+                side = max(w, h)
+                if side <= _RESIZE_MAX_SIDE:
+                    ow, oh = w, h
+                else:
+                    ow = max(w * _RESIZE_MAX_SIDE // side, 1)
+                    oh = max(h * _RESIZE_MAX_SIDE // side, 1)
+                # pixel resample stubbed: a real kernel would produce
+                # an ow*oh*3 buffer right here, batch-local
+                rows.append((doc_id, w, h, ow, oh, ow * oh * 3))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h", "out_bytes"
+                ],
+            )
+
+    return media.mapInPandas(
+        plan_batch,
+        "doc_id long, in_w long, in_h long, out_w long, out_h long, "
+        "out_bytes long",
+    )

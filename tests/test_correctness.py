@@ -152,6 +152,7 @@ ORACLE_QUERIES = [
     "pipeline_dq_rules",       # L: one-scan DQ rule engine
     "dedup_char_ngram_repeats",  # K: char-level repeated substrings
     "agg_mode_deterministic",  # D: tie-stable mode
+    "multimodal_image_resize_plan",  # K: Arrow-batched resize plan
 ]
 
 # rows-only queries: assert they run and return sane row counts
