@@ -30,12 +30,17 @@ from parquet_playground_spark.tables import load_table
 )
 def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global term + document frequencies (the TF/DF core of any corpus
-    statistic). explode -> groupBy(token): map-side combinable. The
-    _fanout rebalance spreads the single-split documents file across
-    all cores before the explode (same lesson as dedup: a sub-128MB
-    file is ONE task without it — 1.7 s -> 0.65 s cold at sf0.1)."""
+    statistic). explode -> groupBy(token): map-side combinable.
+
+    Deliberately NO _fanout here: the explode is cheap (string split,
+    no hashing), so at test scale the extra exchange's stage overhead
+    exceeds the single-split serialization it removes (measured cold
+    in fresh sessions: 1.93 s direct vs 2.34 s with fanout at sf0.1).
+    _fanout pays only when per-row compute is heavy (md5 per shingle
+    in dedup: 56 s -> 2.5 s); at 100 TB the source has thousands of
+    splits and the question disappears."""
     d = load_table(spark, sf_dir, "documents")
-    tok = _fanout(d).select(
+    tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     return tok.groupBy("tok").agg(
