@@ -883,9 +883,10 @@ def dedup_char_ngram_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.length("text") - _CHARGRAM_W + 1, F.lit(1)),
         F.lit(_CHARGRAM_STRIDE),
     )
+    # no _fanout: strided substring extraction is light (cold A/B tie;
+    # the exchange buys nothing — BENCH_local.md methodology note)
     grams = (
-        _fanout(d)
-        .select(
+        d.select(
             "doc_id",
             F.explode(
                 F.array_distinct(

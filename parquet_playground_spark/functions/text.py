@@ -403,9 +403,10 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals BEFORE ranking so the per-doc top-3 is engine-stable,
     with the term as the deterministic tie-break."""
     d = load_table(spark, sf_dir, "documents")
+    # no _fanout: split+explode is light; cold A/B in fresh sessions
+    # showed the extra exchange slightly net-negative (BENCH_local.md)
     tf = (
-        _fanout(d)
-        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -496,8 +497,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        _fanout(d)
-        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
         .filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
