@@ -322,3 +322,56 @@ def multimodal_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, in_w long, in_h long, out_w long, out_h long, "
         "out_bytes long",
     )
+
+
+_CAS_CHUNK = 64  # bytes per chunk
+
+
+@register(
+    "binary_chunk_store",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT md5(substr(text, CAST(i AS INTEGER), {_CAS_CHUNK})) AS ch
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, length(text) + 1,
+                                              {_CAS_CHUNK})) AS i)
+        )
+        SELECT count(*) AS total_chunks,
+               count(DISTINCT ch) AS unique_chunks,
+               count(*) - count(DISTINCT ch) AS dup_chunks,
+               round(1.0 - CAST(count(DISTINCT ch) AS DOUBLE) / count(*), 4)
+                   AS dedup_pct
+        FROM chunks
+    """,
+)
+def binary_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk store statistics: payloads split into
+    fixed {_CAS_CHUNK}-byte chunks, each addressed by md5 — duplicate
+    chunks across documents are stored ONCE (the rsync/CAS/blob-store
+    dedup model, the storage-layer complement of document-level
+    dedup_exact). Output is the capacity-planning summary: chunk
+    counts and the deduplication percentage. Chunking and hashing are
+    map-side (sequence + transform + explode); only the 16-byte chunk
+    hashes shuffle for the distinct count — at 100 TB the payload
+    bytes never leave their scan tasks. Reference tie: binary.parquet
+    / the write path's content-integrity discipline (R7)."""
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.length("text"), F.lit(_CAS_CHUNK)
+    )
+    chunks = d.select(
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.substring(F.col("text"), i, _CAS_CHUNK)),
+            )
+        ).alias("ch")
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.count_distinct("ch").alias("unique_chunks"),
+        (F.count(F.lit(1)) - F.count_distinct("ch")).alias("dup_chunks"),
+        F.round(
+            1.0 - F.count_distinct("ch").cast("double") / F.count(F.lit(1)), 4
+        ).alias("dedup_pct"),
+    )

@@ -1349,3 +1349,33 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count(F.lit(1)), 6
         ).alias("conversion_rate"),
     )
+
+
+@register(
+    "sql_inline_values_dim",
+    oracle="""
+        SELECT v.label, count(*) AS n, round(sum(o.o_totalprice), 4) AS total
+        FROM orders o
+        JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+             AS v(code, label)
+          ON o.o_orderstatus = v.code
+        GROUP BY v.label
+    """,
+)
+def sql_inline_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table as a join dimension: the code→label mapping
+    lives in the query text (no file, no temp table) — how small
+    lookup dims ship inside production SQL. Catalyst plans the
+    LocalRelation as a broadcast build side automatically; the fact
+    scan is the only I/O."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("iv_orders")
+    return spark.sql(
+        """
+        SELECT v.label, count(*) AS n, round(sum(o.o_totalprice), 4) AS total
+        FROM iv_orders o
+        JOIN VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending')
+             AS v(code, label)
+          ON o.o_orderstatus = v.code
+        GROUP BY v.label
+        """
+    )

@@ -153,6 +153,8 @@ ORACLE_QUERIES = [
     "dedup_char_ngram_repeats",  # K: char-level repeated substrings
     "agg_mode_deterministic",  # D: tie-stable mode
     "multimodal_image_resize_plan",  # K: Arrow-batched resize plan
+    "binary_chunk_store",      # K: CAS chunk dedup stats
+    "sql_inline_values_dim",   # D: inline VALUES broadcast dim
 ]
 
 # rows-only queries: assert they run and return sane row counts
