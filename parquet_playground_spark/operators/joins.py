@@ -336,3 +336,38 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@register(
+    "join_mark_existence",
+    oracle="""
+        SELECT c.c_custkey, c.c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        FROM customer c
+        WHERE c.c_custkey <= 700
+    """,
+)
+def join_mark_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join (existence flag): EXISTS used in the PROJECTION, not
+    the WHERE — every probe row survives, annotated with a boolean.
+    Catalyst plans an ExistenceJoin: like a semi-join but emitting the
+    match bit instead of filtering, so it stays one hash join (never a
+    per-row subquery) and never duplicates probe rows the way a
+    LEFT JOIN + IS NOT NULL would on multi-match keys. The standard
+    feature-flagging join of enrichment pipelines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "mk_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("mk_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               EXISTS (SELECT 1 FROM mk_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        FROM mk_customer c
+        WHERE c.c_custkey <= 700
+        """
+    )

@@ -75,3 +75,23 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
     )
     return _building(spark, sf_dir).subtract(big_buyers)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL: a customer appearing m times among
+    open orders and n times among finished ones appears min(m, n)
+    times — the multiplicity-preserving sibling of set_intersect
+    (which dedups). Spark plans it as a count-compare aggregate join,
+    one shuffle per side; no distinct pre-pass."""
+    o = load_table(spark, sf_dir, "orders")
+    open_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_side.intersectAll(fin_side)

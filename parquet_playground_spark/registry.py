@@ -165,6 +165,7 @@ _CHECK_ORDER = [
     "pipeline_dq_rules", "dedup_char_ngram_repeats",
     "agg_mode_deterministic", "multimodal_image_resize_plan",
     "binary_chunk_store", "sql_inline_values_dim",
+    "set_intersect_all", "join_mark_existence",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -155,6 +155,8 @@ ORACLE_QUERIES = [
     "multimodal_image_resize_plan",  # K: Arrow-batched resize plan
     "binary_chunk_store",      # K: CAS chunk dedup stats
     "sql_inline_values_dim",   # D: inline VALUES broadcast dim
+    "set_intersect_all",       # G: bag-semantics intersect
+    "join_mark_existence",     # C: ExistenceJoin mark flag
 ]
 
 # rows-only queries: assert they run and return sane row counts
