@@ -638,3 +638,52 @@ def seq_len_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "text_perplexity_proxy",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ), lm AS (
+            SELECT t, count(*) AS tf FROM tok GROUP BY t
+        ), tot AS (SELECT sum(tf) AS n_tokens FROM lm)
+        SELECT tok.doc_id,
+               count(*) AS n_tokens,
+               round(-sum(ln(CAST(lm.tf AS DOUBLE) / tot.n_tokens))
+                     / count(*), 6) AS avg_nll
+        FROM tok JOIN lm USING (t) CROSS JOIN tot
+        GROUP BY tok.doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy per document (CCNet-style
+    perplexity filtering, Wenzek et al. 2020): average negative
+    log-likelihood of each doc's tokens under the corpus unigram
+    distribution — high avg_nll = unusual token mix = candidate for
+    filtering. The LM is the vocab-sized frequency table (broadcast);
+    the doc pass joins against it and reduces. Both engines run the
+    same ln on the same ratios (shared libm on one box; at 1e-6
+    rounding the summation-order drift is far below the canon)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    lm = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    tot = lm.agg(F.sum("tf").alias("n_tokens"))
+    return (
+        tok.join(F.broadcast(lm), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.log(F.col("tf").cast("double") / F.col("n_tokens"))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

@@ -569,3 +569,81 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "incremental_variance_merge",
+    oracle="""
+        WITH partials AS (
+            SELECT date_trunc('month', o_orderdate) AS pmonth,
+                   count(*) AS n,
+                   sum(o_totalprice) AS s,
+                   var_pop(o_totalprice) * count(*) AS m2
+            FROM orders GROUP BY 1
+        ), g AS (
+            SELECT sum(n) AS n_total, sum(s) / sum(n) AS gmean FROM partials
+        ), merged AS (
+            SELECT g.n_total,
+                   (sum(p.m2) + sum(p.n * (p.s / p.n - g.gmean)
+                                    * (p.s / p.n - g.gmean))) / g.n_total
+                       AS var_merged
+            FROM partials p CROSS JOIN g
+            GROUP BY g.n_total
+        )
+        SELECT CAST(m.n_total AS BIGINT) AS n_total,
+               round(m.var_merged, 2) AS var_merged,
+               round(d.var_direct, 2) AS var_direct,
+               round(m.var_merged, 2) = round(d.var_direct, 2) AS consistent
+        FROM merged m
+        CROSS JOIN (SELECT var_pop(o_totalprice) AS var_direct FROM orders) d
+    """,
+)
+def incremental_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable second-moment statistics (parallel variance, Chan et
+    al.): per-month partials (n, sum, m2) are combined into the global
+    variance WITHOUT rescanning rows — m2_total = Σm2_i + Σn_i·(mean_i
+    − global_mean)², the algebra every incremental profiler /
+    monitoring rollup relies on (compute today's partial, merge with
+    90 stored partials, never touch old data). The query runs both
+    the merged path and the direct var_pop and proves they agree —
+    the re-aggregability contract itself is what's under test. At
+    100 TB the partials table is the only thing read on day N."""
+    o = load_table(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("pmonth")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        (F.var_pop("o_totalprice") * F.count(F.lit(1))).alias("m2"),
+    )
+    g = partials.agg(
+        F.sum("n").alias("n_total"),
+        (F.sum("s") / F.sum("n")).alias("gmean"),
+    )
+    mean_i = F.col("s") / F.col("n")
+    merged = (
+        partials.crossJoin(F.broadcast(g))
+        .groupBy("n_total")
+        .agg(
+            (
+                (
+                    F.sum("m2")
+                    + F.sum(
+                        F.col("n")
+                        * (mean_i - F.col("gmean"))
+                        * (mean_i - F.col("gmean"))
+                    )
+                )
+                / F.col("n_total")
+            ).alias("var_merged")
+        )
+    )
+    direct = o.agg(F.var_pop("o_totalprice").alias("var_direct"))
+    return merged.crossJoin(F.broadcast(direct)).select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round("var_merged", 2).alias("var_merged"),
+        F.round("var_direct", 2).alias("var_direct"),
+        (F.round("var_merged", 2) == F.round("var_direct", 2)).alias(
+            "consistent"
+        ),
+    )

@@ -157,6 +157,8 @@ ORACLE_QUERIES = [
     "sql_inline_values_dim",   # D: inline VALUES broadcast dim
     "set_intersect_all",       # G: bag-semantics intersect
     "join_mark_existence",     # C: ExistenceJoin mark flag
+    "text_perplexity_proxy",   # K: unigram-LM filtering signal
+    "incremental_variance_merge",  # L: mergeable second moments
 ]
 
 # rows-only queries: assert they run and return sane row counts
