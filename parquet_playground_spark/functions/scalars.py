@@ -959,3 +959,64 @@ def fn_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "|",
     )
     return o.select("o_orderkey", ser.alias("merged_ser"))
+
+
+@register(
+    "fn_xpath_extract",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS status_x,
+               CAST(o_custkey AS VARCHAR) AS cust_x,
+               o_orderpriority AS prio_x
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction over XML-typed strings (xpath_string): rows
+    serialize to a small XML doc, the xpath family pulls typed fields
+    back out — the in-row XML surface complementing the file-level XML
+    source (write_xml_roundtrip). Oracle states the original values:
+    any serialization or path-evaluation drift breaks the roundtrip.
+    JVM-side (javax.xml), no Python."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    xml = F.concat(
+        F.lit("<order><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><cust>"),
+        F.col("o_custkey").cast("string"),
+        F.lit("</cust><prio>"),
+        F.col("o_orderpriority"),
+        F.lit("</prio></order>"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.xpath_string(xml, F.lit("/order/status")).alias("status_x"),
+        F.xpath_string(xml, F.lit("/order/cust")).alias("cust_x"),
+        F.xpath_string(xml, F.lit("/order/prio")).alias("prio_x"),
+    )
+
+
+@register(
+    "fn_number_format_roundtrip",
+    oracle="""
+        SELECT o_orderkey,
+               round(o_totalprice, 2) AS parsed_back,
+               TRUE AS matches
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def fn_number_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-format number egestion/ingestion: to_char renders a
+    decimal with an explicit picture format, to_number parses it back
+    — the fixed-format export/import cycle (bank files, mainframe
+    feeds) that plain casts can't express. The roundtrip must recover
+    the original to the cent; the oracle states it. JVM-side."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    amount = F.round("o_totalprice", 2).cast("decimal(12,2)")
+    formatted = F.to_char(amount, F.lit("999999999.99"))
+    parsed = F.to_number(F.trim(formatted), F.lit("999999999.99"))
+    return o.select(
+        "o_orderkey",
+        parsed.cast("double").alias("parsed_back"),
+        (parsed == amount).alias("matches"),
+    )

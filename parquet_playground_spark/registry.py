@@ -167,6 +167,7 @@ _CHECK_ORDER = [
     "binary_chunk_store", "sql_inline_values_dim",
     "set_intersect_all", "join_mark_existence",
     "text_perplexity_proxy", "incremental_variance_merge",
+    "fn_xpath_extract", "fn_number_format_roundtrip",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

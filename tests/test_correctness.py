@@ -159,6 +159,8 @@ ORACLE_QUERIES = [
     "join_mark_existence",     # C: ExistenceJoin mark flag
     "text_perplexity_proxy",   # K: unigram-LM filtering signal
     "incremental_variance_merge",  # L: mergeable second moments
+    "fn_xpath_extract",        # H: in-row XML xpath family
+    "fn_number_format_roundtrip",  # H: to_char/to_number cycle
 ]
 
 # rows-only queries: assert they run and return sane row counts
