@@ -910,3 +910,125 @@ def dedup_char_ngram_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _CHARGRAM_TOPK)
         .select("g", "n_docs", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+_LSH_EVAL_THRESHOLD = 0.5
+
+_EXACT_PAIRS_05_SQL = f"""
+            WITH sh0 AS ({_SHINGLES_SQL}),
+            shf AS (
+                SELECT doc_id, shingle FROM sh0
+                WHERE shingle IN (
+                    SELECT shingle FROM sh0
+                    GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+                )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+                FROM shf x JOIN shf y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                  >= {_LSH_EVAL_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=f"""
+        WITH truth AS ({_EXACT_PAIRS_05_SQL}),
+        pred AS (
+            SELECT a, b FROM ({_FUZZY_MINHASH_ORACLE})
+            WHERE est_jaccard >= {_LSH_EVAL_THRESHOLD}
+        ),
+        m AS (
+            SELECT coalesce(t.a, p.a) AS a,
+                   t.a IS NOT NULL AS in_truth,
+                   p.a IS NOT NULL AS in_pred
+            FROM truth t FULL OUTER JOIN pred p
+              ON t.a = p.a AND t.b = p.b
+        )
+        SELECT count(*) FILTER (WHERE in_truth AND in_pred) AS tp,
+               count(*) FILTER (WHERE in_pred AND NOT in_truth) AS fp,
+               count(*) FILTER (WHERE in_truth AND NOT in_pred) AS fn,
+               round(CAST(count(*) FILTER (WHERE in_truth AND in_pred)
+                          AS DOUBLE)
+                     / nullif(count(*) FILTER (WHERE in_pred), 0), 4)
+                   AS precision_,
+               round(CAST(count(*) FILTER (WHERE in_truth AND in_pred)
+                          AS DOUBLE)
+                     / nullif(count(*) FILTER (WHERE in_truth), 0), 4)
+                   AS recall_
+        FROM m
+    """,
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality self-evaluation: the banded-MinHash candidate set
+    (est_jaccard >= 0.5) scored against exact shingle-set jaccard >=
+    0.5 as ground truth — TP/FP/FN with precision/recall. The
+    calibration every production near-dedup pipeline runs on a sample
+    before trusting the bands at full scale (the oracle-checked
+    sibling of sim_search_ann_recall). Both sides are deterministic
+    md5-derived pipelines, so the confusion matrix itself is
+    hash-checked across engines."""
+    truth = _jaccard_edges_at(spark, sf_dir, _LSH_EVAL_THRESHOLD)
+    pred = dedup_fuzzy_minhash(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _LSH_EVAL_THRESHOLD
+    ).select("a", "b")
+    m = truth.withColumn("in_truth", F.lit(True)).join(
+        pred.withColumn("in_pred", F.lit(True)), ["a", "b"], "full_outer"
+    )
+    in_t = F.coalesce(F.col("in_truth"), F.lit(False))
+    in_p = F.coalesce(F.col("in_pred"), F.lit(False))
+    tp = F.sum((in_t & in_p).cast("long"))
+    fp = F.sum((in_p & ~in_t).cast("long"))
+    fn = F.sum((in_t & ~in_p).cast("long"))
+    return m.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 4).alias(
+            "precision_"
+        ),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 4).alias(
+            "recall_"
+        ),
+    )
+
+
+def _jaccard_edges_at(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """_jaccard_edges generalized to an arbitrary jaccard threshold."""
+    d = load_table(spark, sf_dir, "documents")
+    sh0 = _shingles(d)
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.select(F.col("doc_id").alias("a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "a").join(sb, "b").filter(jac >= threshold)
+        .select("a", "b")
+    )

@@ -348,3 +348,29 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce_group,
         "l_returnflag string, n long, total double, price_range double",
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+        SELECT o_orderkey,
+               round(sqrt(o_totalprice), 4) AS root_price
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (useArrow=True, Spark 3.5+): same
+    row-wise author experience as udf_python_scalar but the data
+    crosses in Arrow batches instead of pickled rows — the migration
+    switch that removes most of the classic Python-UDF tax without
+    rewriting to pandas_udf. Deterministic math, so the inline-SQL
+    oracle checks it exactly."""
+    import math
+
+    root = F.udf(
+        lambda x: round(math.sqrt(x), 4), "double", useArrow=True
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey", root(F.col("o_totalprice")).alias("root_price")
+    )

@@ -461,3 +461,55 @@ def pipeline_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(rule_name, n_checked, n_violations)"
         )
     ).withColumn("passed", F.col("n_violations") == 0)
+
+
+@register(
+    "zorder_prune_selectivity",
+    oracle=f"""
+        WITH z AS (
+            SELECT o_orderkey, {_ZX} AS bx,
+                   {_morton_sql(_ZX, _ZY)} AS zcode
+            FROM orders
+        ), chunked AS (
+            SELECT *, ntile({_Z_CHUNKS}) OVER (ORDER BY zcode, o_orderkey)
+                       AS chunk
+            FROM z
+        )
+        SELECT CAST({_Z_CHUNKS} AS BIGINT) AS n_chunks_total,
+               CAST(count(DISTINCT CASE WHEN bx IN (3, 4) THEN chunk END)
+                    AS BIGINT) AS n_chunks_with_matches,
+               count(*) FILTER (WHERE bx IN (3, 4)) AS n_rows_matched,
+               round(1.0 - CAST(count(DISTINCT CASE WHEN bx IN (3, 4)
+                                                    THEN chunk END)
+                                AS DOUBLE) / {_Z_CHUNKS}, 4) AS prune_pct
+        FROM chunked
+    """,
+)
+def zorder_prune_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order layout's PAYOFF, quantified: for a 2-of-16
+    customer-bucket predicate, how many of the {_Z_CHUNKS} Morton
+    chunks contain any matching row — every other chunk is skipped
+    outright by file/row-group min-max stats (reference row-group
+    pruning, MutableParquetMetadata.java:35-49). On a random layout
+    the predicate touches ~every chunk; on the Morton layout it
+    touches the few whose interleaved range covers those buckets —
+    prune_pct IS the fraction of the table the query never reads.
+    Companion of zorder_morton_layout (which emits the envelopes this
+    one evaluates)."""
+    o = load_table(spark, sf_dir, "orders")
+    z = o.selectExpr(
+        "o_orderkey", f"{_ZX} AS bx", f"{_morton_sql(_ZX, _ZY)} AS zcode"
+    )
+    w = Window.orderBy("zcode", "o_orderkey")
+    chunked = z.withColumn("chunk", F.ntile(_Z_CHUNKS).over(w))
+    match_chunk = F.when(F.col("bx").isin(3, 4), F.col("chunk"))
+    return chunked.agg(
+        F.lit(_Z_CHUNKS).cast("bigint").alias("n_chunks_total"),
+        F.count_distinct(match_chunk).cast("bigint").alias(
+            "n_chunks_with_matches"
+        ),
+        F.sum(F.col("bx").isin(3, 4).cast("long")).alias("n_rows_matched"),
+        F.round(
+            1.0 - F.count_distinct(match_chunk).cast("double") / _Z_CHUNKS, 4
+        ).alias("prune_pct"),
+    )

@@ -161,6 +161,9 @@ ORACLE_QUERIES = [
     "incremental_variance_merge",  # L: mergeable second moments
     "fn_xpath_extract",        # H: in-row XML xpath family
     "fn_number_format_roundtrip",  # H: to_char/to_number cycle
+    "dedup_lsh_eval",          # K: LSH precision/recall calibration
+    "zorder_prune_selectivity",  # L: quantified layout payoff
+    "udf_arrow_optimized",     # J: useArrow=True scalar UDF
 ]
 
 # rows-only queries: assert they run and return sane row counts
