@@ -473,3 +473,76 @@ def anonymize_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("group_size"),
         (F.count(F.lit(1)) >= _K_ANON).alias("meets_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dataset_card
+
+
+@register(
+    "corpus_dataset_card",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   length(text) AS n_chars,
+                   md5(lower(trim(text))) AS chash
+            FROM documents
+        ),
+        lang_top AS (
+            SELECT lang, count(*) AS n
+            FROM toks GROUP BY lang
+            ORDER BY n DESC, lang LIMIT 1
+        )
+        SELECT count(*) AS n_docs,
+               count(DISTINCT t.lang) AS n_langs,
+               CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(t.n_chars) AS BIGINT) AS total_chars,
+               round(avg(t.n_tokens), 4) AS avg_doc_tokens,
+               round(quantile_cont(t.n_tokens, 0.5), 4) AS p50_tokens,
+               round(quantile_cont(t.n_tokens, 0.9), 4) AS p90_tokens,
+               count(*) - count(DISTINCT t.chash) AS n_exact_dups,
+               max(l.lang) AS top_lang,
+               round(CAST(max(l.n) AS DOUBLE) / count(*), 4)
+                   AS top_lang_share
+        FROM toks t CROSS JOIN lang_top l
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-query DATASET CARD: the summary block a data platform
+    publishes with every corpus release — volume (docs / tokens /
+    chars), language diversity and dominance, length distribution
+    (mean, p50, p90 exact percentiles), and the exact-duplicate count.
+    Composes the building blocks (token counting, content hashing,
+    percentiles) into a single pass plus a langs-sized top-1 — at
+    100 TB this is ONE scan producing the entire card. Exact
+    percentiles use Spark `percentile` == DuckDB `quantile_cont`."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("chash"),
+    )
+    lang_top = (
+        toks.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "lang")
+        .limit(1)
+    )
+    return toks.crossJoin(F.broadcast(lang_top.withColumnsRenamed(
+        {"lang": "tl", "n": "tn"}
+    ))).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_doc_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("chash")).alias("n_exact_dups"),
+        F.max("tl").alias("top_lang"),
+        F.round(F.max("tn").cast("double") / F.count(F.lit(1)), 4).alias(
+            "top_lang_share"
+        ),
+    )

@@ -164,6 +164,7 @@ ORACLE_QUERIES = [
     "dedup_lsh_eval",          # K: LSH precision/recall calibration
     "zorder_prune_selectivity",  # L: quantified layout payoff
     "udf_arrow_optimized",     # J: useArrow=True scalar UDF
+    "corpus_dataset_card",     # K: one-scan release summary
 ]
 
 # rows-only queries: assert they run and return sane row counts
