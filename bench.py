@@ -40,6 +40,8 @@ HEADLINE = [
     "text_tokenize_counts",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "dedup_incremental_lsh",
+    "text_bm25_search",
     "sim_search_cosine_topk",
     "flatten_multimap",
     "stream_tumbling_count",
