@@ -169,7 +169,7 @@ _CHECK_ORDER = [
     "text_perplexity_proxy", "incremental_variance_merge",
     "fn_xpath_extract", "fn_number_format_roundtrip",
     "dedup_lsh_eval", "zorder_prune_selectivity", "udf_arrow_optimized",
-    "corpus_dataset_card",
+    "corpus_dataset_card", "stream_stream_left_outer",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -759,3 +759,100 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(final_count), int(second_in), bool(exactly_once))],
         "n_total bigint, n_second_run_input bigint, exactly_once boolean",
     )
+
+
+_SSLO_DELAY_SEC = 1800  # 30-minute watermark on both sides
+_SSLO_WINDOW_SEC = 7200  # views match purchases within 2 hours
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle=f"""
+        WITH v AS (
+            SELECT user_id, event_id AS view_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS v_sec
+            FROM events WHERE event_type = 'view'
+        ), p AS (
+            SELECT user_id, event_id AS purchase_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_sec
+            FROM events WHERE event_type = 'purchase'
+        ), cut AS (
+            SELECT CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+                   - {2 * _SSLO_DELAY_SEC} AS c
+            FROM events
+        )
+        SELECT j.user_id, j.view_id, j.purchase_id, j.v_sec
+        FROM (
+            SELECT v.user_id, v.view_id, p.purchase_id, v.v_sec
+            FROM v LEFT JOIN p
+              ON v.user_id = p.user_id
+             AND p.p_sec > v.v_sec
+             AND p.p_sec <= v.v_sec + {_SSLO_WINDOW_SEC}
+        ) j CROSS JOIN cut
+        WHERE j.purchase_id IS NOT NULL
+           OR j.v_sec + {_SSLO_WINDOW_SEC} < cut.c
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: views match purchases
+    of the same user within 2 hours; a view with NO purchase is
+    emitted with nulls once the watermark proves no future match can
+    arrive — the state-EVICTION-driven null emission that makes outer
+    joins possible on unbounded streams (inner: stream_stream_join).
+
+    Delivery timing of nulls near the final watermark is micro-batch-
+    boundary-dependent (Spark finalizes some boundary-band rows one
+    batch late — same engine behavior stream_watermark_late pins), so
+    the query post-filters to the DETERMINISTIC region: matched rows
+    always; null rows only when their whole match window closed at
+    least one extra watermark-delay before end-of-input. Everything
+    the oracle sees is then exactly reproducible; the boundary band —
+    a delivery-timing artifact, not a correctness one — is excluded on
+    both sides by the same static cutoff."""
+    staged = _stage_events(spark, sf_dir)
+    views = (
+        _read_stream(spark, staged)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.date_trunc("second", "ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", f"{_SSLO_DELAY_SEC} seconds")
+    )
+    purchases = (
+        _read_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.date_trunc("second", "ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{_SSLO_DELAY_SEC} seconds")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user = p_user AND p_ts > v_ts "
+            f"AND p_ts <= v_ts + interval {_SSLO_WINDOW_SEC} seconds"
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.unix_timestamp("v_ts").alias("v_sec"),
+    )
+    out = _run_to_table(joined, "append")
+    # static cutoff from the same input (driver-side scalar, staging
+    # plumbing like the other stream queries)
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_timestamp(F.date_trunc("second", "ts"))))
+        .collect()[0][0]
+    )
+    cutoff = int(mx) - 2 * _SSLO_DELAY_SEC
+    return out.filter(
+        F.col("purchase_id").isNotNull()
+        | (F.col("v_sec") + _SSLO_WINDOW_SEC < F.lit(cutoff))
+    )

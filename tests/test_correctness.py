@@ -165,6 +165,7 @@ ORACLE_QUERIES = [
     "zorder_prune_selectivity",  # L: quantified layout payoff
     "udf_arrow_optimized",     # J: useArrow=True scalar UDF
     "corpus_dataset_card",     # K: one-scan release summary
+    "stream_stream_left_outer",  # I: eviction-driven null emission
 ]
 
 # rows-only queries: assert they run and return sane row counts
