@@ -422,3 +422,67 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+_WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "events_wau_rolling",
+    oracle=f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                       AS day_no
+            FROM events
+        ), days AS (
+            SELECT DISTINCT day_no FROM ud
+        )
+        SELECT d.day_no,
+               count(DISTINCT CASE WHEN u.day_no = d.day_no
+                                   THEN u.user_id END) AS dau,
+               count(DISTINCT u.user_id) AS wau,
+               round(CAST(count(DISTINCT CASE WHEN u.day_no = d.day_no
+                                              THEN u.user_id END) AS DOUBLE)
+                     / count(DISTINCT u.user_id), 4) AS stickiness
+        FROM days d
+        JOIN ud u ON u.day_no BETWEEN d.day_no - {_WAU_WINDOW_DAYS - 1}
+                                  AND d.day_no
+        GROUP BY d.day_no
+    """,
+)
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling active-user metrics: per day, DAU and trailing-7-day
+    WAU with the DAU/WAU stickiness ratio — the engagement dashboard's
+    core series. Distinct-users-over-a-sliding-window has no window-
+    function form, so it runs as the standard two-step: dedupe to
+    (user, day) pairs (one shuffle, map-combinable), then a bounded
+    range join of the tiny day spine against user-days (each pair
+    lands in ≤ {_WAU_WINDOW_DAYS} windows — fan-out is the window
+    length, never the data size) and a distinct count per day. At
+    100 TB the user-day dedup is the big pass; everything after runs
+    on |users|x|days| which is orders smaller than the event log."""
+    e = load_table(spark, sf_dir, "events")
+    day_no = F.floor(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+    ).cast("bigint")
+    ud = e.select("user_id", day_no.alias("day_no")).distinct()
+    days = ud.select("day_no").distinct()
+    j = days.alias("d").join(
+        ud.alias("u"),
+        F.col("u.day_no").between(
+            F.col("d.day_no") - (_WAU_WINDOW_DAYS - 1), F.col("d.day_no")
+        ),
+    )
+    dau_user = F.when(
+        F.col("u.day_no") == F.col("d.day_no"), F.col("u.user_id")
+    )
+    return j.groupBy(F.col("d.day_no").alias("day_no")).agg(
+        F.count_distinct(dau_user).alias("dau"),
+        F.count_distinct(F.col("u.user_id")).alias("wau"),
+        F.round(
+            F.count_distinct(dau_user).cast("double")
+            / F.count_distinct(F.col("u.user_id")),
+            4,
+        ).alias("stickiness"),
+    )

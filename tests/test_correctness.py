@@ -166,6 +166,7 @@ ORACLE_QUERIES = [
     "udf_arrow_optimized",     # J: useArrow=True scalar UDF
     "corpus_dataset_card",     # K: one-scan release summary
     "stream_stream_left_outer",  # I: eviction-driven null emission
+    "events_wau_rolling",      # TS: sliding distinct actives
 ]
 
 # rows-only queries: assert they run and return sane row counts
