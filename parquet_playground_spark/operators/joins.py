@@ -371,3 +371,100 @@ def join_mark_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 700
         """
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH p AS (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_sec,
+                   min(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, date_trunc('second', ts)
+        ), e AS (
+            SELECT user_id, event_id AS error_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS e_sec
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT e.user_id, e.error_id, e.e_sec,
+               n.purchase_id, n.delta_sec
+        FROM e LEFT JOIN LATERAL (
+            SELECT p.purchase_id, p.p_sec - e.e_sec AS delta_sec
+            FROM p
+            WHERE p.user_id = e.user_id
+            ORDER BY abs(p.p_sec - e.e_sec) ASC, p.p_sec ASC
+            LIMIT 1
+        ) n ON TRUE
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join (bidirectional): each error event is
+    matched to the closest purchase of the same user in EITHER time
+    direction, ties to the earlier one — the sensor-alignment /
+    incident-correlation variant that backward-only as-of (join_asof)
+    can't express. Implementation is the linear union-tag composition
+    run twice over ONE (user, time) ordering: running last() gives the
+    backward candidate, first() over the following frame gives the
+    forward one, and a comparison picks the closer — one shuffle,
+    never a range-join blowup. Per-second candidates are pre-deduped
+    (min id) so tie-breaks are engine-exact; the oracle is the
+    per-row LATERAL nearest-1 spec."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", sec.alias("t_sec"))
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            "user_id",
+            "t_sec",
+            F.struct(F.col("t_sec").alias("p_sec"), "purchase_id").alias(
+                "cand"
+            ),
+            F.lit(None).cast("long").alias("error_id"),
+        )
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        sec.alias("t_sec"),
+        F.lit(None)
+        .cast("struct<p_sec:bigint,purchase_id:bigint>")
+        .alias("cand"),
+        F.col("event_id").alias("error_id"),
+    )
+    # purchases sort before errors at equal second (tag 0 < 1), so an
+    # exact-tie purchase is the backward candidate with delta 0
+    tagged = purchases.withColumn("tag", F.lit(0)).unionByName(
+        errors.withColumn("tag", F.lit(1))
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("t_sec", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t_sec", "tag")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    enriched = tagged.select(
+        "user_id",
+        "error_id",
+        F.col("t_sec").alias("e_sec"),
+        F.last("cand", ignorenulls=True).over(w_back).alias("back"),
+        F.first("cand", ignorenulls=True).over(w_fwd).alias("fwd"),
+    ).filter(F.col("error_id").isNotNull())
+    d_back = F.col("e_sec") - F.col("back.p_sec")
+    d_fwd = F.col("fwd.p_sec") - F.col("e_sec")
+    pick_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (d_back <= d_fwd)
+    )
+    chosen = F.when(pick_back, F.col("back")).otherwise(F.col("fwd"))
+    return enriched.select(
+        "user_id",
+        "error_id",
+        "e_sec",
+        chosen.getField("purchase_id").alias("purchase_id"),
+        (chosen.getField("p_sec") - F.col("e_sec")).alias("delta_sec"),
+    )

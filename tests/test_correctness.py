@@ -167,6 +167,7 @@ ORACLE_QUERIES = [
     "corpus_dataset_card",     # K: one-scan release summary
     "stream_stream_left_outer",  # I: eviction-driven null emission
     "events_wau_rolling",      # TS: sliding distinct actives
+    "join_asof_nearest",       # C: bidirectional nearest as-of
 ]
 
 # rows-only queries: assert they run and return sane row counts
