@@ -546,3 +546,53 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_lang_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical
+
+_MESSY_URL_SQL = """
+    concat('https://',
+           CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM'
+                ELSE 'www.example.com' END,
+           '/', source, '?id=', CAST(doc_id % 7 AS VARCHAR),
+           CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END,
+           CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+        SELECT concat('https://www.example.com/', source,
+                      '?id=', CAST(doc_id % 7 AS VARCHAR)) AS canonical_url,
+               count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS min_doc
+        FROM documents
+        GROUP BY source, doc_id % 7
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: messy crawl URLs (mixed-case hosts,
+    utm tracking params, fragments — injected deterministically) are
+    REDUCED through a real parse-and-rebuild pipeline (parse_url HOST
+    lowercased + PATH + the id query param only) and grouped by the
+    canonical form — the first dedup pass of every web corpus, where
+    byte-level hashing would miss trivially-different fetches of the
+    same page. The ORACLE constructs the canonical form directly from
+    the generating fields, so the whole Spark parse/strip/rebuild
+    chain is what's under test. Map-side canonicalization; the
+    shuffle carries canonical keys only."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.expr(_MESSY_URL_SQL.replace("AS VARCHAR", "AS STRING"))
+    canonical = F.concat(
+        F.lit("https://"),
+        F.lower(F.parse_url(url, F.lit("HOST"))),
+        F.parse_url(url, F.lit("PATH")),
+        F.lit("?id="),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")),
+    )
+    return d.groupBy(canonical.alias("canonical_url")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+    )

@@ -171,6 +171,7 @@ _CHECK_ORDER = [
     "dedup_lsh_eval", "zorder_prune_selectivity", "udf_arrow_optimized",
     "corpus_dataset_card", "stream_stream_left_outer",
     "events_wau_rolling", "join_asof_nearest",
+    "dedup_url_canonical", "write_json_gzip_roundtrip",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -405,3 +405,32 @@ def write_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "write_json_gzip_roundtrip",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def write_json_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed TEXT interchange: JSON-lines written with gzip codec
+    and re-read through the schema'd JSON reader — the log-shipping
+    format (parquet codecs are covered by write_codec_matrix; text
+    formats compress per-FILE, which is why gzip json is splittable
+    only at file granularity — the docstring caveat that shapes 100 TB
+    ingest layouts: many medium gzip files, never one giant one). The
+    re-read aggregate must equal the source."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    out = _tmp("orders_json_gz")
+    o.write.mode("overwrite").option("compression", "gzip").json(out)
+    back = spark.read.schema("o_orderkey long, o_orderstatus string").json(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

@@ -168,6 +168,8 @@ ORACLE_QUERIES = [
     "stream_stream_left_outer",  # I: eviction-driven null emission
     "events_wau_rolling",      # TS: sliding distinct actives
     "join_asof_nearest",       # C: bidirectional nearest as-of
+    "dedup_url_canonical",     # K: parse/strip/rebuild URL dedup
+    "write_json_gzip_roundtrip",  # A: compressed text interchange
 ]
 
 # rows-only queries: assert they run and return sane row counts
