@@ -647,3 +647,74 @@ def incremental_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "consistent"
         ),
     )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+        SELECT o_orderpriority AS o_orderpriority_o_orderstatus,
+               count(*) FILTER (o_orderstatus = 'F') AS "F",
+               count(*) FILTER (o_orderstatus = 'O') AS "O",
+               count(*) FILTER (o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via DataFrame.stat.crosstab — the pairwise
+    frequency API (priority x order-status here). crosstab names the
+    first column 'col1_col2' and one column per distinct value of
+    col2; the oracle pins that exact contract with FILTERed counts.
+
+    Scale shape: crosstab plans a single partial+final hash aggregate
+    on (col1, col2) followed by a driver-side pivot over |distinct
+    col2| columns — safe whenever col2's cardinality is small (3
+    states here). Counts come back as bigint."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    # crosstab returns counts as long but the value columns arrive in
+    # data-dependent order; project a fixed order for schema stability.
+    return ct.select("o_orderpriority_o_orderstatus", "F", "O", "P")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT r_name, count(DISTINCT c_custkey) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via mergeable roaring-style bitmaps
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_or_agg / bitmap_count, Spark 3.5+): per (region, bucket)
+    each worker builds a bitmap of the key positions it saw, bitmaps
+    OR-merge associatively, and popcounts sum to the exact distinct
+    count.
+
+    This is the scale answer when approx_count_distinct isn't allowed:
+    count(DISTINCT key) plans an expand+re-shuffle of every raw row,
+    while the bitmap tree shuffles only fixed-size bitmap partials per
+    (group, bucket) — same mergeability story as HLL but exact. The
+    oracle is the plain count(DISTINCT): any bucket/position bug
+    changes a count and fails the hash."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name")
+    )
+    keyed = c.join(dim, c.c_nationkey == F.col("n_nationkey")).select(
+        "r_name", F.col("c_custkey").cast("long").alias("k")
+    )
+    per_bucket = keyed.groupBy(
+        "r_name", F.expr("bitmap_bucket_number(k)").alias("bucket")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"))
+    merged = per_bucket.groupBy("r_name", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("r_name").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
+    )

@@ -486,3 +486,150 @@ def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("stickiness"),
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+        WITH per_min AS (
+            SELECT date_trunc('minute', ts) AS minute, count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        lags AS (SELECT unnest([1, 2, 3]) AS lag_min),
+        pairs AS (
+            SELECT l.lag_min, a.cnt AS x, b.cnt AS y
+            FROM per_min a
+            CROSS JOIN lags l
+            JOIN per_min b ON b.minute = a.minute + to_minutes(l.lag_min)
+        )
+        SELECT lag_min,
+               round(corr(x, y), 4) AS autocorr,
+               count(*) AS n_pairs
+        FROM pairs GROUP BY lag_min
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..3 minutes) of the per-minute event
+    count series.
+
+    Scale shape: the series is first reduced to one row per minute
+    (map-combinable count), then the lagged pairing is a self-EQUI-join
+    on the shifted timestamp — not a global ORDER BY window — so the
+    pairing shuffles on minute and parallelizes at any series length.
+    corr() is an algebraic aggregate (sums of x, y, xy, x2, y2), fully
+    map-combinable. Missing minutes simply produce no pair, matching
+    the oracle's join semantics."""
+    e = load_table(spark, sf_dir, "events")
+    per_min = e.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag_min"))
+    a = per_min.alias("a").crossJoin(F.broadcast(lags)).withColumn(
+        "shifted", F.expr("a.minute + make_interval(0, 0, 0, 0, 0, lag_min, 0)")
+    )
+    b = per_min.alias("b")
+    pairs = a.join(b, F.col("shifted") == F.col("b.minute"), "inner")
+    return pairs.groupBy("lag_min").agg(
+        F.round(F.corr(F.col("a.cnt"), F.col("b.cnt")), 4).alias("autocorr"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+@register(
+    "ts_seasonal_baseline",
+    oracle="""
+        WITH per_hour AS (
+            SELECT date_trunc('hour', ts) AS hour_ts,
+                   isodow(ts) - 1 AS dow,
+                   extract(hour FROM ts) AS hod,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT dow, hod,
+               count(*) AS n_hours,
+               round(avg(cnt), 4) AS avg_cnt,
+               max(cnt) AS max_cnt
+        FROM per_hour GROUP BY dow, hod
+    """,
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal profile: average hourly event volume per
+    (day-of-week, hour-of-day) cell — the baseline a seasonal anomaly
+    detector subtracts before thresholding.
+
+    Day-of-week parity trap: Spark's dayofweek() is 1=Sunday while
+    DuckDB's dayofweek() is 0=Sunday; both engines agree on ISO
+    numbering, so this uses Spark weekday() (0=Monday) == DuckDB
+    isodow()-1. Two map-combinable aggregations (hour cells, then a
+    168-row profile); nothing here grows with data volume except the
+    first pass."""
+    e = load_table(spark, sf_dir, "events")
+    per_hour = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_hour.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.max("cnt").alias("max_cnt"),
+    )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+        WITH per_hour AS (
+            SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        med AS (SELECT median(cnt) AS med FROM per_hour),
+        mad AS (
+            SELECT median(abs(cnt - med)) AS mad
+            FROM per_hour CROSS JOIN med
+        )
+        SELECT hour_ts, cnt,
+               round((cnt - med) / (1.4826 * nullif(mad, 0)), 2) AS robust_z
+        FROM per_hour CROSS JOIN med CROSS JOIN mad
+        WHERE abs(cnt - med) > 3 * 1.4826 * mad
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging via median absolute deviation: hours
+    whose count deviates from the series median by more than 3 scaled
+    MADs (1.4826*MAD estimates sigma under normality). Unlike the
+    mean/stddev z-score (ts_anomaly_zscore), the threshold itself is
+    outlier-resistant — one huge spike can't inflate sigma and mask
+    the rest. Hour buckets (not minutes): the testdata's per-minute
+    counts are near-constant, which makes MAD degenerate to 0;
+    try_divide/nullif keeps even that case well-defined (NULL score)
+    on both engines.
+
+    Scale shape: two scalar reductions (median, then median of
+    deviations) each broadcast back as a 1-row dimension; the flagging
+    pass is a narrow filter over the per-hour aggregate. median()
+    over the hour-level series is a sort of |hours| rows, not of raw
+    events."""
+    e = load_table(spark, sf_dir, "events")
+    per_hour = e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    med = per_hour.agg(F.median("cnt").alias("med"))
+    with_med = per_hour.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.median(F.abs(F.col("cnt") - F.col("med"))).alias("mad")
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("cnt") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "hour_ts",
+            "cnt",
+            F.round(
+                F.try_divide(
+                    F.col("cnt") - F.col("med"), 1.4826 * F.col("mad")
+                ),
+                2,
+            ).alias("robust_z"),
+        )
+    )

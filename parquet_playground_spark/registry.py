@@ -172,6 +172,8 @@ _CHECK_ORDER = [
     "corpus_dataset_card", "stream_stream_left_outer",
     "events_wau_rolling", "join_asof_nearest",
     "dedup_url_canonical", "write_json_gzip_roundtrip",
+    "ts_autocorrelation", "ts_seasonal_baseline", "ts_anomaly_mad",
+    "stat_crosstab", "agg_bitmap_distinct",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -170,6 +170,11 @@ ORACLE_QUERIES = [
     "join_asof_nearest",       # C: bidirectional nearest as-of
     "dedup_url_canonical",     # K: parse/strip/rebuild URL dedup
     "write_json_gzip_roundtrip",  # A: compressed text interchange
+    "ts_autocorrelation",      # TS: lag-k self-equi-join correlation
+    "ts_seasonal_baseline",    # TS: dow/hod weekly profile
+    "ts_anomaly_mad",          # TS: robust MAD thresholding
+    "stat_crosstab",           # D: df.stat.crosstab contingency table
+    "agg_bitmap_distinct",     # D: exact mergeable-bitmap distinct
 ]
 
 # rows-only queries: assert they run and return sane row counts
