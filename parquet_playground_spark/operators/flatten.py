@@ -116,3 +116,26 @@ def flatten_multimap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", F.when(F.col("value") == "", None).otherwise(F.col("value")).alias("value")
     )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+        SELECT p_partkey,
+               generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos,
+               unnest(string_split(p_name, ' ')) AS word
+        FROM part WHERE p_partkey <= 200
+    """,
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: split p_name into words and emit (position,
+    word) pairs, 0-based — the ordinal matters whenever downstream
+    logic reconstructs or windows over token order (seq labeling,
+    n-gram positions). DuckDB mirrors with generate_subscripts(arr,1)
+    paired with unnest in the same SELECT (both iterate the list in
+    lockstep). Narrow generate, no shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    )

@@ -468,3 +468,68 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.getField("purchase_id").alias("purchase_id"),
         (chosen.getField("p_sec") - F.col("e_sec")).alias("delta_sec"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH spans AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM events GROUP BY 1, 2
+        ),
+        errs AS (
+            SELECT date_trunc('hour', ts) AS h, count(*) AS c
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ),
+        incidents AS (
+            SELECT h FROM errs WHERE c >= (SELECT 1.5 * avg(c) FROM errs)
+        )
+        SELECT s.user_id, s.day, count(*) AS n_incident_hours
+        FROM spans s JOIN incidents i
+          ON s.s_start < i.h + INTERVAL 1 HOUR AND i.h <= s.s_end
+        GROUP BY s.user_id, s.day
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, binned to an equi-join: which user-day
+    activity spans [min ts, max ts] overlap error-incident hours
+    (hours with >= 1.5x the average error volume)?
+
+    A naive overlap join (a.start < b.end AND b.start < a.end) plans
+    BroadcastNestedLoop/cartesian — quadratic at scale. Binning maps
+    it to shuffle-friendly form: each span explodes into the hour bins
+    it covers (bounded fan-out: <= 24 per user-day), each incident IS
+    one bin, and overlap becomes bin equality — a plain hash join.
+    Because incidents are exactly bin-aligned, the equi-join is
+    lossless vs the theta form (the oracle states the theta form, so
+    the rewrite's equivalence is hash-checked). The incident threshold
+    is a 1-row aggregate broadcast back, SF-adaptive by construction."""
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    errs = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thr = errs.agg((F.avg("c") * 1.5).alias("thr"))
+    incidents = errs.crossJoin(F.broadcast(thr)).filter(
+        F.col("c") >= F.col("thr")
+    ).select("h")
+    binned = spans.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    return (
+        binned.join(incidents, binned.bin == incidents.h)
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_incident_hours"))
+    )

@@ -513,3 +513,57 @@ def zorder_prune_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.count_distinct(match_chunk).cast("double") / _Z_CHUNKS, 4
         ).alias("prune_pct"),
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh for additive aggregates:
+    the 'yesterday' MV (orders before 1997-07-01, pre-aggregated per
+    month) absorbs the delta batch (orders on/after the cutoff) by
+    FULL OUTER merging per-month partials and ADDING — never
+    re-scanning the base fact table. The oracle is the from-scratch
+    recompute over all of orders, so the merge must be exactly
+    lossless: months only in the base pass through, months only in
+    the delta appear (new partitions), overlap months sum.
+
+    At 100 TB this is the difference between an O(delta) nightly job
+    and an O(history) one; count/sum/min/max all merge this way
+    (non-additive moments need the partials pattern shown in
+    incremental_variance_merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    cutoff = F.lit("1997-07-01").cast("timestamp")
+    mv_old = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(month)
+        .agg(
+            F.count(F.lit(1)).alias("cnt_b"),
+            F.sum("o_totalprice").alias("sum_b"),
+        )
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(month)
+        .agg(
+            F.count(F.lit(1)).alias("cnt_d"),
+            F.sum("o_totalprice").alias("sum_d"),
+        )
+    )
+    merged = mv_old.join(delta, "month", "full_outer")
+    return merged.select(
+        "month",
+        (F.coalesce("cnt_b", F.lit(0)) + F.coalesce("cnt_d", F.lit(0))).alias(
+            "n_orders"
+        ),
+        F.round(
+            F.coalesce("sum_b", F.lit(0.0)) + F.coalesce("sum_d", F.lit(0.0)), 2
+        ).alias("revenue"),
+    )

@@ -310,3 +310,52 @@ def plan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("spend") / F.col("max_spend"), 4).alias("spend_share"),
         )
     )
+
+
+@register(
+    "agg_session_window_batch",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                >= CAST({SESSION_GAP_SEC} AS BIGINT) * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), t AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM s
+        )
+        SELECT user_id,
+               date_trunc('second', min(ts)) AS session_start,
+               count(*) AS n_events
+        FROM t GROUP BY user_id, sid
+    """,
+)
+def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via the BUILT-IN session_window aggregation (the
+    batch twin of streaming session windows) instead of the manual
+    lag + running-sum of sessionize_events. One groupBy plans a
+    per-user sort + merge of adjacent windows — same shuffle count as
+    the manual form but with Catalyst-native window merging.
+
+    Session-boundary parity: session_window treats a window as
+    [start, start+gap) per event and merges overlaps, so an event
+    arriving at EXACTLY prev + gap starts a new session — the oracle's
+    gap test is >= (not >), computed on exact microseconds
+    (epoch_us), matching Spark's internal long-microsecond compare."""
+    e = load_table(spark, sf_dir, "events")
+    sess = e.groupBy(
+        "user_id",
+        F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.date_trunc("second", F.col("w.start")).alias("session_start"),
+        "n_events",
+    )

@@ -95,3 +95,23 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     fin_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_side.intersectAll(fin_side)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (exceptAll): each customer key keeps
+    max(0, open_count - finished_count) copies — the multiset algebra
+    LIMIT/retry reconciliation pipelines need (set_except's DISTINCT
+    semantics would collapse the multiplicities). Plans as a single
+    hash shuffle per side with a count-diff generate, not a sort."""
+    o = load_table(spark, sf_dir, "orders")
+    open_side = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_side = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_side.exceptAll(fin_side)

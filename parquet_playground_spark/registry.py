@@ -174,6 +174,8 @@ _CHECK_ORDER = [
     "dedup_url_canonical", "write_json_gzip_roundtrip",
     "ts_autocorrelation", "ts_seasonal_baseline", "ts_anomaly_mad",
     "stat_crosstab", "agg_bitmap_distinct",
+    "join_interval_overlap", "set_except_all", "fn_posexplode",
+    "mv_incremental_refresh", "agg_session_window_batch",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -175,6 +175,11 @@ ORACLE_QUERIES = [
     "ts_anomaly_mad",          # TS: robust MAD thresholding
     "stat_crosstab",           # D: df.stat.crosstab contingency table
     "agg_bitmap_distinct",     # D: exact mergeable-bitmap distinct
+    "join_interval_overlap",   # C: overlap join binned to equi-join
+    "set_except_all",          # G: bag-semantics difference
+    "fn_posexplode",           # H: positional explode
+    "mv_incremental_refresh",  # L: additive partial-merge refresh
+    "agg_session_window_batch",  # D/TS: built-in session_window
 ]
 
 # rows-only queries: assert they run and return sane row counts
