@@ -596,3 +596,178 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc"),
     )
+
+
+@register(
+    "corpus_mixture_sampling",
+    oracle="""
+        WITH weighted AS (
+            SELECT doc_id, source, n_chars,
+                   CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
+                        WHEN source IN ('src3', 'src4') THEN 1.0
+                        ELSE 0.2 END AS w
+            FROM documents
+        ),
+        copies AS (
+            SELECT source, n_chars,
+                   CAST(floor(w) AS BIGINT)
+                   + CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 1000 < CAST((w - floor(w)) * 1000 AS BIGINT)
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM weighted
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_copies) AS n_out,
+               sum(n_copies * n_chars) AS chars_out
+        FROM copies GROUP BY source
+    """,
+)
+def corpus_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture construction: per-source epoch
+    weights (2.5x for premium sources, 1x neutral, 0.2x downweighted)
+    realized as integer row replication plus an md5-keyed fractional
+    epoch — floor(w) full copies, one extra copy for the hash-selected
+    (w - floor(w)) fraction of docs. This is how training mixtures
+    repeat high-quality corpora without an RNG: the same docs get the
+    extra epoch on every run, engine, and retry.
+
+    Scale shape: the replication is explode(sequence(1, n_copies)) —
+    narrow, no shuffle — and the readout is one map-combinable
+    aggregate. The hash gate reuses the portable md5-bucket predicate
+    (scale.py) so DuckDB selects the identical fractional cohort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(2.5))
+        .when(F.col("source").isin("src3", "src4"), F.lit(1.0))
+        .otherwise(F.lit(0.2))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000
+    )
+    n_copies = F.floor(w).cast("bigint") + F.when(
+        bucket < ((w - F.floor(w)) * 1000).cast("bigint"), 1
+    ).otherwise(0)
+    replicated = (
+        d.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+    )
+    return replicated.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs_selected"),
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum("n_chars").alias("chars_out"),
+    ).join(
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")), "source"
+    ).select("source", "n_docs", "n_out", "chars_out")
+
+
+@register(
+    "dataset_shard_assignment",
+    oracle="""
+        SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS shard,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM documents GROUP BY 1
+    """,
+)
+def dataset_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding: every doc lands in
+    md5-bucket(doc_id) % 16 — the shard layout a training job's data
+    loader expects to be stable across pipeline re-runs (shard 7
+    always holds the same docs, so a resumed job re-reads identical
+    data). The readout is the per-shard manifest (doc count, byte
+    budget, id range) that gets written next to the shards.
+
+    Scale shape: the hash is computed scan-side (narrow), the manifest
+    is one map-combinable aggregate; the actual shard write would be
+    .repartition(16, shard).write — the same hash keeps the shuffle
+    and the filename layout aligned."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 16
+    )
+    return d.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
+    "dataset_global_shuffle",
+    oracle="""
+        SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS pos,
+               doc_id, source
+        FROM documents
+        ORDER BY pos LIMIT 100
+    """,
+)
+def dataset_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: position = rank in the
+    md5(doc_id) ordering — a reproducible pseudo-random permutation
+    with no RNG state (the property sample_hash_deterministic gives
+    membership, extended here to ORDER). First 100 positions returned.
+
+    Scale shape: Spark plans a range-partitioned sort on the hash
+    (sampled boundaries, no single-reducer sort); with a LIMIT on top
+    it collapses to TakeOrderedAndProject — only the top-k crosses to
+    the driver. The md5 hex compare is byte-identical in DuckDB, so
+    the permutation is engine-portable; doc_id is unique so the order
+    has no ties."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select(
+            F.row_number().over(w).alias("pos"), "doc_id", "source"
+        )
+        .orderBy("pos")
+        .limit(100)
+    )
+
+
+@register(
+    "curriculum_quality_stages",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, n_chars,
+                   ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage
+            FROM documents
+        )
+        SELECT stage,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM scored GROUP BY stage
+    """,
+)
+def curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: rank docs by a quality proxy (length
+    here; any scored column works) and cut into 4 equal-frequency
+    stages with ntile — stage 1 feeds early training, stage 4 late.
+    The (n_chars, doc_id) compound order key makes tile boundaries
+    deterministic under ties, so both engines cut identically.
+
+    Scale note: a global ntile is a single-partition window; at real
+    scale the same cut comes from approx percentile boundaries
+    broadcast as stage thresholds (see customer_rfm_segments for the
+    quartile variant) — this query pins the exact-ntile semantics the
+    approximation must converge to."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    scored = d.select(
+        "doc_id", "n_chars", F.ntile(4).over(w).alias("stage")
+    )
+    return scored.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )

@@ -176,6 +176,8 @@ _CHECK_ORDER = [
     "stat_crosstab", "agg_bitmap_distinct",
     "join_interval_overlap", "set_except_all", "fn_posexplode",
     "mv_incremental_refresh", "agg_session_window_batch",
+    "corpus_mixture_sampling", "dataset_shard_assignment",
+    "dataset_global_shuffle", "curriculum_quality_stages",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -180,6 +180,10 @@ ORACLE_QUERIES = [
     "fn_posexplode",           # H: positional explode
     "mv_incremental_refresh",  # L: additive partial-merge refresh
     "agg_session_window_batch",  # D/TS: built-in session_window
+    "corpus_mixture_sampling",  # K: weighted epoch replication
+    "dataset_shard_assignment",  # K: stable export shard manifest
+    "dataset_global_shuffle",  # K: hash-permutation training order
+    "curriculum_quality_stages",  # K: deterministic ntile curriculum
 ]
 
 # rows-only queries: assert they run and return sane row counts
