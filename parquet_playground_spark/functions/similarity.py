@@ -415,3 +415,42 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(qv).cast("bigint").alias("q_min"),
         F.array_max(qv).cast("bigint").alias("q_max"),
     )
+
+
+@register(
+    "embedding_mean_pool",
+    oracle="""
+        WITH flat AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label, dim,
+               count(*) AS n_vecs,
+               round(avg(v), 4) AS mean_v
+        FROM flat GROUP BY label, dim
+    """,
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per class label — the centroid
+    computation behind class prototypes, mean-pooled document
+    representations, and IVF coarse quantizers (sim_search_ann_ivf
+    consumes exactly this shape).
+
+    Scale shape: posexplode to (label, dim, value) triples — narrow,
+    fan-out 64 — then ONE map-combinable (label, dim) average; the
+    avg partials are (sum, count) pairs so the shuffle carries
+    |labels| x 64 rows, not vectors. The alternative (aggregate over
+    whole arrays with zip_with) needs a custom merge; exploding keeps
+    it in plain hash-agg territory where AQE and partial aggregation
+    apply. Long-form output (label, dim) avoids array cells in the
+    comparison harness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return flat.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("v"), 4).alias("mean_v"),
+    )

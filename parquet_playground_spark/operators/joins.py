@@ -200,63 +200,128 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     oracle="""
-        SELECT o.o_orderkey,
-               o.o_custkey,
-               e.event_id AS last_event_id,
-               date_trunc('second', e.ts) AS last_event_ts
-        FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) o
-        ASOF LEFT JOIN events e
-          ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        SELECT e.event_id AS error_id,
+               e.user_id,
+               c.event_id AS prev_event_id,
+               date_trunc('second', c.ts) AS prev_ts
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN events c
+          ON e.user_id = c.user_id AND c.ts < e.ts
     """,
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: latest event at-or-before each order's date, per user.
+    """As-of join: for each error event, the latest event of the same
+    user STRICTLY before it (what was the user doing when things
+    broke?).
 
     Spark has no native ASOF JOIN; composition = union-tag + running
-    ``last(ignorenulls)`` over (user, time) ordering. One shuffle on
-    user_id, linear in |orders|+|events| — no range-join blowup. Tie
-    semantics: event sorts before the order at equal timestamps,
-    matching DuckDB ASOF's ``<=``.
+    ``last(ignorenulls)`` over one (user, time) ordering. One shuffle
+    on user_id, linear in |probes|+|events| — no range-join blowup.
+    Strict-< tie discipline: probes sort BEFORE candidates at equal
+    timestamps (tag 0 < 1), so a candidate at exactly the probe's
+    timestamp — including the probe event itself, which also appears
+    on the candidate side — is never picked, matching DuckDB ASOF's
+    ``<``. (Probes carry NULL candidate columns, so same-ts probes
+    can't pollute each other's last().)
     """
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") <= 2000)
-        .select(
-            F.col("o_custkey").alias("ukey"),
-            F.col("o_orderdate").cast("timestamp").alias("at_ts"),
-            "o_orderkey",
-            "o_custkey",
-        )
-        .withColumn("is_order", F.lit(1))
-        .withColumn("event_id", F.lit(None).cast("long"))
-        .withColumn("event_ts", F.lit(None).cast("timestamp"))
+    e = load_table(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("ukey"),
+        F.col("ts").alias("at_ts"),
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("error_id"),
+        F.lit(None).cast("long").alias("cand_id"),
+        F.lit(None).cast("timestamp").alias("cand_ts"),
     )
-    events = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            F.col("user_id").alias("ukey"),
-            F.col("ts").alias("at_ts"),
-            F.lit(None).cast("long").alias("o_orderkey"),
-            F.lit(None).cast("long").alias("o_custkey"),
-            F.lit(0).alias("is_order"),
-            "event_id",
-            F.col("ts").alias("event_ts"),
-        )
+    cands = e.select(
+        F.col("user_id").alias("ukey"),
+        F.col("ts").alias("at_ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("error_id"),
+        F.col("event_id").alias("cand_id"),
+        F.col("ts").alias("cand_ts"),
     )
-    tagged = events.unionByName(orders.select(*events.columns))
+    tagged = probes.unionByName(cands)
     w = (
         Window.partitionBy("ukey")
-        .orderBy("at_ts", "is_order", "event_id")
+        .orderBy("at_ts", "tag", F.coalesce("cand_id", "error_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     enriched = tagged.withColumn(
-        "last_event_id", F.last("event_id", ignorenulls=True).over(w)
-    ).withColumn("last_event_ts", F.last("event_ts", ignorenulls=True).over(w))
-    return enriched.filter(F.col("is_order") == 1).select(
-        "o_orderkey",
-        "o_custkey",
-        "last_event_id",
-        F.date_trunc("second", "last_event_ts").alias("last_event_ts"),
+        "prev_event_id", F.last("cand_id", ignorenulls=True).over(w)
+    ).withColumn("prev_raw_ts", F.last("cand_ts", ignorenulls=True).over(w))
+    return enriched.filter(F.col("tag") == 0).select(
+        F.col("error_id"),
+        F.col("ukey").alias("user_id"),
+        "prev_event_id",
+        F.date_trunc("second", "prev_raw_ts").alias("prev_ts"),
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT e.event_id AS error_id,
+               e.user_id,
+               CASE WHEN c.ts >= e.ts - INTERVAL 1 HOUR
+                    THEN c.event_id END AS prev_event_id,
+               CASE WHEN c.ts >= e.ts - INTERVAL 1 HOUR
+                    THEN (epoch_us(e.ts) - epoch_us(c.ts)) // 1000000
+                    END AS gap_sec
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN events c
+          ON e.user_id = c.user_id AND c.ts < e.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof's
+    ``tolerance=``): the latest strictly-preceding same-user event
+    counts only if it is within 1 hour of the probe; older matches
+    are nulled, not substituted. Same union-tag linear plan as
+    join_asof — the tolerance is a post-window CASE, not a range
+    join — so the cost is identical to the unbounded variant. The
+    gap is computed on exact microseconds then floor-divided to
+    seconds (DuckDB // floors, Spark DIV truncates; gaps are
+    non-negative so they agree)."""
+    e = load_table(spark, sf_dir, "events")
+    probes = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("ukey"),
+        F.col("ts").alias("at_ts"),
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("error_id"),
+        F.lit(None).cast("long").alias("cand_id"),
+        F.lit(None).cast("timestamp").alias("cand_ts"),
+    )
+    cands = e.select(
+        F.col("user_id").alias("ukey"),
+        F.col("ts").alias("at_ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("error_id"),
+        F.col("event_id").alias("cand_id"),
+        F.col("ts").alias("cand_ts"),
+    )
+    tagged = probes.unionByName(cands)
+    w = (
+        Window.partitionBy("ukey")
+        .orderBy("at_ts", "tag", F.coalesce("cand_id", "error_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        tagged.withColumn(
+            "prev_event_id", F.last("cand_id", ignorenulls=True).over(w)
+        )
+        .withColumn("prev_raw_ts", F.last("cand_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 0)
+    )
+    within = F.col("prev_raw_ts") >= F.col("at_ts") - F.expr("INTERVAL 1 HOUR")
+    return enriched.select(
+        F.col("error_id"),
+        F.col("ukey").alias("user_id"),
+        F.when(within, F.col("prev_event_id")).alias("prev_event_id"),
+        F.when(
+            within,
+            F.expr("(unix_micros(at_ts) - unix_micros(prev_raw_ts)) DIV 1000000"),
+        ).alias("gap_sec"),
     )
 
 

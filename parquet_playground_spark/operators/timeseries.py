@@ -633,3 +633,62 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+@register(
+    "interval_stabbing_counts",
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderdate AS s,
+                   o_orderdate + INTERVAL 30 DAY AS e
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+        ),
+        spine AS (SELECT DISTINCT s AS day FROM iv)
+        SELECT day, count(*) AS backlog
+        FROM spine JOIN iv ON iv.s <= day AND day < iv.e
+        GROUP BY day
+    """,
+)
+def interval_stabbing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval stabbing via delta encoding: how many 30-day order
+    fulfillment windows are open on each order day of 1996? The naive
+    form is a theta join (spine x intervals, quadratic-ish — the
+    oracle states it as the contract); the scale form here converts
+    each interval to +1 at start / -1 at end and takes a running sum
+    over the boundary timeline, so the fact table is touched once and
+    the heavy operator runs on |distinct days| rows.
+
+    Half-open [s, e) semantics: an interval ending exactly on the
+    probed day is closed — the -1 delta lands AT e and the cumulative
+    sum includes same-day deltas, which matches day < e in the theta
+    form. The global cumsum window runs over the tiny boundary
+    timeline (|days|+|ends| rows); at petabyte scale the same prefix
+    sum is a two-pass range-partitioned scan, never a fact-table
+    sort."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    iv = o.select(
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("e"),
+    )
+    starts = iv.groupBy(F.col("s").alias("pt")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    ends = iv.groupBy(F.col("e").alias("pt")).agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("pt")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("pt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.withColumn("backlog", F.sum("delta").over(w))
+    spine = iv.select(F.col("s").alias("pt")).distinct()
+    return spine.join(running, "pt").select(
+        F.col("pt").alias("day"), "backlog"
+    )
