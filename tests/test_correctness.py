@@ -184,7 +184,6 @@ ORACLE_QUERIES = [
     "dataset_shard_assignment",  # K: stable export shard manifest
     "dataset_global_shuffle",  # K: hash-permutation training order
     "curriculum_quality_stages",  # K: deterministic ntile curriculum
-    "join_asof",               # C: de-vacuized — real event matches now
     "join_asof_tolerance",     # C: merge_asof tolerance semantics
     "embedding_mean_pool",     # K: per-label element-wise centroid
     "interval_stabbing_counts",  # TS: delta-encoded backlog
