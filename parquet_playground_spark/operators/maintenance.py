@@ -567,3 +567,91 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_b", F.lit(0.0)) + F.coalesce("sum_d", F.lit(0.0)), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle=f"""
+        WITH t AS (
+            SELECT user_id, event_type, event_id, {_SEC} AS sec,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ), v AS (
+            SELECT user_id, event_type, sec, event_id
+            FROM t WHERE prev IS NULL OR prev <> event_type
+        ), dim AS (
+            SELECT user_id, event_type, sec AS valid_from,
+                   lead(sec) OVER w AS valid_to,
+                   CAST(row_number() OVER w AS BIGINT) AS version_seq
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ),
+        spine AS (
+            SELECT CAST(epoch(ts) AS BIGINT) AS probe_sec
+            FROM generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                 TIMESTAMP '2024-01-29 00:00:00',
+                                 INTERVAL 6 HOUR) g(ts)
+        ),
+        probes AS (
+            SELECT u.user_id, s.probe_sec
+            FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s
+        )
+        SELECT p.user_id, p.probe_sec,
+               d.event_type AS regime, d.version_seq
+        FROM probes p LEFT JOIN dim d
+          ON d.user_id = p.user_id AND d.valid_from <= p.probe_sec
+         AND (d.valid_to IS NULL OR p.probe_sec < d.valid_to)
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 dimension (the consuming
+    half of scd2_dimension_build): for each (user, 6-hourly probe
+    instant), which dimension version was valid THEN? The textbook
+    form is a range join on valid_from <= t < valid_to (the oracle
+    states it); the scale form here is the union-tag as-of plan —
+    versions and probes share one (user, time) ordering and a running
+    last(ignorenulls) resolves every probe in a single user-keyed
+    shuffle, because SCD2 validity ranges tile time contiguously.
+    Versions sort before probes at equal seconds (valid_from is
+    inclusive); among same-second versions the highest version_seq
+    wins, matching the oracle's zero-length-range exclusion."""
+    versions = scd2_dimension_build(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("valid_from").alias("at_sec"),
+        F.lit(0).alias("tag"),
+        F.col("event_type").alias("v_type"),
+        F.col("version_seq"),
+    )
+    spine = spark.sql(
+        """SELECT explode(sequence(timestamp'2024-01-05 00:00:00',
+                                   timestamp'2024-01-29 00:00:00',
+                                   interval 6 hours)) AS pts"""
+    ).select(F.unix_timestamp("pts").alias("probe_sec"))
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    probes = users.crossJoin(F.broadcast(spine)).select(
+        "user_id",
+        F.col("probe_sec").alias("at_sec"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("string").alias("v_type"),
+        F.lit(None).cast("long").alias("version_seq"),
+    )
+    tagged = versions.unionByName(probes)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("at_sec", "tag", F.coalesce("version_seq", F.lit(0)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = (
+        tagged.withColumn("regime", F.last("v_type", ignorenulls=True).over(w))
+        .withColumn(
+            "cur_version", F.last("version_seq", ignorenulls=True).over(w)
+        )
+        .filter(F.col("tag") == 1)
+    )
+    return resolved.select(
+        "user_id",
+        F.col("at_sec").alias("probe_sec"),
+        "regime",
+        F.col("cur_version").alias("version_seq"),
+    )

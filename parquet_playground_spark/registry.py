@@ -179,7 +179,7 @@ _CHECK_ORDER = [
     "corpus_mixture_sampling", "dataset_shard_assignment",
     "dataset_global_shuffle", "curriculum_quality_stages",
     "join_asof_tolerance", "embedding_mean_pool",
-    "interval_stabbing_counts",
+    "interval_stabbing_counts", "join_point_in_time",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -187,6 +187,7 @@ ORACLE_QUERIES = [
     "join_asof_tolerance",     # C: merge_asof tolerance semantics
     "embedding_mean_pool",     # K: per-label element-wise centroid
     "interval_stabbing_counts",  # TS: delta-encoded backlog
+    "join_point_in_time",      # L: SCD2 temporal lookup as as-of
 ]
 
 # rows-only queries: assert they run and return sane row counts

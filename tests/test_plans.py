@@ -326,3 +326,28 @@ def test_sql_broadcast_hint_is_respected(spark):
         """
     )
     assert uses_broadcast_join(df)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark):
+    """Joining a partitioned fact to a FILTERED dim must inject a
+    dynamicpruning subquery on the fact's partition column — at scale
+    this is what turns 'scan all partitions then join' into 'scan only
+    the partitions the dim filter selects'."""
+    import os
+    import tempfile
+
+    _q("write_partitioned_parquet")(spark, SF_DIR).collect()  # materialize dir
+    fact = spark.read.parquet(
+        os.path.join(tempfile.gettempdir(), "ppspark_orders_partitioned")
+    )
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        ["status", "label"],
+    ).filter(F.col("label") == "finished")
+    joined = fact.join(
+        F.broadcast(dim), fact.o_orderstatus == dim.status
+    ).groupBy("status").count()
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower()
