@@ -692,3 +692,39 @@ def interval_stabbing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(running, "pt").select(
         F.col("pt").alias("day"), "backlog"
     )
+
+
+@register(
+    "ts_sliding_windows_batch",
+    oracle="""
+        WITH ev AS (
+            SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS g
+            FROM events
+        ),
+        exp AS (
+            SELECT unnest([g, g - 300]) AS window_start_sec FROM ev
+        )
+        SELECT window_start_sec, count(*) AS cnt
+        FROM exp GROUP BY window_start_sec
+    """,
+)
+def ts_sliding_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding windows in BATCH via the built-in window()
+    function (10-minute windows sliding every 5 — each event counted
+    in exactly 2 windows), the batch twin of stream_sliding_agg and
+    the API that makes one aggregation produce overlapping frames
+    without a self-join.
+
+    Spark plans this as a 2-way Expand (one row per covering window)
+    feeding a partial+final hash agg — same shape as the oracle's
+    unnest of the two grid-aligned candidate starts. Epoch-0 grid
+    alignment and [start, start+10min) half-open bounds are exactly
+    floor arithmetic, emitted as BIGINT seconds to keep both engines
+    in timezone-free territory."""
+    e = load_table(spark, sf_dir, "events")
+    win = e.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return win.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start_sec"), "cnt"
+    )

@@ -180,6 +180,7 @@ _CHECK_ORDER = [
     "dataset_global_shuffle", "curriculum_quality_stages",
     "join_asof_tolerance", "embedding_mean_pool",
     "interval_stabbing_counts", "join_point_in_time",
+    "join_dpp_partitioned", "ts_sliding_windows_batch",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

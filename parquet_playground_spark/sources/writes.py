@@ -434,3 +434,41 @@ def write_json_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderstatus
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: the fact table lives in a
+    Hive-partitioned layout (status directories), the dim carries the
+    selective filter ('finished' only), and the JOIN — not any literal
+    on the fact — decides which partitions get read. Catalyst injects
+    a dynamicpruning subquery on the fact's partition column fed by
+    the broadcast dim (pinned in tests/test_plans.py); at 100 TB this
+    is what turns 'scan everything then throw most away' into 'never
+    list the other directories'. Oracle states the post-pruning
+    result."""
+    o = load_table(spark, sf_dir, "orders")
+    out = _tmp("orders_partitioned")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        ["status", "label"],
+    ).filter(F.col("label") == "finished")
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderstatus == dim.status)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

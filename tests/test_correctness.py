@@ -188,6 +188,8 @@ ORACLE_QUERIES = [
     "embedding_mean_pool",     # K: per-label element-wise centroid
     "interval_stabbing_counts",  # TS: delta-encoded backlog
     "join_point_in_time",      # L: SCD2 temporal lookup as as-of
+    "join_dpp_partitioned",    # A/C: dynamic partition pruning e2e
+    "ts_sliding_windows_batch",  # TS: overlapping windows via Expand
 ]
 
 # rows-only queries: assert they run and return sane row counts
