@@ -718,3 +718,40 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("r_name").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_customers")
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING / GROUPING_ID disambiguation: in grouping-sets output a
+    NULL can mean 'aggregated over' or 'the data really was NULL';
+    grouping() flags per column and grouping_id() packs the flags into
+    the level bitmask (leftmost grouping column = MSB in both Spark
+    and DuckDB's multi-arg GROUPING). Downstream consumers route on
+    the bitmask, not on fragile NULL checks. Same single-Expand
+    single-shuffle plan as agg_grouping_sets."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gid")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+               grouping_id() AS gid,
+               count(*) AS n
+        FROM orders_gid
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )

@@ -1379,3 +1379,176 @@ def sql_inline_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY v.label
         """
     )
+
+
+@register(
+    "graph_pagerank_power",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_orderkey <= 20000
+        ),
+        edges AS (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        n AS (SELECT count(*) AS nn FROM deg),
+        r0 AS (SELECT src AS node, 1.0::DOUBLE / nn AS r
+               FROM deg CROSS JOIN n),
+        s1 AS (SELECT e.dst AS node, sum(r.r / d.d) AS s
+               FROM edges e JOIN r0 r ON e.src = r.node
+               JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r1 AS (SELECT node, 0.15::DOUBLE / nn + 0.85 * s AS r
+               FROM s1 CROSS JOIN n),
+        s2 AS (SELECT e.dst AS node, sum(r.r / d.d) AS s
+               FROM edges e JOIN r1 r ON e.src = r.node
+               JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r2 AS (SELECT node, 0.15::DOUBLE / nn + 0.85 * s AS r
+               FROM s2 CROSS JOIN n),
+        s3 AS (SELECT e.dst AS node, sum(r.r / d.d) AS s
+               FROM edges e JOIN r2 r ON e.src = r.node
+               JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r3 AS (SELECT node, 0.15::DOUBLE / nn + 0.85 * s AS r
+               FROM s3 CROSS JOIN n)
+        SELECT node AS part, round(r, 6) AS rank3 FROM r3
+    """,
+)
+def graph_pagerank_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 power iterations (d=0.85) over the symmetric
+    part-co-purchase graph — the canonical iterative-algorithm shape
+    on Spark beyond connected components (dedup_clusters): each
+    iteration is contribution-join + sum-aggregate, both keyed on the
+    node, so the whole loop is co-shuffled on one key. The edge set
+    (with out-degrees attached) is persisted once and reused by every
+    iteration; ranks stay a |nodes|-sized dataframe. In the
+    symmetrized graph every node has in- and out-edges, so the
+    dangling-mass correction is identically zero and the oracle's
+    unrolled three-CTE recurrence is exact. Fixed iteration count
+    keeps it engine-portable (convergence thresholds would need
+    driver-side floats).
+
+    Rank magnitudes ~1/N; round(...,6) leaves ~3 significant digits
+    of slack over double accumulation-order noise."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 20000)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = edges.join(deg, "src").persist()
+    n = deg.agg(F.count(F.lit(1)).alias("nn"))
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("s"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("node"),
+            (F.lit(0.15) / F.col("nn") + F.lit(0.85) * F.col("s")).alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("part"), F.round("r", 6).alias("rank3")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_orderkey <= 10000
+        ),
+        edges AS (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+        ),
+        deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+        oriented AS (
+            SELECT e.src, e.dst, dd.d AS dst_d
+            FROM edges e
+            JOIN deg ds ON e.src = ds.node
+            JOIN deg dd ON e.dst = dd.node
+            WHERE (ds.d, e.src) < (dd.d, e.dst)
+        ),
+        wedges AS (
+            SELECT a.dst AS y, b.dst AS z
+            FROM oriented a JOIN oriented b
+              ON a.src = b.src
+             AND (a.dst_d, a.dst) < (b.dst_d, b.dst)
+        ),
+        tri AS (
+            SELECT 1 FROM wedges w
+            JOIN oriented c ON c.src = w.y AND c.dst = w.z
+        )
+        SELECT (SELECT count(*) FROM wedges) AS n_wedges,
+               (SELECT count(*) FROM tri) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with degree orientation — the trick that makes
+    triangle enumeration feasible at scale: orient every undirected
+    edge from its lower-(degree, id) endpoint to the higher one, so
+    each triangle is generated by exactly ONE wedge at its
+    lowest-degree corner and hub nodes never enumerate their O(d^2)
+    neighbor pairs (out-degree under this orientation is O(sqrt(|E|))
+    for any degree distribution). Wedges then close via one hash join
+    back to the oriented edge list — no DISTINCT-triple dedup pass.
+
+    The oracle runs the identical orientation in SQL; the row-value
+    tuple compare is spelled as a boolean in Spark. Output is the
+    global wedge/triangle census (the clustering-coefficient
+    numerator)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 10000)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    oriented = (
+        edges.join(deg.withColumnsRenamed({"node": "src", "d": "src_d"}), "src")
+        .join(deg.withColumnsRenamed({"node": "dst", "d": "dst_d"}), "dst")
+        .filter(
+            (F.col("src_d") < F.col("dst_d"))
+            | ((F.col("src_d") == F.col("dst_d")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst", "dst_d")
+        .persist()
+    )
+    wa, wb = oriented.alias("wa"), oriented.alias("wb")
+    wedges = wa.join(
+        wb,
+        (F.col("wa.src") == F.col("wb.src"))
+        & (
+            (F.col("wa.dst_d") < F.col("wb.dst_d"))
+            | (
+                (F.col("wa.dst_d") == F.col("wb.dst_d"))
+                & (F.col("wa.dst") < F.col("wb.dst"))
+            )
+        ),
+    ).select(F.col("wa.dst").alias("y"), F.col("wb.dst").alias("z")).persist()
+    closer = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tri = wedges.join(closer, ["y", "z"])
+    return wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

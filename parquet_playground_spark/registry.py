@@ -181,6 +181,7 @@ _CHECK_ORDER = [
     "join_asof_tolerance", "embedding_mean_pool",
     "interval_stabbing_counts", "join_point_in_time",
     "join_dpp_partitioned", "ts_sliding_windows_batch",
+    "agg_grouping_id", "graph_pagerank_power", "graph_triangle_count",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

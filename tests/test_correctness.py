@@ -190,6 +190,9 @@ ORACLE_QUERIES = [
     "join_point_in_time",      # L: SCD2 temporal lookup as as-of
     "join_dpp_partitioned",    # A/C: dynamic partition pruning e2e
     "ts_sliding_windows_batch",  # TS: overlapping windows via Expand
+    "agg_grouping_id",         # D: grouping-level bitmask routing
+    "graph_pagerank_power",    # scale: iterative co-shuffled joins
+    "graph_triangle_count",    # scale: degree-oriented wedge closing
 ]
 
 # rows-only queries: assert they run and return sane row counts
