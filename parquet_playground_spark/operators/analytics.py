@@ -1552,3 +1552,94 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+        WITH flat AS (
+            SELECT extract(year FROM o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n1.n_regionkey
+            JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND p.p_type = 'PROMO'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_7'
+                              THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share,
+               count(*) AS n_items
+        FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped national market share: NATION_7's slice of
+    PROMO-part volume sold into ASIA-region customers, per order year
+    (the last partsupp-free TPC-H query; q2/q9/q11/q16/q20 need the
+    partsupp table the testdata doesn't ship).
+
+    Plan: the two selective filters (p_type, region membership) reach
+    their scans; part/supplier/customer/nation/region all broadcast
+    (each dimension-sized at any SF), so lineitem->orders is the only
+    shuffled join; the CASE'd ratio folds into one hash aggregate by
+    year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        c.join(
+            F.broadcast(n.withColumnsRenamed({"n_nationkey": "nk1"})),
+            F.col("c_nationkey") == F.col("nk1"),
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("nk2"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("nk2"),
+    ).select("s_suppkey", "supp_nation")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+                .otherwise(0.0)
+            )
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

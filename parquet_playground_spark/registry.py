@@ -182,6 +182,7 @@ _CHECK_ORDER = [
     "interval_stabbing_counts", "join_point_in_time",
     "join_dpp_partitioned", "ts_sliding_windows_batch",
     "agg_grouping_id", "graph_pagerank_power", "graph_triangle_count",
+    "q8_market_share",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

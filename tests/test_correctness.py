@@ -193,6 +193,7 @@ ORACLE_QUERIES = [
     "agg_grouping_id",         # D: grouping-level bitmask routing
     "graph_pagerank_power",    # scale: iterative co-shuffled joins
     "graph_triangle_count",    # scale: degree-oriented wedge closing
+    "q8_market_share",         # headline: last partsupp-free TPC-H
 ]
 
 # rows-only queries: assert they run and return sane row counts

@@ -351,3 +351,13 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark):
     ).groupBy("status").count()
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_q8_broadcasts_dims_single_fact_shuffle(spark):
+    """All five dimension sides must broadcast; lineitem->orders is
+    the only shuffled join, and the selective part filter must reach
+    its scan."""
+    plan = formatted_plan(_q("q8_market_share")(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "PROMO" in plan  # p_type filter pushed toward the part scan
