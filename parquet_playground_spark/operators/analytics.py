@@ -1643,3 +1643,104 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "sql_lateral_view_syntax",
+    oracle="""
+        WITH words AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+        FROM words GROUP BY lang
+    """,
+)
+def sql_lateral_view_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode — the HiveQL generator syntax (parser
+    path distinct from DataFrame .select(explode(...)), same Generate
+    plan; the SQL-authoring twin of sql_pivot_syntax). Per-language
+    token totals keep the output dimension-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("docs_lv")
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n_words, count(DISTINCT w) AS n_distinct
+        FROM docs_lv LATERAL VIEW explode(split(text, ' ')) t AS w
+        GROUP BY lang
+        """
+    )
+
+
+@register(
+    "sql_create_replace_view",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_totalprice > 200000
+        GROUP BY o_orderpriority
+    """,
+)
+def sql_create_replace_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View DDL surface: CREATE OR REPLACE TEMPORARY VIEW, twice — the
+    query must see the SECOND definition (threshold 200000), pinning
+    that REPLACE actually replaces. Views are unmaterialized named
+    subqueries: the filter still pushes through them to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pp_view_src")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW pp_hot_orders AS
+           SELECT * FROM pp_view_src WHERE o_totalprice > 100000"""
+    )
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW pp_hot_orders AS
+           SELECT * FROM pp_view_src WHERE o_totalprice > 200000"""
+    )
+    return spark.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM pp_hot_orders GROUP BY o_orderpriority"""
+    )
+
+
+@register(
+    "kpi_yoy_growth",
+    oracle="""
+        WITH m AS (
+            SELECT extract(year FROM o_orderdate) AS yr,
+                   extract(month FROM o_orderdate) AS mo,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT a.yr, a.mo,
+               round(a.rev, 2) AS revenue,
+               round(100.0 * (a.rev - b.rev) / b.rev, 2) AS yoy_pct
+        FROM m a LEFT JOIN m b ON b.yr = a.yr - 1 AND b.mo = a.mo
+    """,
+)
+def kpi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the KPI readout every
+    reporting layer runs. Computed as a self-EQUI-join of the monthly
+    aggregate on (year-1, month) rather than a lag(12) global window:
+    the aggregate is |months| rows, the join shuffles that tiny set,
+    and months missing a prior year surface NULL growth (lag(12)
+    would silently mis-align across gaps)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    a, b = m.alias("a"), m.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.yr") == F.col("a.yr") - 1) & (F.col("b.mo") == F.col("a.mo")),
+        "left",
+    )
+    return j.select(
+        F.col("a.yr").alias("yr"),
+        F.col("a.mo").alias("mo"),
+        F.round(F.col("a.rev"), 2).alias("revenue"),
+        F.round(
+            100.0 * (F.col("a.rev") - F.col("b.rev")) / F.col("b.rev"), 2
+        ).alias("yoy_pct"),
+    )

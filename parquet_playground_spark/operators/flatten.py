@@ -139,3 +139,39 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
     )
+
+
+@register(
+    "fn_inline_struct_explode",
+    oracle="""
+        SELECT p_partkey, 'list' AS tag,
+               round(p_retailprice * 0.98, 2) AS px
+        FROM part WHERE p_partkey <= 100
+        UNION ALL
+        SELECT p_partkey, 'disc', round(p_retailprice * 0.90, 2)
+        FROM part WHERE p_partkey <= 100
+    """,
+)
+def fn_inline_struct_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(): explode an array of STRUCTS directly into columns —
+    the generator that turns one row into N typed variant rows (here
+    a list-price and a discounted-price quote per part) without a
+    manual explode + field-access chain. Completes the generator
+    family (explode / explode_outer / posexplode / inline). The
+    oracle states the same rows as a UNION ALL."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("list").alias("tag"),
+                    F.round(F.col("p_retailprice") * 0.98, 2).alias("px"),
+                ),
+                F.struct(
+                    F.lit("disc").alias("tag"),
+                    F.round(F.col("p_retailprice") * 0.90, 2).alias("px"),
+                ),
+            )
+        ),
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.registry import register
-from parquet_playground_spark.tables import load_table
+from parquet_playground_spark.tables import load_table, table_path
 
 
 @register(
@@ -284,4 +284,48 @@ def synthetic_data_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("val").cast("bigint").alias("val_sum"),
         F.min("val").cast("bigint").alias("val_min"),
+    )
+
+
+@register(
+    "scan_ignore_corrupt_files",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM nation
+    """,
+)
+def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degraded-mode ingestion: a landing directory holding one good
+    file and one corrupt file (the reference corpus's PARQUET-1481
+    fuzz case) is scanned with ignoreCorruptFiles — the job reads
+    every good row and SKIPS the unreadable file instead of dying.
+    The complement of corpus_smoke_reads' clean-failure contract:
+    there the error must surface, here the pipeline must survive it.
+    The oracle pins that exactly the good file's content arrives.
+    Reference tie: README.md:19 'fail cleanly' corpus theme,
+    parquet-files-testing_bad_data_PARQUET-1481.parquet."""
+    import shutil
+    import tempfile
+
+    stage = os.path.join(tempfile.gettempdir(), "ppspark_corrupt_mix")
+    os.makedirs(stage, exist_ok=True)
+    shutil.copy(table_path(sf_dir, "nation"), os.path.join(stage, "good.parquet"))
+    shutil.copy(
+        "/root/reference/parquet-files-testing_bad_data_PARQUET-1481.parquet",
+        os.path.join(stage, "bad.parquet"),
+    )
+    # The fuzz file's FOOTER parses (one column, `Handle`), so schema
+    # inference would adopt it; pin the expected schema — the corrupt
+    # file then fails at decode time and ignoreCorruptFiles drops it.
+    schema = load_table(spark, sf_dir, "nation").schema
+    back = (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .parquet(stage)
+        .select("n_nationkey")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
     )

@@ -183,6 +183,9 @@ _CHECK_ORDER = [
     "join_dpp_partitioned", "ts_sliding_windows_batch",
     "agg_grouping_id", "graph_pagerank_power", "graph_triangle_count",
     "q8_market_share",
+    "scan_ignore_corrupt_files", "fn_inline_struct_explode",
+    "sql_lateral_view_syntax", "sql_create_replace_view",
+    "kpi_yoy_growth", "write_nested_parquet_roundtrip",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -472,3 +472,44 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "write_nested_parquet_roundtrip",
+    oracle="""
+        SELECT count(DISTINCT l_orderkey) AS n_orders,
+               count(*) AS n_lines,
+               round(sum(l_quantity), 2) AS qty_sum
+        FROM lineitem
+    """,
+)
+def write_nested_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema parquet WRITE path: lineitem rolled up to one row
+    per order holding an array<struct<linenumber, quantity>>, written
+    to parquet (3-level LIST encoding), read back, and exploded flat
+    again — the checksums must survive the nest->write->read->unnest
+    cycle exactly. The read twin of this capability is the corpus's
+    nested_structs/nested_lists fixtures (corpus_smoke_reads);
+    reference ties: ParquetConverter.java:115-170 flattening lineage.
+    Collect_list order inside a group is nondeterministic, so the
+    checksums are order-insensitive aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").alias("qty"),
+            )
+        ).alias("lines")
+    )
+    out = _tmp("lineitem_nested")
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    flat = back.select(
+        "l_orderkey", F.explode("lines").alias("line")
+    )
+    return flat.agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("line.qty"), 2).alias("qty_sum"),
+    )

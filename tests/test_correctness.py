@@ -194,6 +194,12 @@ ORACLE_QUERIES = [
     "graph_pagerank_power",    # scale: iterative co-shuffled joins
     "graph_triangle_count",    # scale: degree-oriented wedge closing
     "q8_market_share",         # headline: last partsupp-free TPC-H
+    "scan_ignore_corrupt_files",  # A: degraded-mode ingestion
+    "fn_inline_struct_explode",  # H: inline generator
+    "sql_lateral_view_syntax",  # H: HiveQL generator syntax
+    "sql_create_replace_view",  # A: view DDL, REPLACE semantics
+    "kpi_yoy_growth",          # scale: YoY self-join on month agg
+    "write_nested_parquet_roundtrip",  # A: nested LIST write path
 ]
 
 # rows-only queries: assert they run and return sane row counts
