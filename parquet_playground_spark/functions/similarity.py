@@ -454,3 +454,93 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("v"), 4).alias("mean_v"),
     )
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle="""
+        WITH flat AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        means AS (SELECT dim, avg(v) AS mu FROM flat GROUP BY dim),
+        centered AS (
+            SELECT f.vec_id, f.dim, f.v - m.mu AS v
+            FROM flat f JOIN means m ON f.dim = m.dim
+        ),
+        cov AS (
+            SELECT a.dim AS i, b.dim AS j,
+                   sum(a.v * b.v) / count(*) AS c
+            FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+            GROUP BY a.dim, b.dim
+        ),
+        r0 AS (SELECT DISTINCT i AS j, 1.0::DOUBLE AS v FROM cov),
+        r1 AS (SELECT c.i AS j, sum(c.c * r.v) AS v
+               FROM cov c JOIN r0 r ON c.j = r.j GROUP BY c.i),
+        r2 AS (SELECT c.i AS j, sum(c.c * r.v) AS v
+               FROM cov c JOIN r1 r ON c.j = r.j GROUP BY c.i),
+        r3 AS (SELECT c.i AS j, sum(c.c * r.v) AS v
+               FROM cov c JOIN r2 r ON c.j = r.j GROUP BY c.i),
+        nrm AS (SELECT sqrt(sum(v * v)) AS n FROM r3),
+        sgn AS (SELECT CASE WHEN v >= 0 THEN 1.0 ELSE -1.0 END AS s
+                FROM r3 WHERE j = 0)
+        SELECT j AS dim, round(v / n * s, 4) AS pc1
+        FROM r3 CROSS JOIN nrm CROSS JOIN sgn
+    """,
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component of the embedding corpus via 3 power
+    iterations — distributed linear algebra with NO collect: the only
+    data-sized pass is the covariance accumulation (explode to
+    (vec, dim, value), self-join per vector, 64x64=4096 map-combinable
+    cell sums); the eigensolve then iterates matrix-vector products on
+    the 4096-row matrix, each one join + one 64-group aggregate. At
+    100 TB the covariance pass is the whole cost and it is one
+    co-partitioned self-join + hash agg; the iteration cost never
+    grows with data.
+
+    Determinism discipline: FLOAT components are cast to DOUBLE before
+    ANY arithmetic on both engines (DuckDB would otherwise multiply in
+    single precision and drift); the eigenvector is L2-normalized and
+    sign-fixed on dim 0, which removes both scale and the power
+    method's sign ambiguity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    means = flat.groupBy("dim").agg(F.avg("v").alias("mu"))
+    centered = (
+        flat.join(F.broadcast(means), "dim")
+        .select("vec_id", "dim", (F.col("v") - F.col("mu")).alias("v"))
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    cov = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg((F.sum(F.col("a.v") * F.col("b.v")) / F.count(F.lit(1))).alias("c"))
+        .persist()
+    )
+    r = cov.select(F.col("i").alias("j")).distinct().select(
+        "j", F.lit(1.0).alias("v")
+    )
+    for _ in range(3):
+        r = (
+            cov.join(F.broadcast(r.withColumnRenamed("v", "rv")), "j")
+            .groupBy(F.col("i").alias("jj"))
+            .agg(F.sum(F.col("c") * F.col("rv")).alias("v"))
+            .withColumnRenamed("jj", "j")
+        )
+    nrm = r.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n"))
+    sgn = r.filter(F.col("j") == 0).select(
+        F.when(F.col("v") >= 0, 1.0).otherwise(-1.0).alias("s")
+    )
+    return (
+        r.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("v") / F.col("n") * F.col("s"), 4).alias("pc1"),
+        )
+    )

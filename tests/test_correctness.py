@@ -200,6 +200,7 @@ ORACLE_QUERIES = [
     "sql_create_replace_view",  # A: view DDL, REPLACE semantics
     "kpi_yoy_growth",          # scale: YoY self-join on month agg
     "write_nested_parquet_roundtrip",  # A: nested LIST write path
+    "embedding_pca_power_iteration",  # K: collect-free eigensolve
 ]
 
 # rows-only queries: assert they run and return sane row counts
