@@ -1032,3 +1032,67 @@ def _jaccard_edges_at(
         inter.join(sa, "a").join(sb, "b").filter(jac >= threshold)
         .select("a", "b")
     )
+
+
+_SURVIVORS_ORACLE = "WITH RECURSIVE " + (
+    _JACCARD_EDGES_SQL.format(max_df="100")
+    + """
+            , sym AS (
+                SELECT a AS u, b AS v FROM edges
+                UNION SELECT b, a FROM edges
+            ),
+            docs AS (SELECT DISTINCT doc_id FROM documents),
+            cc AS (
+                SELECT doc_id AS doc, doc_id AS label FROM docs
+                UNION
+                SELECT s.u AS doc, cc.label
+                FROM cc JOIN sym s ON s.v = cc.doc
+            ),
+            labels AS (
+                SELECT doc, CAST(min(label) AS BIGINT) AS cluster_id
+                FROM cc GROUP BY doc
+            ),
+            ld AS (
+                SELECT l.cluster_id, d.doc_id, d.n_chars
+                FROM labels l JOIN documents d ON d.doc_id = l.doc
+            ),
+            stats AS (
+                SELECT cluster_id, max(n_chars) AS mx, count(*) AS n_docs
+                FROM ld GROUP BY cluster_id
+            )
+        SELECT s.cluster_id,
+               CAST(min(ld.doc_id) AS BIGINT) AS survivor_doc,
+               s.n_docs,
+               CAST(s.mx AS BIGINT) AS survivor_chars
+        FROM ld JOIN stats s
+          ON ld.cluster_id = s.cluster_id AND ld.n_chars = s.mx
+        GROUP BY s.cluster_id, s.n_docs, s.mx
+"""
+).split("WITH ", 1)[1]
+
+
+@register("dedup_cluster_survivors", oracle=_SURVIVORS_ORACLE)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep policy that finishes the dedup pipeline: candidates
+    (LSH) -> verified edges -> connected components (dedup_clusters)
+    -> ONE survivor per cluster, chosen by (longest text, lowest
+    doc_id tie) — the doc the corpus actually retains; everything
+    else in the cluster is dropped. Selection is a single min_by over
+    a compound (−n_chars, doc_id) key, so the policy is a
+    deterministic aggregate, not a window sort. Singleton clusters
+    survive as themselves, so sum(n_docs) == |documents| — the
+    invariant that proves dedup never loses or duplicates a doc."""
+    labels = dedup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    joined = labels.join(d, labels.doc == d.doc_id)
+    return joined.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.col("n_chars")).alias("neg_len"),
+                F.col("doc_id").alias("tie"),
+            ),
+        ).alias("survivor_doc"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_chars").cast("bigint").alias("survivor_chars"),
+    )

@@ -1744,3 +1744,69 @@ def kpi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * (F.col("a.rev") - F.col("b.rev")) / F.col("b.rev"), 2
         ).alias("yoy_pct"),
     )
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(extract(year FROM o_orderdate)) AS cohort
+            FROM orders GROUP BY 1
+        ),
+        rev AS (
+            SELECT o_custkey, extract(year FROM o_orderdate) AS yr,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1, 2
+        ),
+        cell AS (
+            SELECT f.cohort, r.yr - f.cohort AS offset_yrs,
+                   sum(r.rev) AS rev,
+                   count(DISTINCT r.o_custkey) AS n_cust
+            FROM rev r JOIN firsts f USING (o_custkey)
+            GROUP BY 1, 2
+        )
+        SELECT cohort, offset_yrs,
+               round(rev, 2) AS revenue,
+               round(sum(rev) OVER (
+                   PARTITION BY cohort ORDER BY offset_yrs
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS cum_revenue,
+               n_cust
+        FROM cell
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    year, revenue accumulated by years-since-acquisition — the
+    revenue twin of events_retention's distinct-actives matrix. Two
+    map-combinable aggregates (per customer-year, then per cohort
+    cell) and a window over the |cohorts| x |offsets| matrix; the
+    customer-sized first-order aggregate joins on the key both sides
+    already shuffle on."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(F.min(yr).alias("cohort"))
+    rev = o.groupBy("o_custkey", yr.alias("yr")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    cell = (
+        rev.join(firsts, "o_custkey")
+        .groupBy("cohort", (F.col("yr") - F.col("cohort")).alias("offset_yrs"))
+        .agg(
+            F.sum("rev").alias("rev"),
+            F.count_distinct("o_custkey").alias("n_cust"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_yrs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort",
+        "offset_yrs",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("cum_revenue"),
+        "n_cust",
+    )

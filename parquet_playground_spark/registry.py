@@ -186,7 +186,8 @@ _CHECK_ORDER = [
     "scan_ignore_corrupt_files", "fn_inline_struct_explode",
     "sql_lateral_view_syntax", "sql_create_replace_view",
     "kpi_yoy_growth", "write_nested_parquet_roundtrip",
-    "embedding_pca_power_iteration",
+    "embedding_pca_power_iteration", "dedup_cluster_survivors",
+    "customer_cohort_ltv",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -201,6 +201,8 @@ ORACLE_QUERIES = [
     "kpi_yoy_growth",          # scale: YoY self-join on month agg
     "write_nested_parquet_roundtrip",  # A: nested LIST write path
     "embedding_pca_power_iteration",  # K: collect-free eigensolve
+    "dedup_cluster_survivors",  # K: keep-policy aggregate
+    "customer_cohort_ltv",     # scale: cohort revenue matrix
 ]
 
 # rows-only queries: assert they run and return sane row counts
