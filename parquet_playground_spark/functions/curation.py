@@ -771,3 +771,36 @@ def curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+@register(
+    "gdpr_delete_cascade",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 4) AS value_sum
+        FROM events
+        WHERE user_id NOT IN (7, 23, 88)
+        GROUP BY event_type
+    """,
+)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten pass: purge every record belonging to the
+    deletion-request subjects and checksum the surviving table — the
+    compliance twin of text_pii_redaction (there content is scrubbed,
+    here whole identities are removed). The deletion list is a
+    broadcast LEFT ANTI join, not a NOT IN subquery re-planned per
+    partition: at 100 TB the list (thousands of ids) broadcasts once
+    and the pass stays a narrow scan+filter; the post-state aggregate
+    doubles as the audit artifact proving the purge."""
+    e = load_table(spark, sf_dir, "events")
+    requests = spark.createDataFrame(
+        [(7,), (23,), (88,)], ["user_id"]
+    )
+    survivors = e.join(F.broadcast(requests), "user_id", "left_anti")
+    return survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )

@@ -253,3 +253,51 @@ def window_nth_first_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("c_name", 2).over(full).alias("second_name"),
         F.first(big, ignorenulls=True).over(running).alias("first_big_bal"),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               round(median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ), 4) AS med5
+        FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 5 events per user — the robust
+    smoother that rolling averages can't give you (one spiked reading
+    shifts a mean by spike/5 but leaves the median untouched).
+
+    Spark refuses median() with a window FRAME
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    materialized as a bounded collect_list (<=5 doubles — constant
+    state at any scale, same pattern as ts_ewma_bounded's ordered
+    fold), sorted JVM-side, and the midpoint taken with the standard
+    even-count interpolation DuckDB's windowed median() applies.
+    Tie-broken ordering (ts, event_id) keeps frame membership
+    engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, (n / 2).cast("int") + 1)
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(med, 4).alias("med5"),
+    )

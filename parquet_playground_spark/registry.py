@@ -187,7 +187,7 @@ _CHECK_ORDER = [
     "sql_lateral_view_syntax", "sql_create_replace_view",
     "kpi_yoy_growth", "write_nested_parquet_roundtrip",
     "embedding_pca_power_iteration", "dedup_cluster_survivors",
-    "customer_cohort_ltv",
+    "customer_cohort_ltv", "window_rolling_median", "gdpr_delete_cascade",
     "write_partitioned_parquet", "write_codec_matrix",
     "write_bucketed_table", "join_bucketed_colocated",
     "write_csv_json_roundtrip",

@@ -203,6 +203,8 @@ ORACLE_QUERIES = [
     "embedding_pca_power_iteration",  # K: collect-free eigensolve
     "dedup_cluster_survivors",  # K: keep-policy aggregate
     "customer_cohort_ltv",     # scale: cohort revenue matrix
+    "window_rolling_median",   # E: bounded-frame robust smoother
+    "gdpr_delete_cascade",     # K: broadcast anti-join purge + audit
 ]
 
 # rows-only queries: assert they run and return sane row counts
