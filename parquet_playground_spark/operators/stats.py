@@ -1,0 +1,323 @@
+"""Statistical analytics: distribution tests, concentration metrics,
+and activity-pattern mining.
+
+All are single-pass or two-level aggregates — the shapes that matter
+for fleet-scale data auditing (fraud screens, class-balance checks,
+engagement analysis). Every query here keeps the heavy reduction
+map-combinable (groupBy partial aggregation) so the shuffle carries
+group cardinality, never raw rows; the final scalar assembly operates
+on tiny aggregate frames. Oracle determinism follows SURVEY §7.3:
+ratios of sums rounded at the end, explicit tie-break orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_playground_spark.registry import register
+from parquet_playground_spark.tables import load_table
+
+
+@register(
+    "stat_benford_digits",
+    oracle="""
+        WITH d AS (
+            SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                          1, 1) AS first_digit
+            FROM orders
+            WHERE o_totalprice >= 1
+        ),
+        c AS (
+            SELECT first_digit, count(*) AS n_obs FROM d GROUP BY first_digit
+        )
+        SELECT first_digit,
+               n_obs,
+               round(CAST(n_obs AS DOUBLE) / sum(n_obs) OVER (), 4)
+                   AS obs_share,
+               round(log10(1.0 + 1.0 / CAST(first_digit AS DOUBLE)), 4)
+                   AS benford_share
+        FROM c
+    """,
+)
+def stat_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    leading-digit shares vs the log10(1+1/d) expectation. The fraud /
+    synthetic-data smoke test auditors run first. One map-combinable
+    groupBy of 9 groups; the share normalization is a window over the
+    9-row aggregate, so the scan dominates and the plan is flat at any
+    scale."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    counts = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("first_digit")
+        )
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "first_digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.sum("n_obs").over(total), 4).alias(
+            "obs_share"
+        ),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit").cast("double")),
+            4,
+        ).alias("benford_share"),
+    )
+
+
+@register(
+    "stat_entropy_gini",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY event_type
+        ),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT count(*) AS n_classes,
+               round(-sum((n / total) * log2(n / total)), 4) AS entropy_bits,
+               round(1.0 - sum((n / total) * (n / total)), 4) AS gini_impurity
+        FROM c CROSS JOIN t
+    """,
+)
+def stat_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) + Gini impurity of the event-type
+    distribution — the class-balance diagnostics a training-data
+    pipeline checks before sampling (a skewed label mix shows up here
+    before it shows up in model metrics). Two-level aggregate: the
+    per-class count is the only shuffle (map-side combined); entropy
+    assembly runs over |classes| rows."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+            F.round(F.lit(1.0) - F.sum(p * p), 4).alias("gini_impurity"),
+        )
+    )
+
+
+@register(
+    "stat_chi_square",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type, user_id % 2 AS cohort,
+                   CAST(count(*) AS DOUBLE) AS o
+            FROM events GROUP BY event_type, user_id % 2
+        ),
+        grid AS (
+            SELECT r.event_type, c.cohort, coalesce(o.o, 0.0) AS o
+            FROM (SELECT DISTINCT event_type FROM obs) r
+            CROSS JOIN (SELECT DISTINCT cohort FROM obs) c
+            LEFT JOIN obs o USING (event_type, cohort)
+        ),
+        tot AS (
+            SELECT g.*,
+                   sum(o) OVER (PARTITION BY event_type) AS row_tot,
+                   sum(o) OVER (PARTITION BY cohort) AS col_tot,
+                   sum(o) OVER () AS n
+            FROM grid g
+        )
+        SELECT count(DISTINCT event_type) AS n_rows_dim,
+               count(DISTINCT cohort) AS n_cols_dim,
+               (count(DISTINCT event_type) - 1)
+                   * (count(DISTINCT cohort) - 1) AS dof,
+               round(sum(pow(o - row_tot * col_tot / n, 2)
+                         / (row_tot * col_tot / n)), 4) AS chi2
+        FROM tot
+    """,
+)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for event_type ×
+    user-cohort — the A/B segmentation sanity check. The contingency
+    table is ONE map-combinable groupBy (|types|·|cohorts| cells); the
+    full dense grid (so empty cells contribute their expectation) and
+    the marginals are windows over that tiny aggregate, never over raw
+    rows. Scales as a single scan regardless of N."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select("event_type", (F.col("user_id") % 2).alias("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    grid = (
+        obs.select("event_type").distinct()
+        .crossJoin(obs.select("cohort").distinct())
+        .join(obs, ["event_type", "cohort"], "left")
+        .na.fill({"o": 0.0})
+    )
+    tot = grid.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("cohort")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return tot.agg(
+        F.countDistinct("event_type").alias("n_rows_dim"),
+        F.countDistinct("cohort").alias("n_cols_dim"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("cohort") - 1)
+        ).alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+    )
+
+
+@register(
+    "stat_gini_concentration",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, sum(o_totalprice) AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT revenue,
+                   row_number() OVER (ORDER BY revenue, o_custkey) AS i,
+                   count(*) OVER () AS n,
+                   sum(revenue) OVER () AS total
+            FROM rev
+        )
+        SELECT max(n) AS n_customers,
+               round(max(total), 2) AS total_revenue,
+               round(2.0 * sum(i * revenue) / (max(n) * max(total))
+                     - (max(n) + 1.0) / max(n), 4) AS gini
+        FROM ranked
+    """,
+)
+def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers
+    (Lorenz-curve rank formula G = 2·Σi·x_i/(n·Σx) − (n+1)/n over
+    ascending revenue). The "do 1% of customers drive 50% of revenue"
+    audit. Per-customer revenue is the only raw-row shuffle; the ranked
+    pass runs over |customers| aggregate rows. Ties rank arbitrarily
+    within equal revenue but Σi·x_i is tie-invariant (x constant across
+    the tie run), so the custkey tie-break is belt-and-braces for the
+    oracle hash, not a correctness need."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = rev.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.round(F.max("total"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("revenue"))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "events_user_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        grp AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY day) AS INTEGER)
+                       AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, anchor, count(*) AS streak_len
+            FROM grp GROUP BY user_id, anchor
+        )
+        SELECT user_id,
+               sum(streak_len) AS n_active_days,
+               max(streak_len) AS longest_streak,
+               count(*) AS n_streaks
+        FROM streaks GROUP BY user_id
+    """,
+)
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user
+    (the engagement/retention metric). Classic anchor trick — day minus
+    its per-user row_number is constant within a consecutive run — so
+    the whole computation is distinct + window + two groupBys, all
+    partitioned by user_id: one logical shuffle key end-to-end, no
+    self-join, no iteration. At 100 TB the distinct collapses raw
+    events to |user×day| first, which is the small cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+        WITH seg AS (
+            SELECT event_type, value,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(ts), event_id)
+                   - epoch_us(ts) AS dur_us
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_segments,
+               round(sum(value * dur_us) / sum(dur_us), 4) AS twap,
+               round(sum(value) / count(*), 4) AS simple_avg
+        FROM seg
+        WHERE dur_us IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style): each reading holds until the
+    next one, so its weight is the microsecond gap to the successor —
+    vs the naive per-row mean, which over-weights bursty periods. One
+    window (lead over the series key) + one groupBy on the same key:
+    a single shuffle by event_type, linear in rows. The µs-epoch
+    ordering with event_id tie-break makes lead() engine-deterministic
+    even on timestamp collisions."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = Window.partitionBy("event_type").orderBy(ts_us, "event_id")
+    seg = e.select(
+        "event_type",
+        "value",
+        (F.lead(ts_us).over(w) - ts_us).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+        ).alias("twap"),
+        F.round(F.sum("value") / F.count(F.lit(1)), 4).alias("simple_avg"),
+    )

@@ -78,6 +78,7 @@ def load_all() -> None:
         selections,
         setops,
         sorts,
+        stats,
         timeseries,
         windows,
     )

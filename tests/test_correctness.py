@@ -205,6 +205,10 @@ ORACLE_QUERIES = [
     "customer_cohort_ltv",     # scale: cohort revenue matrix
     "window_rolling_median",   # E: bounded-frame robust smoother
     "gdpr_delete_cascade",     # K: broadcast anti-join purge + audit
+    "stat_benford_digits",     # stats: first-digit law screen
+    "stat_chi_square",         # stats: dense-grid independence test
+    "events_user_streaks",     # stats: gaps-and-islands streaks
+    "ts_time_weighted_avg",    # TS: duration-weighted mean
 ]
 
 # rows-only queries: assert they run and return sane row counts
