@@ -687,3 +687,55 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        clean AS (
+            SELECT doc_id, tok FROM toks WHERE regexp_matches(tok, '^[a-z]+$')
+        )
+        SELECT tok,
+               count(*) AS doc_freq,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM clean
+        GROUP BY tok
+        HAVING count(*) >= 100
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build (token -> sorted posting list + document
+    frequency) — the retrieval-side complement to text_bm25_search: the
+    same explode -> distinct -> groupBy(token) shape that builds a real
+    search index. Postings serialize as a comma-joined sorted id list
+    so the driver canonicalizer can hash them (array cells don't
+    hash). At 100 TB the posting list for a stop-word-frequency token
+    is the skew risk — the df >= 100 HAVING models the stop-list cut;
+    production would also shard postings by id-range, which this plan's
+    groupBy key extends to (token, id_bucket) without restructuring."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.expr(
+                "array_join(transform(sort_array(collect_set(doc_id)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= 100)
+    )

@@ -598,3 +598,54 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("n_incident_hours"))
     )
+
+
+@register(
+    "join_natural_using",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey AS nationkey, c_acctbal FROM customer
+        ),
+        nat AS (
+            SELECT n_nationkey AS nationkey, n_name AS nation_name,
+                   n_regionkey AS regionkey
+            FROM nation
+        ),
+        reg AS (
+            SELECT r_regionkey AS regionkey, r_name AS region_name FROM region
+        )
+        SELECT region_name, nation_name,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM cust NATURAL JOIN nat JOIN reg USING (regionkey)
+        GROUP BY region_name, nation_name
+    """,
+)
+def join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN and JOIN ... USING surface: both deduplicate the
+    join column in the output (one `nationkey`, not two) — the SQL
+    ergonomics layer over the same equi-join Catalyst plans either way
+    (broadcast for the dims here). Column-name-driven matching is
+    resolved at analysis time, so there is no runtime cost vs an
+    explicit ON clause."""
+    load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    ).createOrReplaceTempView("nj_cust")
+    load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").alias("regionkey"),
+    ).createOrReplaceTempView("nj_nat")
+    load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("regionkey"),
+        F.col("r_name").alias("region_name"),
+    ).createOrReplaceTempView("nj_reg")
+    return spark.sql(
+        """
+        SELECT region_name, nation_name,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM nj_cust NATURAL JOIN nj_nat JOIN nj_reg USING (regionkey)
+        GROUP BY region_name, nation_name
+        """
+    )

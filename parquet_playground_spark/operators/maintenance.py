@@ -655,3 +655,183 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "regime",
         F.col("cur_version").alias("version_seq"),
     )
+
+
+@register(
+    "recon_symmetric_diff",
+    oracle="""
+        WITH snap_a AS (
+            SELECT o_orderkey AS k, o_totalprice AS price,
+                   o_orderstatus AS status
+            FROM orders
+        ),
+        snap_b AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS price,
+                   o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT -o_orderkey AS k, o_totalprice AS price,
+                   o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 101 = 0
+        )
+        SELECT CASE WHEN b.k IS NULL THEN 'missing_in_b'
+                    WHEN a.k IS NULL THEN 'missing_in_a'
+                    WHEN a.price <> b.price OR a.status <> b.status
+                         THEN 'value_mismatch'
+                    ELSE 'match' END AS recon_class,
+               count(*) AS n_keys,
+               round(sum(coalesce(abs(a.price - b.price), 0.0)), 2)
+                   AS total_price_drift
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+        GROUP BY 1
+    """,
+)
+def recon_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided snapshot reconciliation (the nightly 'did replication
+    drift' audit): FULL OUTER join two versions of a table on the key
+    and classify every key as match / value_mismatch / missing_in_a /
+    missing_in_b, with the aggregate price drift. Snapshot B is derived
+    from A by deterministic deletions (%97), mutations (%89) and
+    additions (negated %101 keys), so every class is non-empty at
+    sf0.01. One co-partitioned shuffle on the key; the classification
+    is a projection, so the cost is the join — linear and skew-free on
+    a unique key."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")).alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 101 == 0).select(
+                (-F.col("o_orderkey")).alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    )
+    recon_class = (
+        F.when(F.col("b.k").isNull(), "missing_in_b")
+        .when(F.col("a.k").isNull(), "missing_in_a")
+        .when(
+            (F.col("a.price") != F.col("b.price"))
+            | (F.col("a.status") != F.col("b.status")),
+            "value_mismatch",
+        )
+        .otherwise("match")
+    )
+    return joined.groupBy(recon_class.alias("recon_class")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(
+            F.sum(F.coalesce(F.abs(F.col("a.price") - F.col("b.price")), F.lit(0.0))),
+            2,
+        ).alias("total_price_drift"),
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+        WITH rels AS (
+            SELECT 'lineitem.l_orderkey->orders' AS relationship,
+                   CAST(l_orderkey AS BIGINT) AS fk,
+                   CAST(l_orderkey IN (SELECT o_orderkey FROM orders)
+                        AS INTEGER) AS has_parent
+            FROM (SELECT DISTINCT l_orderkey FROM lineitem
+                  WHERE l_orderkey IS NOT NULL)
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST(o_custkey AS BIGINT),
+                   CAST(o_custkey IN (SELECT c_custkey FROM customer)
+                        AS INTEGER)
+            FROM (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_custkey IS NOT NULL)
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   CAST(c_nationkey AS BIGINT),
+                   CAST(c_nationkey IN (SELECT n_nationkey FROM nation)
+                        AS INTEGER)
+            FROM (SELECT DISTINCT c_nationkey FROM customer
+                  WHERE c_nationkey IS NOT NULL)
+            UNION ALL
+            SELECT 'events.user_id->customer',
+                   CAST(user_id AS BIGINT),
+                   CAST(user_id IN (SELECT c_custkey FROM customer)
+                        AS INTEGER)
+            FROM (SELECT DISTINCT user_id FROM events
+                  WHERE user_id IS NOT NULL)
+        )
+        SELECT relationship,
+               count(*) AS n_child_keys,
+               count(*) - sum(has_parent) AS n_orphan_keys,
+               min(CASE WHEN has_parent = 0 THEN fk END) AS min_orphan_key
+        FROM rels
+        GROUP BY relationship
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each
+    declared child->parent relationship, count distinct child keys and
+    how many have no parent row (events.user_id->customer is the
+    deliberately broken one — user 0 has no matching custkey, so the
+    audit is non-vacuous). Each relationship reduces the child to its
+    DISTINCT keys BEFORE the parent lookup, so the join carries key
+    cardinality, not fact-table rows; parents here are dims, so every
+    lookup broadcasts. This is the promotion gate that runs before a
+    snapshot is published downstream."""
+
+    def _audit(child: DataFrame, fk: str, parent: DataFrame, pk: str,
+               label: str) -> DataFrame:
+        keys = (
+            child.select(F.col(fk).cast("bigint").alias("fk"))
+            .where(F.col("fk").isNotNull())
+            .distinct()
+        )
+        pkeys = parent.select(F.col(pk).cast("bigint").alias("pk")).distinct()
+        flagged = keys.join(
+            F.broadcast(pkeys), keys.fk == pkeys.pk, "left"
+        ).select(
+            "fk", F.col("pk").isNotNull().cast("int").alias("has_parent")
+        )
+        return flagged.agg(
+            F.lit(label).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child_keys"),
+            (F.count(F.lit(1)) - F.sum("has_parent")).alias("n_orphan_keys"),
+            F.min(
+                F.when(F.col("has_parent") == 0, F.col("fk"))
+            ).alias("min_orphan_key"),
+        ).select(
+            "relationship", "n_child_keys", "n_orphan_keys", "min_orphan_key"
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    e = load_table(spark, sf_dir, "events")
+    parts = [
+        _audit(li, "l_orderkey", o, "o_orderkey",
+               "lineitem.l_orderkey->orders"),
+        _audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        _audit(c, "c_nationkey", n, "n_nationkey",
+               "customer.c_nationkey->nation"),
+        _audit(e, "user_id", c, "c_custkey", "events.user_id->customer"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

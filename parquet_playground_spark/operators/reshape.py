@@ -135,3 +135,57 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("d_price", "b_price"), 4).alias("o_totalprice"),
         F.coalesce("d_status", "b_status").alias("o_orderstatus"),
     )
+
+
+@register(
+    "df_transpose",
+    oracle="""
+        WITH agg AS (
+            SELECT r_name,
+                   CAST(count(*) AS VARCHAR) AS n_nations,
+                   min(n_name) AS first_nation,
+                   max(n_name) AS last_nation
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        ),
+        long AS (
+            SELECT r_name, 'n_nations' AS key, n_nations AS v FROM agg
+            UNION ALL
+            SELECT r_name, 'first_nation', first_nation FROM agg
+            UNION ALL
+            SELECT r_name, 'last_nation', last_nation FROM agg
+        )
+        SELECT key,
+               max(CASE WHEN r_name = 'AFRICA' THEN v END) AS "AFRICA",
+               max(CASE WHEN r_name = 'AMERICA' THEN v END) AS "AMERICA",
+               max(CASE WHEN r_name = 'ASIA' THEN v END) AS "ASIA",
+               max(CASE WHEN r_name = 'EUROPE' THEN v END) AS "EUROPE",
+               max(CASE WHEN r_name = 'MIDDLE EAST' THEN v END)
+                   AS "MIDDLE EAST"
+        FROM long
+        GROUP BY key
+    """,
+)
+def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0 API): flips a small aggregate so
+    the index column's values become columns and former column names
+    become the `key` column — the report-shaping step after a
+    reduction. Transpose must enumerate the index values to name the
+    output columns (a driver-side step), so it belongs strictly AFTER
+    aggregation: here 25 nations collapse to a 5-row frame first, and
+    that contract (aggregate -> transpose, never raw -> transpose) is
+    exactly what keeps it scale-safe. Oracle is the equivalent
+    conditional-aggregation pivot."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    agg = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("string").alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+            F.max("n_name").alias("last_nation"),
+        )
+        .orderBy("r_name")
+    )
+    return agg.transpose()

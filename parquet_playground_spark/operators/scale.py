@@ -359,3 +359,80 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", F.col("w.start")).alias("session_start"),
         "n_events",
     )
+
+
+@register(
+    "sketch_countmin_heavy",
+    oracle="""
+        WITH exact AS (
+            SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY o_custkey
+        ),
+        hashed AS (
+            SELECT k, c, i,
+                   CAST(concat('0x', substr(md5(concat(
+                       'cm', CAST(i AS VARCHAR), ':', CAST(k AS VARCHAR)
+                   )), 1, 8)) AS BIGINT) % 64 AS b
+            FROM exact
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+        ),
+        cms AS (SELECT i, b, sum(c) AS cell FROM hashed GROUP BY i, b)
+        SELECT h.k AS custkey,
+               max(h.c) AS exact_cnt,
+               min(cms.cell) AS est_cnt,
+               min(cms.cell) - max(h.c) AS overcount
+        FROM hashed h JOIN cms USING (i, b)
+        WHERE h.k <= 50
+        GROUP BY h.k
+    """,
+)
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a DataFrame composition: d=4 portable
+    md5-derived hash rows x w=64 buckets, built by summing per-key
+    counts into (row, bucket) cells — a fixed 256-cell table no matter
+    how many keys stream through, which is the whole point of the
+    sketch at 100 TB (the frequency table shuffles |keys| aggregate
+    rows once, then the sketch itself is broadcast-size). Probing takes
+    min over the 4 cells; the oracle replays the identical construction
+    in DuckDB, so est >= exact (one-sided error) is checked cell-exact,
+    not just statistically. Probe set: custkeys <= 50."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rows = F.array(*[F.lit(i) for i in range(4)])
+    hashed = exact.select(
+        "k", "c", F.explode(rows).alias("i")
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"),
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64,
+    )
+    cms = hashed.groupBy("i", "b").agg(F.sum("c").alias("cell"))
+    probe = hashed.where(F.col("k") <= 50)
+    return (
+        probe.join(cms, ["i", "b"])
+        .groupBy("k")
+        .agg(
+            F.max("c").alias("exact_cnt"),
+            F.min("cell").alias("est_cnt"),
+            (F.min("cell") - F.max("c")).alias("overcount"),
+        )
+        .select(
+            F.col("k").alias("custkey"), "exact_cnt", "est_cnt", "overcount"
+        )
+    )

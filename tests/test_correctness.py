@@ -209,6 +209,12 @@ ORACLE_QUERIES = [
     "stat_chi_square",         # stats: dense-grid independence test
     "events_user_streaks",     # stats: gaps-and-islands streaks
     "ts_time_weighted_avg",    # TS: duration-weighted mean
+    "join_natural_using",      # C: NATURAL/USING column dedup
+    "recon_symmetric_diff",    # L: two-sided snapshot reconciliation
+    "dq_referential_integrity",  # L: FK orphan audit (non-vacuous)
+    "sketch_countmin_heavy",   # scale: CMS cell-exact vs oracle
+    "df_transpose",            # API: Spark 4 transpose
+    "text_inverted_index",     # K: posting-list index build
 ]
 
 # rows-only queries: assert they run and return sane row counts
