@@ -1020,3 +1020,53 @@ def fn_number_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.cast("double").alias("parsed_back"),
         (parsed == amount).alias("matches"),
     )
+
+
+@register(
+    "fn_uuid_deterministic",
+    oracle="""
+        WITH minted AS (
+            SELECT c_custkey,
+                   md5(concat('cust-ns:', CAST(c_custkey AS VARCHAR))) AS h
+            FROM customer WHERE c_custkey <= 100
+        )
+        SELECT c_custkey,
+               concat_ws('-', substr(h, 1, 8), substr(h, 9, 4),
+                         substr(h, 13, 4), substr(h, 17, 4),
+                         substr(h, 21, 12)) AS stable_uuid,
+               regexp_matches(
+                   concat_ws('-', substr(h, 1, 8), substr(h, 9, 4),
+                             substr(h, 13, 4), substr(h, 17, 4),
+                             substr(h, 21, 12)),
+                   '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'
+               ) AS is_canonical
+        FROM minted
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting: UUIDv5-style ids derived
+    from md5(namespace:business_key), formatted 8-4-4-4-12 — the
+    stable-id pattern for idempotent re-ingestion (same input row ->
+    same id on every run, unlike uuid(), which is nondeterministic and
+    breaks retry semantics). Pure JVM expressions (md5/substr/concat),
+    embarrassingly parallel, no shuffle. Probe set custkey <= 100 keeps
+    the driver diff small; the expression itself is per-row at any
+    scale."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    h = F.md5(F.concat(F.lit("cust-ns:"), F.col("c_custkey").cast("string")))
+    minted = c.select("c_custkey", h.alias("h"))
+    uuid = F.concat_ws(
+        "-",
+        F.substring("h", 1, 8),
+        F.substring("h", 9, 4),
+        F.substring("h", 13, 4),
+        F.substring("h", 17, 4),
+        F.substring("h", 21, 12),
+    )
+    return minted.select(
+        "c_custkey",
+        uuid.alias("stable_uuid"),
+        uuid.rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+        ).alias("is_canonical"),
+    )

@@ -1810,3 +1810,109 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev").over(w), 2).alias("cum_revenue"),
         "n_cust",
     )
+
+
+@register(
+    "events_attribution_touch",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_type, value, epoch_us(ts) AS t,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS touch_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER w AS touch_t
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT CASE WHEN touch_t IS NULL
+                         OR t - touch_t > 1800 * 1000000
+                    THEN 'direct' ELSE touch_type END AS channel,
+               count(*) AS n_purchases,
+               round(sum(value), 2) AS attributed_value
+        FROM ordered
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+)
+def events_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent non-purchase event within a 30-minute
+    lookback ('direct' when none) — the conversion-credit query every
+    growth team runs. One window per user (last_value IGNORE NULLS over
+    preceding rows) carries the candidate touch alongside the stream,
+    so attribution is a single shuffle on user_id with no self-join —
+    the same plan at 100 TB, since state per row is O(1). µs-epoch
+    ordering + event_id tie-break keeps the window engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    ordered = e.select(
+        "event_type",
+        "value",
+        t.alias("t"),
+        F.last(
+            F.when(not_purchase, F.col("event_type")), ignorenulls=True
+        ).over(w).alias("touch_type"),
+        F.last(F.when(not_purchase, t), ignorenulls=True).over(w).alias(
+            "touch_t"
+        ),
+    )
+    channel = F.when(
+        F.col("touch_t").isNull()
+        | (F.col("t") - F.col("touch_t") > 1800 * 1_000_000),
+        "direct",
+    ).otherwise(F.col("touch_type"))
+    return (
+        ordered.where(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+
+
+@register(
+    "events_heatmap_hour_dow",
+    oracle="""
+        SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               count(*) FILTER (WHERE isodow(ts) = 1) AS mon,
+               count(*) FILTER (WHERE isodow(ts) = 2) AS tue,
+               count(*) FILTER (WHERE isodow(ts) = 3) AS wed,
+               count(*) FILTER (WHERE isodow(ts) = 4) AS thu,
+               count(*) FILTER (WHERE isodow(ts) = 5) AS fri,
+               count(*) FILTER (WHERE isodow(ts) = 6) AS sat,
+               count(*) FILTER (WHERE isodow(ts) = 7) AS sun
+        FROM events
+        GROUP BY hour(ts)
+    """,
+)
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap — the dashboard
+    matrix behind every 'when are users active' panel. Pivot on the
+    weekday with a pinned value list, so Catalyst compiles it to ONE
+    hash aggregate of 24 groups with 7 conditional counts (identical
+    plan to the oracle's FILTER clauses): single scan, single tiny
+    shuffle at any data size. Spark weekday() (0=Mon) maps to DuckDB
+    isodow() (1=Mon) via the pinned name list."""
+    e = load_table(spark, sf_dir, "events")
+    days = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+    named = e.select(
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        F.element_at(F.array(*[F.lit(d) for d in days]),
+                     F.weekday("ts") + 1).alias("dow"),
+    )
+    return (
+        named.groupBy("hour_of_day")
+        .pivot("dow", days)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

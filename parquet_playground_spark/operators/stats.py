@@ -321,3 +321,88 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.round(F.sum("value") / F.count(F.lit(1)), 4).alias("simple_avg"),
     )
+
+
+@register(
+    "geo_nearest_hub",
+    oracle="""
+        WITH pts AS (
+            SELECT c_custkey,
+                   CAST(c_custkey % 179 AS DOUBLE) - 89.0 + 0.5 AS lat,
+                   CAST(c_custkey % 359 AS DOUBLE) - 179.0 + 0.5 AS lon
+            FROM customer
+        ),
+        hubs AS (
+            SELECT r_regionkey AS hub_id, r_name AS hub_name,
+                   CAST(r_regionkey * 30 - 60 AS DOUBLE) AS hlat,
+                   CAST(r_regionkey * 60 - 120 AS DOUBLE) AS hlon
+            FROM region
+        ),
+        dist AS (
+            SELECT c_custkey, hub_id, hub_name,
+                   round(2 * 6371.0 * asin(sqrt(
+                       pow(sin(radians(hlat - lat) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(hlat))
+                         * pow(sin(radians(hlon - lon) / 2), 2)
+                   )), 4) AS d_km
+            FROM pts CROSS JOIN hubs
+        ),
+        nearest AS (
+            SELECT c_custkey, hub_id, hub_name, d_km,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY d_km, hub_id) AS rn
+            FROM dist
+        )
+        SELECT hub_name,
+               count(*) AS n_customers,
+               round(sum(d_km), 2) AS total_km,
+               round(min(d_km), 4) AS closest_km
+        FROM nearest WHERE rn = 1
+        GROUP BY hub_name
+    """,
+)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment: every customer (synthetic
+    deterministic lat/lon from its key) is assigned to the closest of 5
+    regional hubs by haversine distance — the logistics/geo-sharding
+    primitive. Broadcast the tiny hub table, compute the great-circle
+    distance JVM-side, take the per-customer argmin with a window:
+    |customers| × |hubs| narrow rows, never a customer×customer join,
+    so it scales linearly with the fleet. Distances round to 4 before
+    the argmin so float drift can't flip the hub choice between
+    engines (hub_id is the tie-break)."""
+    c = load_table(spark, sf_dir, "customer")
+    r = load_table(spark, sf_dir, "region")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 179).cast("double") - 89.0 + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 359).cast("double") - 179.0 + 0.5).alias("lon"),
+    )
+    hubs = r.select(
+        F.col("r_regionkey").alias("hub_id"),
+        F.col("r_name").alias("hub_name"),
+        (F.col("r_regionkey") * 30 - 60).cast("double").alias("hlat"),
+        (F.col("r_regionkey") * 60 - 120).cast("double").alias("hlon"),
+    )
+    half_lat = F.radians(F.col("hlat") - F.col("lat")) / 2
+    half_lon = F.radians(F.col("hlon") - F.col("lon")) / 2
+    hav = (
+        F.pow(F.sin(half_lat), 2)
+        + F.cos(F.radians("lat")) * F.cos(F.radians("hlat"))
+        * F.pow(F.sin(half_lon), 2)
+    )
+    dist = pts.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey",
+        "hub_id",
+        "hub_name",
+        F.round(2 * 6371.0 * F.asin(F.sqrt(hav)), 4).alias("d_km"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d_km", "hub_id")
+    nearest = dist.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return nearest.groupBy("hub_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("d_km"), 2).alias("total_km"),
+        F.round(F.min("d_km"), 4).alias("closest_km"),
+    )

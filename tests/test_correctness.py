@@ -215,6 +215,9 @@ ORACLE_QUERIES = [
     "sketch_countmin_heavy",   # scale: CMS cell-exact vs oracle
     "df_transpose",            # API: Spark 4 transpose
     "text_inverted_index",     # K: posting-list index build
+    "events_attribution_touch",  # scale: last-touch window attribution
+    "geo_nearest_hub",         # scale: broadcast haversine argmin
+    "fn_uuid_deterministic",   # H: stable surrogate-key minting
 ]
 
 # rows-only queries: assert they run and return sane row counts
