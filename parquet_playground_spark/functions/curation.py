@@ -804,3 +804,68 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("value_sum"),
     )
+
+
+@register(
+    "dataset_train_val_test_split",
+    oracle="""
+        WITH assigned AS (
+            SELECT lang, n_chars,
+                   CAST(concat('0x', substr(md5(concat(
+                       'split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                   % 100 AS bucket
+            FROM documents
+        ),
+        labeled AS (
+            SELECT lang, n_chars, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM assigned
+        )
+        SELECT split, lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(bucket) AS min_bucket,
+               max(bucket) AS max_bucket
+        FROM labeled
+        GROUP BY split, lang
+    """,
+)
+def dataset_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ML split: hash(doc_id) -> bucket 0-99 ->
+    80/10/10 train/val/test, reported per split × language so class
+    drift between splits is visible before training. Hash-threshold
+    (not random()) makes the split stable across re-runs and engines —
+    a doc NEVER migrates between train and test when the pipeline
+    reprocesses, which is the leakage guarantee that matters. Narrow
+    map + one aggregate; disjointness is by construction (a bucket
+    maps to exactly one split), so no audit join is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    labeled = d.select(
+        "lang",
+        "n_chars",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("bucket").alias("min_bucket"),
+        F.max("bucket").alias("max_bucket"),
+    )

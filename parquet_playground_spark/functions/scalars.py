@@ -1070,3 +1070,47 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
         ).alias("is_canonical"),
     )
+
+
+@register(
+    "fn_unicode_lengths",
+    oracle="""
+        WITH samples(s) AS (
+            VALUES ('ascii only'), ('café'), ('naïve résumé'),
+                   ('数据处理引擎'), ('Ωμέγα τεστ'), ('mix中of文both')
+        )
+        SELECT s,
+               length(s) AS char_len,
+               strlen(s) AS byte_len,
+               substr(s, 1, 3) AS first3,
+               reverse(s) AS reversed
+        FROM samples
+    """,
+)
+def fn_unicode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode string semantics: character length vs UTF-8 byte
+    length, character-addressed substr, and codepoint reverse over
+    multi-byte text (Latin accents, CJK, Greek). Both engines index
+    strings by codepoint, not byte — the property that keeps chunking
+    / truncation logic (doc_chunk_overlap, seq_len_distribution)
+    correct on non-English corpora, where byte-based slicing would
+    split a character mid-sequence. Pure per-row expressions, no
+    shuffle."""
+    samples = spark.createDataFrame(
+        [
+            ("ascii only",),
+            ("café",),
+            ("naïve résumé",),
+            ("数据处理引擎",),
+            ("Ωμέγα τεστ",),
+            ("mix中of文both",),
+        ],
+        ["s"],
+    )
+    return samples.select(
+        "s",
+        F.length("s").alias("char_len"),
+        F.octet_length("s").alias("byte_len"),
+        F.substring("s", 1, 3).alias("first3"),
+        F.reverse("s").alias("reversed"),
+    )

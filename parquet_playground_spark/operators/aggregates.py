@@ -755,3 +755,40 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "agg_percentile_within_group",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_disc(o_totalprice, 0.5), 4) AS p50_disc,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50_cont,
+               round(quantile_disc(o_totalprice, 0.9), 4) AS p90_disc
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates: percentile_disc / percentile_cont
+    WITHIN GROUP (ORDER BY ...) per group. Discrete percentiles return
+    an actual data value, so they are bit-exact across engines (no
+    interpolation arithmetic to drift); the continuous variant is the
+    interpolating cousin, rounded at the end. Exact percentiles need
+    the group's values together — one shuffle on the group key; at
+    100 TB you'd reach for approx_percentile (registered separately)
+    when groups no longer fit, and this stays the per-group-exact
+    reference."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pwg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice),
+                     4) AS p50_disc,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice),
+                     4) AS p50_cont,
+               round(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice),
+                     4) AS p90_disc
+        FROM pwg_orders
+        GROUP BY o_orderpriority
+        """
+    )

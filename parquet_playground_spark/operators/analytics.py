@@ -1916,3 +1916,203 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@register(
+    "skyline_dominance",
+    oracle="""
+        WITH pts AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ),
+        scanned AS (
+            SELECT o_orderkey, o_totalprice, o_orderdate,
+                   max(o_orderdate) OVER (
+                       ORDER BY o_totalprice DESC, o_orderdate DESC,
+                                o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_date_so_far
+            FROM pts
+        )
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, o_orderdate
+        FROM scanned
+        WHERE best_date_so_far IS NULL OR o_orderdate > best_date_so_far
+    """,
+)
+def skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto-front) query: orders not dominated on
+    (totalprice, orderdate) — maximize both; a point survives iff no
+    other order has >= price AND >= date with one strict. The classic
+    sort-scan algorithm as ONE window: sort by price desc and keep a
+    running max of date; a point is on the skyline exactly when its
+    date beats every better-priced point's date. O(n log n) with a
+    single global sort — at scale the sort shuffles once and the
+    running max is streaming state, vs the naive quadratic self-join.
+    The (price desc, date desc, key) ordering also settles price ties
+    identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.orderBy(
+            F.desc("o_totalprice"), F.desc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_date_so_far"),
+    )
+    return scanned.where(
+        F.col("best_date_so_far").isNull()
+        | (F.col("o_orderdate") > F.col("best_date_so_far"))
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "o_orderdate",
+    )
+
+
+@register(
+    "events_seq_pattern",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, epoch_us(ts) AS t,
+                   lead(event_type, 1) OVER w AS t1,
+                   lead(event_type, 2) OVER w AS t2,
+                   lead(epoch_us(ts), 1) OVER w AS ts1,
+                   lead(epoch_us(ts), 2) OVER w AS ts2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id, count(*) AS n_matches
+        FROM seq
+        WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+              AND ts1 - t <= CAST(86400000000 AS BIGINT)
+              AND ts2 - ts1 <= CAST(86400000000 AS BIGINT)
+        GROUP BY user_id
+    """,
+)
+def events_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection (MATCH_RECOGNIZE-lite): count
+    strictly consecutive view -> click -> purchase runs per user with
+    each step within a day — the conversion-path primitive. Two
+    leads over one per-user window: O(1) state per row, one shuffle on
+    user_id, no self-joins — the same cost as reading the stream once,
+    at any scale. Spark has no MATCH_RECOGNIZE; fixed-length adjacent
+    patterns compile exactly to lead() chains like this (arbitrary
+    regex-over-rows would go to applyInPandas, registered separately
+    as the stateful escape hatch)."""
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        t.alias("t"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead(t, 1).over(w).alias("ts1"),
+        F.lead(t, 2).over(w).alias("ts2"),
+    )
+    day_us = 86400 * 1_000_000
+    return (
+        seq.where(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (F.col("ts1") - F.col("t") <= day_us)
+            & (F.col("ts2") - F.col("ts1") <= day_us)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+@register(
+    "basket_association_lift",
+    oracle="""
+        WITH baskets AS (
+            SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders
+              FROM baskets),
+        supp AS (
+            SELECT brand, CAST(count(*) AS DOUBLE) AS s
+            FROM baskets GROUP BY brand
+        ),
+        pairs AS (
+            SELECT a.brand AS brand_a, b.brand AS brand_b,
+                   CAST(count(*) AS DOUBLE) AS joint
+            FROM baskets a JOIN baskets b
+                 ON a.okey = b.okey AND a.brand < b.brand
+            GROUP BY a.brand, b.brand
+            HAVING count(*) >= 20
+        )
+        SELECT brand_a, brand_b,
+               CAST(joint AS BIGINT) AS n_joint,
+               round(joint / sa.s, 4) AS confidence_a_to_b,
+               round(joint * n.n_orders / (sa.s * sb.s), 4) AS lift
+        FROM pairs
+        JOIN supp sa ON pairs.brand_a = sa.brand
+        JOIN supp sb ON pairs.brand_b = sb.brand
+        CROSS JOIN n
+    """,
+)
+def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: support, confidence and
+    lift for brand pairs bought in the same order (market-basket
+    analysis, the ancestor of every 'frequently bought together').
+    Baskets collapse to DISTINCT (order, brand) first — the item-level
+    explosion never reaches the pair join — then the pair generation is
+    a self-equi-join ON the order key (co-partitioned, linear in
+    Σ basket_size², with basket sizes bounded by the order, not the
+    catalog). Brand cardinality ~25 keeps supports broadcast-size; the
+    HAVING floor models min-support pruning, which is what bounds the
+    rule lattice at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = baskets.agg(
+        F.countDistinct("okey").cast("double").alias("n_orders")
+    )
+    supp = baskets.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("double").alias("s")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("joint"))
+        .where(F.col("joint") >= 20)
+    )
+    sa = supp.select(F.col("brand").alias("brand_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("brand").alias("brand_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("joint").cast("bigint").alias("n_joint"),
+            F.round(F.col("joint") / F.col("sa"), 4).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("joint") * F.col("n_orders") / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -218,6 +218,12 @@ ORACLE_QUERIES = [
     "events_attribution_touch",  # scale: last-touch window attribution
     "geo_nearest_hub",         # scale: broadcast haversine argmin
     "fn_uuid_deterministic",   # H: stable surrogate-key minting
+    "agg_percentile_within_group",  # D: ordered-set aggregates
+    "dataset_train_val_test_split",  # K: leakage-safe hash split
+    "skyline_dominance",       # scale: sort-scan Pareto front
+    "events_seq_pattern",      # scale: lead-chain pattern match
+    "basket_association_lift",  # scale: market-basket rules
+    "fn_unicode_lengths",      # H: codepoint vs byte semantics
 ]
 
 # rows-only queries: assert they run and return sane row counts
