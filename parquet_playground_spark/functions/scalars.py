@@ -1114,3 +1114,50 @@ def fn_unicode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("s", 1, 3).alias("first3"),
         F.reverse("s").alias("reversed"),
     )
+
+
+@register(
+    "fn_from_csv_parse",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey AS k,
+               o_orderstatus AS s,
+               round(o_totalprice, 2) AS p,
+               true AS roundtrip_ok
+        FROM orders WHERE o_orderkey <= 200
+    """,
+)
+def fn_from_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-CSV parsing: rows are serialized to a CSV line
+    (decimal-formatted so the text is canonical), then parsed back
+    with from_csv against a typed schema — the pattern for CSV
+    payloads embedded in message envelopes (Kafka values, log lines).
+    The parse is a JVM expression (UnivocityParser under the hood),
+    per-row, no shuffle; schema violations would surface as NULL
+    columns rather than job failure, which is the permissive-mode
+    contract (strict mode is mode=FAILFAST). The oracle computes the
+    expected typed output directly — the roundtrip equality IS the
+    check."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 200)
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.from_csv(line, "k BIGINT, s STRING, p DOUBLE").alias("r"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("r.k").alias("k"),
+        F.col("r.s").alias("s"),
+        F.round("r.p", 2).alias("p"),
+        (
+            (F.col("r.k") == F.col("o_orderkey"))
+            & (F.col("r.s") == F.col("o_orderstatus"))
+        ).alias("roundtrip_ok"),
+    )

@@ -792,3 +792,73 @@ def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH cum AS (
+            SELECT l_returnflag, l_extendedprice, l_quantity,
+                   sum(l_quantity) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(l_quantity) OVER (
+                       PARTITION BY l_returnflag) AS total_w
+            FROM lineitem
+        ),
+        med AS (
+            SELECT l_returnflag,
+                   min(l_extendedprice) AS weighted_median
+            FROM cum WHERE 2 * cw >= total_w
+            GROUP BY l_returnflag
+        ),
+        stats AS (
+            SELECT l_returnflag, count(*) AS n_lines,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT s.l_returnflag, s.n_lines, s.total_qty,
+               round(m.weighted_median, 2) AS weighted_median
+        FROM stats s JOIN med m ON s.l_returnflag = m.l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the QUANTITY (not half
+    the rows) sits below — the robust 'typical traded price' that a
+    plain median gets wrong when line sizes vary. No engine builtin
+    exists; the portable construction is a per-group cumulative-weight
+    window and the first value crossing half the total. One shuffle on
+    the group key serves both windows and the final aggregate; ties in
+    price are settled by key so the crossing row is engine-identical.
+    Same shape computes any weighted percentile (swap the 2*cw >=
+    total_w threshold)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.sum("l_quantity").over(wo).alias("cw"),
+        F.sum("l_quantity").over(wp).alias("total_w"),
+    )
+    med = (
+        cum.where(2 * F.col("cw") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median"))
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    return stats.join(med, "l_returnflag").select(
+        "l_returnflag",
+        "n_lines",
+        "total_qty",
+        F.round("weighted_median", 2).alias("weighted_median"),
+    )

@@ -436,3 +436,38 @@ def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").alias("custkey"), "exact_cnt", "est_cnt", "overcount"
         )
     )
+
+
+@register(
+    "sql_partition_hints",
+    oracle="""
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+)
+def sql_partition_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning hints: /*+ REPARTITION(n, col) */ forces a hash
+    exchange and /*+ REBALANCE(col) */ requests an AQE-sized rebalance
+    — the knobs for pre-shaping data before a skewed write or a
+    co-partitioned consumer. Hints change the EXCHANGES, never the
+    rows (the oracle is the plain aggregate), which is exactly the
+    contract: tests/test_plans.py pins REPARTITION_BY_NUM and
+    REBALANCE_PARTITIONS_BY_COL in the physical plan. At 100 TB
+    REBALANCE is the safer default — AQE splits oversized partitions
+    instead of trusting a hand-picked count."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "hint_cust"
+    )
+    return spark.sql(
+        """
+        SELECT /*+ REBALANCE(nationkey) */ nationkey,
+               count(*) AS n_customers
+        FROM (
+            SELECT /*+ REPARTITION(8, c_nationkey) */
+                   c_nationkey AS nationkey
+            FROM hint_cust
+        )
+        GROUP BY nationkey
+        """
+    )

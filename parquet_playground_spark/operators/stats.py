@@ -406,3 +406,87 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("d_km"), 2).alias("total_km"),
         F.round(F.min("d_km"), 4).alias("closest_km"),
     )
+
+
+@register(
+    "stat_mahalanobis_outliers",
+    oracle="""
+        WITH feat AS (
+            SELECT c.c_custkey,
+                   CAST(c.c_acctbal AS DOUBLE) AS x,
+                   sum(o.o_totalprice) AS y
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(x) AS sx, sum(x * x) AS sxx,
+                   sum(y) AS sy, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM feat
+        ),
+        params AS (
+            SELECT n, sx / n AS mx, sy / n AS my,
+                   sxx / n - (sx / n) * (sx / n) AS vx,
+                   syy / n - (sy / n) * (sy / n) AS vy,
+                   sxy / n - (sx / n) * (sy / n) AS cxy
+            FROM s
+        )
+        SELECT c_custkey,
+               round((pow(x - mx, 2) * vy
+                      - 2 * (x - mx) * (y - my) * cxy
+                      + pow(y - my, 2) * vx)
+                     / (vx * vy - cxy * cxy), 4) AS d2
+        FROM feat CROSS JOIN params
+        WHERE (pow(x - mx, 2) * vy
+               - 2 * (x - mx) * (y - my) * cxy
+               + pow(y - my, 2) * vx)
+              / (vx * vy - cxy * cxy) > 9.21
+    """,
+)
+def stat_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier screen: squared Mahalanobis distance on
+    (account balance, total revenue) per customer, flagging d² above
+    the χ²(2 dof, 99%) cut of 9.21 — catches points that are normal in
+    each dimension but jointly improbable, which per-column z-scores
+    (ts_anomaly_zscore) can't see. The 2×2 covariance comes from ONE
+    pass of raw-moment sums (map-combinable; no second scan), the
+    inverse is closed-form, and scoring is a broadcast of 6 scalars —
+    so the whole thing is two scans of aggregates regardless of N."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    feat = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.sum("o_totalprice").alias("y"))
+        .select(
+            "c_custkey", F.col("c_acctbal").cast("double").alias("x"), "y"
+        )
+    )
+    s = feat.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    params = s.select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        (F.col("sy") / F.col("n")).alias("my"),
+        (F.col("sxx") / F.col("n") - F.pow(F.col("sx") / F.col("n"), 2)).alias("vx"),
+        (F.col("syy") / F.col("n") - F.pow(F.col("sy") / F.col("n"), 2)).alias("vy"),
+        (
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+        ).alias("cxy"),
+    )
+    scored = feat.crossJoin(F.broadcast(params))
+    d2 = (
+        F.pow(F.col("x") - F.col("mx"), 2) * F.col("vy")
+        - 2 * (F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")) * F.col("cxy")
+        + F.pow(F.col("y") - F.col("my"), 2) * F.col("vx")
+    ) / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    return scored.where(d2 > 9.21).select(
+        "c_custkey", F.round(d2, 4).alias("d2")
+    )

@@ -728,3 +728,65 @@ def ts_sliding_windows_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.select(
         F.unix_timestamp(F.col("w.start")).alias("window_start_sec"), "cnt"
     )
+
+
+@register(
+    "ts_business_days",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_date,
+                   CAST(l_shipdate AS DATE)
+                       + CAST(l_orderkey % 20 + 1 AS INTEGER) AS receipt_date
+            FROM lineitem
+        ),
+        counted AS (
+            SELECT l_returnflag,
+                   len(list_filter(
+                       generate_series(ship_date, receipt_date,
+                                       INTERVAL 1 DAY),
+                       d -> isodow(d) <= 5)) AS bus_days
+            FROM shipped
+        )
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               round(CAST(sum(bus_days) AS DOUBLE) / count(*), 4)
+                   AS avg_bus_days,
+               max(bus_days) AS max_bus_days
+        FROM counted
+        GROUP BY l_returnflag
+    """,
+)
+def ts_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic: working days (Mon-Fri) between ship
+    and receipt, inclusive — the SLA metric every ops dashboard needs
+    and no engine ships as a builtin. Receipt is synthesized
+    deterministically (shipdate + 1..20 days from the key) since the
+    slim lineitem lacks it. The day-range expansion happens INSIDE a
+    higher-order filter over sequence() — per-row JVM array work, no
+    explode, no shuffle beyond the final tiny groupBy — so the plan
+    is scan + aggregate even though it 'enumerates' up to 21 dates
+    per row. A holiday calendar would join a broadcast dim into the
+    lambda's complement; the shape doesn't change."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.select(
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.col("l_orderkey") % 20 + 1).cast("int"),
+        ).alias("receipt_date"),
+    )
+    counted = shipped.select(
+        "l_returnflag",
+        F.expr(
+            "size(filter(sequence(ship_date, receipt_date),"
+            " d -> weekday(d) < 5))"
+        ).alias("bus_days"),
+    )
+    return counted.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum("bus_days").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_bus_days"),
+        F.max("bus_days").alias("max_bus_days"),
+    )

@@ -224,6 +224,11 @@ ORACLE_QUERIES = [
     "events_seq_pattern",      # scale: lead-chain pattern match
     "basket_association_lift",  # scale: market-basket rules
     "fn_unicode_lengths",      # H: codepoint vs byte semantics
+    "ts_business_days",        # TS: higher-order calendar arithmetic
+    "agg_weighted_median",     # D: cumulative-weight percentile
+    "fn_from_csv_parse",       # H: typed embedded-CSV parse
+    "stat_mahalanobis_outliers",  # stats: joint-distribution outliers
+    "sql_partition_hints",     # scale: REPARTITION/REBALANCE hints
 ]
 
 # rows-only queries: assert they run and return sane row counts

@@ -361,3 +361,19 @@ def test_q8_broadcasts_dims_single_fact_shuffle(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert "PROMO" in plan  # p_type filter pushed toward the part scan
+
+
+def test_partition_hints_materialize_exchanges(spark):
+    plan = formatted_plan(_q("sql_partition_hints")(spark, SF_DIR))
+    assert "REPARTITION_BY_NUM" in plan
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan
+
+
+def test_business_days_has_no_explode(spark):
+    plan = formatted_plan(_q("ts_business_days")(spark, SF_DIR))
+    assert "Generate" not in plan  # higher-order filter, not explode
+
+
+def test_nearest_hub_broadcasts_hubs(spark):
+    df = _q("geo_nearest_hub")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
