@@ -375,5 +375,8 @@ def test_business_days_has_no_explode(spark):
 
 
 def test_nearest_hub_broadcasts_hubs(spark):
-    df = _q("geo_nearest_hub")(spark, SF_DIR)
-    assert uses_broadcast_join(df)
+    # the hub side is a 5-row cross join: broadcast NESTED LOOP, and
+    # never a shuffled CartesianProduct
+    plan = formatted_plan(_q("geo_nearest_hub")(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
