@@ -13,6 +13,8 @@ computes exactly what the declarative form would.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -373,4 +375,76 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     return o.select(
         "o_orderkey", root(F.col("o_totalprice")).alias("root_price")
+    )
+
+
+@register(
+    "udf_pandas_iterator",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(lower(text))
+                    - length(replace(lower(text), ' ', '')) + 1
+                    AS BIGINT) AS n_tokens_model,
+               'tok-v1' AS model_tag
+        FROM documents WHERE doc_id < 200
+    """,
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas UDF (SCALAR_ITER): the function receives an
+    iterator of Arrow batches and can hoist expensive one-time setup —
+    loading a tokenizer/model handle — OUTSIDE the per-batch loop, once
+    per Python worker instead of once per batch. That amortization is
+    THE pattern for model-scoring columns in a training-data pipeline
+    (an embedding model load can cost seconds; batches arrive by the
+    thousand). Here the 'model' is a deterministic whitespace
+    tokenizer whose load stamps a version tag, so the oracle can check
+    the output exactly while the plumbing (init-once, stream batches,
+    yield per batch) is the real thing."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def count_tokens(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init happens ONCE per worker, before the batch loop
+        model = {"version": "tok-v1", "split": str.split}
+        for texts in batches:
+            yield texts.str.lower().map(
+                lambda t: len(model["split"](t))
+            ).astype("int64")
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        count_tokens(F.col("text")).alias("n_tokens_model"),
+        F.lit("tok-v1").alias("model_tag"),
+    )
+
+
+@register(
+    "fn_timestamp_ntz",
+    oracle="""
+        SELECT event_id,
+               date_trunc('second', ts) AS ntz_second,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+               date_trunc('second', ts) + INTERVAL 90 MINUTE AS plus_90m,
+               CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day
+        FROM events WHERE event_id < 100
+    """,
+)
+def fn_timestamp_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NTZ surface: Spark's session-TZ-aware TIMESTAMP vs
+    the wall-clock NTZ type. DuckDB's TIMESTAMP *is* NTZ, so the
+    oracle parity itself demonstrates the semantics: with the session
+    pinned to UTC (SURVEY §7.3 rule 7) the NTZ cast is the identity on
+    the stored instant, interval arithmetic and field extraction
+    agree, and none of it would hold under a non-UTC session — which
+    is exactly why the engine pins UTC. Pure projections, no
+    shuffle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    ntz = F.to_timestamp_ntz(F.date_trunc("second", F.col("ts")))
+    return e.select(
+        "event_id",
+        ntz.alias("ntz_second"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("epoch_s"),
+        (ntz + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
     )

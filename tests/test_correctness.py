@@ -229,6 +229,8 @@ ORACLE_QUERIES = [
     "fn_from_csv_parse",       # H: typed embedded-CSV parse
     "stat_mahalanobis_outliers",  # stats: joint-distribution outliers
     "sql_partition_hints",     # scale: REPARTITION/REBALANCE hints
+    "udf_pandas_iterator",     # J: SCALAR_ITER init-once UDF
+    "fn_timestamp_ntz",        # H: NTZ timestamp semantics
 ]
 
 # rows-only queries: assert they run and return sane row counts
