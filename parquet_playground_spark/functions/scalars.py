@@ -1161,3 +1161,71 @@ def fn_from_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("r.s") == F.col("o_orderstatus"))
         ).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "fn_na_handling",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                        ELSE o_orderpriority END AS pr,
+                   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                        ELSE o_totalprice END AS tp
+            FROM orders
+        ),
+        dropped AS (
+            SELECT count(*) AS n_after_drop FROM base
+            WHERE pr IS NOT NULL AND tp IS NOT NULL
+        ),
+        repl AS (
+            SELECT o_orderkey,
+                   CASE coalesce(pr, 'UNKNOWN')
+                        WHEN '1-URGENT' THEN 'P1'
+                        ELSE coalesce(pr, 'UNKNOWN') END AS pr,
+                   coalesce(tp, 0.0) AS tp
+            FROM base
+        ),
+        stats AS (
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN pr = 'UNKNOWN' THEN 1 ELSE 0 END)
+                       AS n_filled_pr,
+                   sum(CASE WHEN pr = 'P1' THEN 1 ELSE 0 END) AS n_p1,
+                   round(sum(tp), 4) AS sum_filled_tp
+            FROM repl
+        )
+        SELECT n_rows, n_filled_pr, n_p1, sum_filled_tp, n_after_drop
+        FROM stats CROSS JOIN dropped
+    """,
+)
+def fn_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrameNaFunctions surface — na.drop / na.fill / na.replace,
+    the missing-data triage API every ingestion notebook starts with.
+    Nulls are injected deterministically (orderkey mod), then:
+    na.drop(subset) row count, na.fill of both a string and a double
+    column, and na.replace of a category value, all reduced to one
+    auditable row. Each na.* call compiles to plain Project/Filter
+    expressions (coalesce/CASE) — nothing leaves codegen, and the
+    oracle states the identical relational meaning."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("tp"),
+    )
+    dropped = o.na.drop(subset=["pr", "tp"]).agg(
+        F.count("*").alias("n_after_drop")
+    )
+    repl = o.na.fill({"pr": "UNKNOWN", "tp": 0.0}).na.replace(
+        "1-URGENT", "P1", subset=["pr"]
+    )
+    stats = repl.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("pr") == "UNKNOWN").cast("long")).alias("n_filled_pr"),
+        F.sum((F.col("pr") == "P1").cast("long")).alias("n_p1"),
+        F.round(F.sum("tp"), 4).alias("sum_filled_tp"),
+    )
+    return stats.crossJoin(F.broadcast(dropped))

@@ -544,3 +544,81 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("v") / F.col("n") * F.col("s"), 4).alias("pc1"),
         )
     )
+
+
+@register(
+    "embedding_knn_classify",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY}),
+        corpus AS (SELECT * FROM e WHERE vec_id >= {N_QUERY}),
+        nn AS (
+            SELECT query_id, label FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.label,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.v, c.v), 4)
+                                        DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM q CROSS JOIN corpus c
+            ) WHERE rnk <= {TOP_K}
+        )
+        SELECT query_id, pred_label, n_votes FROM (
+            SELECT query_id, label AS pred_label,
+                   count(*) AS n_votes,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY count(*) DESC, label
+                   ) AS vrnk
+            FROM nn GROUP BY query_id, label
+        ) WHERE vrnk = 1
+    """,
+)
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus:
+    each query vector takes the modal label of its 10 nearest
+    labeled neighbors — the zero-training baseline classifier (and
+    the eval probe for embedding quality) in any curation stack.
+    Same broadcast-queries × corpus scan shape as
+    sim_search_cosine_topk (linear in corpus, queries broadcast),
+    plus a votes-sized window for the majority. Ranking uses the
+    4dp-rounded cosine with vec_id tie-break; the vote argmax breaks
+    ties on (count DESC, label ASC) — both deterministic on either
+    engine."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    nn = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("pred_label")
+    )
+    return (
+        nn.groupBy("query_id", F.col("label").alias("pred_label"))
+        .agg(F.count("*").alias("n_votes"))
+        .withColumn("vrnk", F.row_number().over(vw))
+        .filter(F.col("vrnk") == 1)
+        .select("query_id", "pred_label", "n_votes")
+    )

@@ -739,3 +739,128 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("doc_freq") >= 100)
     )
+
+
+@register(
+    "text_classify_naive_bayes",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        tk AS (SELECT * FROM toks WHERE tok <> ''),
+        dtf AS (
+            SELECT doc_id, lang, tok, count(*) AS tf
+            FROM tk GROUP BY doc_id, lang, tok
+        ),
+        ctc AS (
+            SELECT lang AS clang, tok, count(*) AS cnt
+            FROM tk GROUP BY lang, tok
+        ),
+        classes AS (
+            SELECT lang AS clang,
+                   CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+                   CAST(count(*) AS DOUBLE) AS tot_toks
+            FROM tk GROUP BY lang
+        ),
+        consts AS (
+            SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v,
+                   CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_total
+            FROM tk
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang, c.clang,
+                   ln(c.n_docs / k.n_total)
+                   + sum(d.tf * (ln(coalesce(t.cnt, 0) + 1.0)
+                                 - ln(c.tot_toks + k.v))) AS score
+            FROM dtf d
+            CROSS JOIN classes c
+            CROSS JOIN consts k
+            LEFT JOIN ctc t ON t.tok = d.tok AND t.clang = c.clang
+            GROUP BY d.doc_id, d.lang, c.clang, c.n_docs, c.tot_toks,
+                     k.v, k.n_total
+        )
+        SELECT doc_id, lang, clang AS pred_lang,
+               round(score, 4) AS log_lik,
+               CAST(lang = clang AS BOOLEAN) AS correct
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY round(score, 4) DESC, clang
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk = 1
+    """,
+)
+def text_classify_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    in one DataFrame plan — the fasttext-style quality/language gate
+    every corpus pipeline runs, expressed relationally: class-token
+    counts with Laplace smoothing become per-(doc, class) log
+    likelihoods via a token equi-join, and the argmax is a per-doc
+    window. Shapes: the model (class × token counts) shuffles on
+    token, the tiny class table (K rows) broadcasts, and scoring is
+    |doc tokens| × K rows — linear in corpus size, never all-pairs.
+    Log-space sums are rounded to 4dp on both sides before the argmax
+    so double accumulation order can't flip ranks (ties break on
+    class name)."""
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    dtf = tk.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("tf"))
+    ctc = tk.groupBy(F.col("lang").alias("clang"), "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    classes = tk.groupBy(F.col("lang").alias("clang")).agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs"),
+        F.count("*").cast("double").alias("tot_toks"),
+    )
+    consts = tk.agg(
+        F.countDistinct("tok").cast("double").alias("v"),
+        F.countDistinct("doc_id").cast("double").alias("n_total"),
+    )
+    scored = (
+        dtf.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(consts))
+        .join(ctc, ["clang", "tok"], "left")
+        .groupBy("doc_id", "lang", "clang", "n_docs", "tot_toks", "v", "n_total")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * (
+                    F.log(F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                    - F.log(F.col("tot_toks") + F.col("v"))
+                )
+            ).alias("lik")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "clang",
+            (F.log(F.col("n_docs") / F.col("n_total")) + F.col("lik")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 4).desc(), F.col("clang")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("clang").alias("pred_lang"),
+            F.round("score", 4).alias("log_lik"),
+            (F.col("lang") == F.col("clang")).alias("correct"),
+        )
+    )

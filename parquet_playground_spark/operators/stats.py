@@ -490,3 +490,82 @@ def stat_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(d2 > 9.21).select(
         "c_custkey", F.round(d2, 4).alias("d2")
     )
+
+
+@register(
+    "stat_ks_test",
+    oracle="""
+        WITH s AS (
+            SELECT c.c_mktsegment AS seg, o.o_totalprice AS v
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        ),
+        pts AS (
+            SELECT v,
+                   sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n2
+            FROM s GROUP BY v
+        ),
+        tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM pts),
+        ecdf AS (
+            SELECT sum(n1) OVER (ORDER BY v) AS c1,
+                   sum(n2) OVER (ORDER BY v) AS c2
+            FROM pts
+        )
+        SELECT t1 AS n_building, t2 AS n_machinery,
+               round(max(abs(CAST(c1 AS DOUBLE) / t1
+                             - CAST(c2 AS DOUBLE) / t2)), 6) AS ks_d
+        FROM ecdf CROSS JOIN tot
+        GROUP BY t1, t2
+    """,
+)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic: BUILDING-segment vs
+    MACHINERY-segment order totals — the distribution-drift test a
+    data pipeline runs between refreshes (did this batch's price
+    distribution shift?).
+
+    Shape: the raw rows collapse to per-distinct-value counts first
+    (map-combinable groupBy, shuffle carries |distinct prices| not
+    |orders|), then the ECDF difference is one cumulative window over
+    that aggregate. The unpartitioned window is the textbook KS
+    bottleneck; it runs over the value-cardinality frame, not the fact
+    table, and D-statistic extraction is a scalar aggregate. Counts
+    are integers so the ECDF is exact; only the final ratio is
+    floating (rounded at 6dp)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v")
+    )
+    pts = s.groupBy("v").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("n2"),
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    ecdf = pts.select(
+        F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2")
+    )
+    tot = pts.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (
+        ecdf.crossJoin(F.broadcast(tot))
+        .groupBy("t1", "t2")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c1").cast("double") / F.col("t1")
+                        - F.col("c2").cast("double") / F.col("t2")
+                    )
+                ),
+                6,
+            ).alias("ks_d")
+        )
+        .select(
+            F.col("t1").alias("n_building"),
+            F.col("t2").alias("n_machinery"),
+            "ks_d",
+        )
+    )

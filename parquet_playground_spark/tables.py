@@ -78,14 +78,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_session_defaults(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet timestamp[ns]; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos.
-        # Convert to a microsecond timestamp (truncation matches the
-        # date_trunc('second'|…) discipline every oracle already applies;
-        # reference nano-decode lineage: ParquetConverter.java:40-61).
-        # integer DIV (not double /): nanos ~1.7e18 exceed double's 2^53
-        # exact range, and a ±128 ns rounding error can flip a second
-        # boundary under the oracles' date_trunc('second').
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # events.ts stored as parquet timestamp[ns]; with
+            # spark.sql.legacy.parquet.nanosAsLong it arrives as long
+            # nanos. Convert to a microsecond timestamp (truncation
+            # matches the date_trunc('second'|…) discipline every oracle
+            # already applies; reference nano-decode lineage:
+            # ParquetConverter.java:40-61). integer DIV (not double /):
+            # nanos ~1.7e18 exceed double's 2^53 exact range, and a
+            # ±128 ns rounding error can flip a second boundary under
+            # the oracles' date_trunc('second').
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # events.ts stored as parquet timestamp[us] without UTC
+            # adjustment — Spark 4 infers TIMESTAMP_NTZ. The session is
+            # pinned to UTC, so casting to the session-TZ TIMESTAMP
+            # keeps the stored wall clock as the same instant while
+            # restoring the type every downstream query (unix_micros,
+            # window(), watermarks) was written against.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -231,6 +231,10 @@ ORACLE_QUERIES = [
     "sql_partition_hints",     # scale: REPARTITION/REBALANCE hints
     "udf_pandas_iterator",     # J: SCALAR_ITER init-once UDF
     "fn_timestamp_ntz",        # H: NTZ timestamp semantics
+    "stat_ks_test",            # stats: two-sample KS drift test
+    "text_classify_naive_bayes",  # K: NB language classifier
+    "embedding_knn_classify",  # K: k-NN majority-vote labels
+    "fn_na_handling",          # H: DataFrameNaFunctions surface
 ]
 
 # rows-only queries: assert they run and return sane row counts
