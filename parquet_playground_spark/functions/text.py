@@ -864,3 +864,113 @@ def text_classify_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("clang")).alias("correct"),
         )
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, tok, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+                       generate_subscripts(
+                           string_split_regex(lower(text), '\\s+'), 1) AS pos
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        pairs AS (
+            SELECT a.tok AS w1, b.tok AS w2, count(*) AS c_xy
+            FROM toks a
+            JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+            GROUP BY a.tok, b.tok
+        ),
+        uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (
+            SELECT CAST(sum(c_xy) AS DOUBLE) AS t_pairs FROM pairs
+        ),
+        tot_u AS (SELECT CAST(sum(c) AS DOUBLE) AS t_uni FROM uni)
+        SELECT w1, w2, c_xy, pmi FROM (
+            SELECT p.w1, p.w2, p.c_xy,
+                   round(ln((p.c_xy / t.t_pairs)
+                            / ((u1.c / tu.t_uni) * (u2.c / tu.t_uni))), 4)
+                       AS pmi,
+                   row_number() OVER (
+                       ORDER BY round(ln((p.c_xy / t.t_pairs)
+                                / ((u1.c / tu.t_uni) * (u2.c / tu.t_uni))), 4)
+                                DESC, p.w1, p.w2
+                   ) AS rnk
+            FROM pairs p
+            JOIN uni u1 ON p.w1 = u1.tok
+            JOIN uni u2 ON p.w2 = u2.tok
+            CROSS JOIN tot t CROSS JOIN tot_u tu
+            WHERE p.c_xy >= 5
+        ) WHERE rnk <= 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: word pairs co-occurring within a ±2
+    token window scored by pointwise mutual information — the classic
+    phrase-detection pass (word2vec-style preprocessing) a corpus
+    pipeline runs before tokenizer training. The windowed pair
+    extraction is an equi-join on (doc_id, pos + offset) with the
+    offset exploded from a 2-element literal — linear in corpus size
+    with no quadratic self-join — and the unigram/pair statistics are
+    map-combinable aggregates joined back by token. PMI is computed
+    from integer counts, rounded at 4dp before the global top-50
+    ranking (tie-break on the pair itself)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        # DuckDB generate_subscripts is 1-based; keep parity (the
+        # offsets are relative, but empty-token rows are filtered on
+        # both sides AFTER position assignment, so absolute positions
+        # must line up).
+        .select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("tok").alias("w2"),
+        F.col("pos").alias("pos2"),
+    )
+    pairs = (
+        toks.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") - F.col("pos")).isin(1, 2),
+        )
+        .groupBy(F.col("tok").alias("w1"), "w2")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    t_pairs = pairs.agg(F.sum("c_xy").cast("double").alias("t_pairs"))
+    t_uni = uni.agg(F.sum("c").cast("double").alias("t_uni"))
+    scored = (
+        pairs.filter(F.col("c_xy") >= 5)
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(t_pairs))
+        .crossJoin(F.broadcast(t_uni))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("t_pairs"))
+                    / ((F.col("c1") / F.col("t_uni")) * (F.col("c2") / F.col("t_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("w1", "w2", "c_xy", "pmi")
+    )

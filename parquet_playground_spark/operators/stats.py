@@ -569,3 +569,110 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_d",
         )
     )
+
+
+@register(
+    "ml_logistic_gradient_steps",
+    oracle="""
+        WITH feat AS (
+            SELECT o.o_totalprice / 100000.0 AS x1,
+                   li.n / 10.0 AS x2,
+                   CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+            FROM orders o
+            JOIN (SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS n
+                  FROM lineitem GROUP BY l_orderkey) li
+              ON o.o_orderkey = li.l_orderkey
+        ),
+        g1 AS (
+            SELECT avg(0.5 - y) AS gb,
+                   avg((0.5 - y) * x1) AS gx1,
+                   avg((0.5 - y) * x2) AS gx2
+            FROM feat
+        ),
+        s1 AS (SELECT -gb AS b, -gx1 AS w1, -gx2 AS w2 FROM g1),
+        g2 AS (
+            SELECT avg(1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2)))
+                       - f.y) AS gb,
+                   avg((1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2)))
+                        - f.y) * f.x1) AS gx1,
+                   avg((1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2)))
+                        - f.y) * f.x2) AS gx2
+            FROM feat f CROSS JOIN s1 w
+        ),
+        s2 AS (
+            SELECT w.b - g.gb AS b, w.w1 - g.gx1 AS w1, w.w2 - g.gx2 AS w2
+            FROM s1 w CROSS JOIN g2 g
+        ),
+        loss AS (
+            SELECT avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS ll
+            FROM (
+                SELECT f.y,
+                       1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2)))
+                           AS p
+                FROM feat f CROSS JOIN s2 w
+            )
+        )
+        SELECT round(s2.b, 6) AS bias,
+               round(s2.w1, 6) AS w_price,
+               round(s2.w2, 6) AS w_items,
+               round(loss.ll, 6) AS log_loss
+        FROM s2 CROSS JOIN loss
+    """,
+)
+def ml_logistic_gradient_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by two full-batch gradient-descent
+    steps (lr=1), predicting order status F from scaled price and
+    line-count features — the distributed-ML kernel shape on Spark:
+    each step is one map-combinable gradient aggregate (the shuffle
+    carries 3 running sums, never rows) and the weight vector stays a
+    broadcast 1-row frame between steps, exactly like the kmeans /
+    pagerank / PCA loops elsewhere in the engine. No .collect(): the
+    whole 2-step recurrence plus the final log-loss is one lazy plan,
+    and the oracle unrolls the identical recurrence in CTEs. Fixed
+    step count keeps it engine-portable; weights and loss round at
+    6dp (double accumulation noise is ~1e-12 of magnitude)."""
+    o = load_table(spark, sf_dir, "orders")
+    licnt = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    feat = o.join(licnt, o.o_orderkey == licnt.l_orderkey).select(
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        (F.col("n") / 10.0).alias("x2"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+    ).persist()
+
+    def grad(wdf):
+        f = feat.crossJoin(F.broadcast(wdf))
+        p = 1.0 / (1.0 + F.exp(-(F.col("b") + F.col("w1") * F.col("x1")
+                                 + F.col("w2") * F.col("x2"))))
+        return f.agg(
+            F.avg(p - F.col("y")).alias("gb"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("gx1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("gx2"),
+        )
+
+    w = spark.range(1).select(
+        F.lit(0.0).alias("b"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+    for _ in range(2):
+        g = grad(w)
+        w = w.crossJoin(F.broadcast(g)).select(
+            (F.col("b") - F.col("gb")).alias("b"),
+            (F.col("w1") - F.col("gx1")).alias("w1"),
+            (F.col("w2") - F.col("gx2")).alias("w2"),
+        )
+    scored = feat.crossJoin(F.broadcast(w))
+    p = 1.0 / (1.0 + F.exp(-(F.col("b") + F.col("w1") * F.col("x1")
+                             + F.col("w2") * F.col("x2"))))
+    loss = scored.agg(
+        F.avg(-(F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p))
+              ).alias("ll")
+    )
+    return w.crossJoin(F.broadcast(loss)).select(
+        F.round("b", 6).alias("bias"),
+        F.round("w1", 6).alias("w_price"),
+        F.round("w2", 6).alias("w_items"),
+        F.round("ll", 6).alias("log_loss"),
+    )

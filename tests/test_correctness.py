@@ -235,6 +235,8 @@ ORACLE_QUERIES = [
     "text_classify_naive_bayes",  # K: NB language classifier
     "embedding_knn_classify",  # K: k-NN majority-vote labels
     "fn_na_handling",          # H: DataFrameNaFunctions surface
+    "text_pmi_collocations",   # K: windowed PMI phrase mining
+    "ml_logistic_gradient_steps",  # stats: GD loop, collect-free
 ]
 
 # rows-only queries: assert they run and return sane row counts
