@@ -622,3 +622,100 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vrnk") == 1)
         .select("query_id", "pred_label", "n_votes")
     )
+
+
+@register(
+    "embedding_matryoshka_truncate",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < {N_QUERY}),
+        corpus AS (SELECT * FROM e WHERE vec_id >= {N_QUERY}),
+        full_nn AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(q.v, c.v), 4)
+                                        DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM q CROSS JOIN corpus c
+            ) WHERE rnk <= {TOP_K}
+        ),
+        trunc_nn AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                                        q.v[1:16], c.v[1:16]), 4) DESC,
+                                    c.vec_id
+                       ) AS rnk
+                FROM q CROSS JOIN corpus c
+            ) WHERE rnk <= {TOP_K}
+        )
+        SELECT f.query_id,
+               CAST(count(t.neighbor_id) AS BIGINT) AS n_kept,
+               round(CAST(count(t.neighbor_id) AS DOUBLE) / {TOP_K}, 4)
+                   AS recall_at_k
+        FROM full_nn f
+        LEFT JOIN trunc_nn t
+          ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        GROUP BY f.query_id
+    """,
+)
+def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: retrieval with only
+    the first 16 of 64 embedding dims, scored as recall@10 against
+    full-dimension retrieval — the measurement that decides whether a
+    pipeline can quarter its vector storage/compute. Cosine is
+    scale-invariant, so truncation needs no renormalization; both
+    retrievals share the broadcast-queries × corpus scan (the slice is
+    a zero-copy array op, JVM-side), and the recall join is
+    per-query × k rows. Ranks use 4dp-rounded similarity with vec_id
+    tie-breaks on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERY)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cs_full"),
+            F.round(
+                _cosine(F.slice(F.col("qv"), 1, 16), F.slice(F.col("v"), 1, 16)),
+                4,
+            ).alias("cs_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cs_full").desc(), F.col("vec_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cs_trunc").desc(), F.col("vec_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wf).alias("rnk_full"),
+        F.row_number().over(wt).alias("rnk_trunc"),
+    )
+    return (
+        ranked.filter(F.col("rnk_full") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("rnk_trunc") <= TOP_K).cast("long")).alias("n_kept"),
+            F.round(
+                F.sum((F.col("rnk_trunc") <= TOP_K).cast("long")) / float(TOP_K),
+                4,
+            ).alias("recall_at_k"),
+        )
+    )

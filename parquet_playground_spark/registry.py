@@ -195,6 +195,7 @@ _CHECK_ORDER = [
     # new this session (round 2 continued)
     "stat_ks_test", "text_classify_naive_bayes", "embedding_knn_classify",
     "fn_na_handling", "text_pmi_collocations", "ml_logistic_gradient_steps",
+    "embedding_matryoshka_truncate",
     # (4) streaming — never checked, slow tail last inside the window
     "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
     "stream_watermark_late", "stream_dedup", "stream_static_join",

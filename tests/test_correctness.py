@@ -237,6 +237,7 @@ ORACLE_QUERIES = [
     "fn_na_handling",          # H: DataFrameNaFunctions surface
     "text_pmi_collocations",   # K: windowed PMI phrase mining
     "ml_logistic_gradient_steps",  # stats: GD loop, collect-free
+    "embedding_matryoshka_truncate",  # K: dim-truncation recall audit
 ]
 
 # rows-only queries: assert they run and return sane row counts

@@ -380,3 +380,44 @@ def test_nearest_hub_broadcasts_hubs(spark):
     plan = formatted_plan(_q("geo_nearest_hub")(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pmi_pair_join_is_equi_not_cartesian(spark):
+    """The ±2-window pair extraction must plan as a doc_id equi hash
+    join (offset condition as residual), never an all-pairs product.
+    The only nested-loop joins allowed are the broadcast 1-row totals
+    frames (scalar cross joins), so pin the pair join specifically."""
+    plan = formatted_plan(_q("text_pmi_collocations")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the (doc_id) pair join
+    # scalar totals may broadcast-nested-loop; the heavy token join
+    # must not: every BNLJ in the plan builds a 1-row aggregate side
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_naive_bayes_broadcasts_class_stats(spark):
+    """The K-row class table and the 1-row consts frame must broadcast;
+    only the token-keyed model join may shuffle."""
+    plan = formatted_plan(_q("text_classify_naive_bayes")(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_logistic_steps_broadcast_weights(spark):
+    """Every GD step must broadcast the 1-row weight frame against the
+    feature scan — the loop never shuffles features by anything but
+    the orderkey join."""
+    plan = formatted_plan(_q("ml_logistic_gradient_steps")(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_matryoshka_shares_one_corpus_scan(spark):
+    """Full-dim and truncated rankings must ride the same broadcast
+    query × corpus pass — one embeddings scan for the corpus side, not
+    one per resolution."""
+    tree = formatted_plan(
+        _q("embedding_matryoshka_truncate")(spark, SF_DIR)
+    ).split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 3  # corpus + broadcast query side
