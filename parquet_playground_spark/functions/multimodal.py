@@ -149,13 +149,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # rows-only: stubbed decoder
+@register(
+    "multimodal_decode_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 + doc_id % 64 AS INTEGER) AS width,
+               CAST(16 + doc_id % 48 AS INTEGER) AS height,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary media via mapInPandas.
 
     The Arrow batch plumbing (binary column in, struct of features
     out, per-partition batching) is the real 100 TB pattern; only the
-    innermost decode call is the deterministic stub.
+    innermost decode call is the deterministic stub. The digest covers
+    the payload BODY (the media bytes after the 12-byte header): the
+    header is independently verified via width/height, and a body
+    digest is what DuckDB can recompute from the source text — turning
+    this from a rows-only check into a full hash oracle.
     """
     d = load_table(spark, sf_dir, "documents")
     media = with_binary_payload(d).repartition(8, "doc_id")
@@ -168,7 +181,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = _decode_fake_header(raw)
                 widths.append(w)
                 heights.append(h)
-                digests.append(hashlib.md5(raw).hexdigest())
+                digests.append(hashlib.md5(raw[12:]).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -17,6 +17,21 @@ from parquet_playground_spark.registry import register
 from parquet_playground_spark.tables import load_table
 
 
+def _round_stable(col, k: int):
+    """Convention-stable rounding: floor(x * 10^k + 0.5) / 10^k.
+
+    Spark's F.round (HALF_UP on Double.toString) and DuckDB's round
+    (on the exact binary double) disagree at x..5 representation edges,
+    which is systematic for exact-decimal corpus values (prices carry
+    2 decimals, so rounding to 1 decimal hits the .x5 edge constantly).
+    floor/multiply/add are individually exact-or-correctly-rounded IEEE
+    ops, so when the oracle spells out the SAME expression both engines
+    produce bit-identical doubles — no convention left to disagree on.
+    """
+    scale = F.lit(float(10**k))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 @register(
     "fn_string",
     oracle="""
@@ -92,14 +107,17 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice, 1) AS price_r1,
+               floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS price_r1,
                abs(l_discount - 0.05) AS disc_dev,
                ceil(l_quantity / 7) AS q_ceil,
                floor(l_quantity / 7) AS q_floor,
                CAST(l_quantity AS INTEGER) % 5 AS q_mod,
-               round(power(l_discount, 2), 6) AS disc_sq,
-               round(sqrt(l_extendedprice), 4) AS price_sqrt,
-               round(ln(l_extendedprice + 1), 4) AS price_ln
+               floor(power(l_discount, 2) * 1000000.0 + 0.5) / 1000000.0
+                   AS disc_sq,
+               floor(sqrt(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+                   AS price_sqrt,
+               floor(ln(l_extendedprice + 1) * 10000.0 + 0.5) / 10000.0
+                   AS price_ln
         FROM lineitem
         WHERE l_orderkey <= 1000
     """,
@@ -109,14 +127,14 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_r1"),
+        _round_stable(F.col("l_extendedprice"), 1).alias("price_r1"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.ceil(F.col("l_quantity") / 7).alias("q_ceil"),
         F.floor(F.col("l_quantity") / 7).alias("q_floor"),
         (F.col("l_quantity").cast("int") % 5).alias("q_mod"),
-        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        _round_stable(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        _round_stable(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        _round_stable(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
     )
 
 
@@ -124,28 +142,50 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_cast_decimal",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               CAST(l_discount AS DECIMAL(4,2)) AS disc_d4_2,
-               CAST(l_extendedprice AS DECIMAL(10,2)) AS price_d10_2,
-               CAST(l_extendedprice * l_quantity AS DECIMAL(13,2)) AS gross_d13_2,
-               CAST(l_extendedprice AS DECIMAL(25,2)) AS price_d25_2,
-               CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR) AS qty_str
+               CAST(floor(l_discount * 100.0 + 0.5) / 100.0
+                    AS DECIMAL(4,2)) AS disc_d4_2,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+                    AS DECIMAL(10,2)) AS price_d10_2,
+               CAST(floor((l_extendedprice * l_quantity) * 100.0 + 0.5) / 100.0
+                    AS DECIMAL(13,2)) AS gross_d13_2,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+                    AS DECIMAL(25,2)) AS price_d25_2,
+               CAST(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0
+                         AS DECIMAL(10,2)) AS VARCHAR) AS qty_str
         FROM lineitem
         WHERE l_orderkey <= 1000
     """,
 )
 def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decimal casts at the corpus's 4 physical precisions (SURVEY §2.2)."""
+    """Decimal casts at the corpus's 4 physical precisions (SURVEY §2.2).
+
+    Each double is pre-rounded with the _round_stable convention before
+    the decimal cast: Spark casts HALF_UP on Double.toString while
+    DuckDB rounds the exact binary double, so a raw double→DECIMAL(p,2)
+    cast flips at .xx5 representation edges. After the shared pre-round
+    the value is the nearest double to an exact 2-decimal number —
+    0.005 from any rounding boundary — so both conventions agree.
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_discount").cast(T.DecimalType(4, 2)).alias("disc_d4_2"),
-        F.col("l_extendedprice").cast(T.DecimalType(10, 2)).alias("price_d10_2"),
-        (F.col("l_extendedprice") * F.col("l_quantity"))
+        _round_stable(F.col("l_discount"), 2)
+        .cast(T.DecimalType(4, 2))
+        .alias("disc_d4_2"),
+        _round_stable(F.col("l_extendedprice"), 2)
+        .cast(T.DecimalType(10, 2))
+        .alias("price_d10_2"),
+        _round_stable(F.col("l_extendedprice") * F.col("l_quantity"), 2)
         .cast(T.DecimalType(13, 2))
         .alias("gross_d13_2"),
-        F.col("l_extendedprice").cast(T.DecimalType(25, 2)).alias("price_d25_2"),
-        F.col("l_quantity").cast(T.DecimalType(10, 2)).cast("string").alias("qty_str"),
+        _round_stable(F.col("l_extendedprice"), 2)
+        .cast(T.DecimalType(25, 2))
+        .alias("price_d25_2"),
+        _round_stable(F.col("l_quantity"), 2)
+        .cast(T.DecimalType(10, 2))
+        .cast("string")
+        .alias("qty_str"),
     )
 
 

