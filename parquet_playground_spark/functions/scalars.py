@@ -1231,7 +1231,7 @@ def fn_from_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(CASE WHEN pr = 'UNKNOWN' THEN 1 ELSE 0 END)
                        AS n_filled_pr,
                    sum(CASE WHEN pr = 'P1' THEN 1 ELSE 0 END) AS n_p1,
-                   round(sum(tp), 4) AS sum_filled_tp
+                   round(sum(tp), 2) AS sum_filled_tp
             FROM repl
         )
         SELECT n_rows, n_filled_pr, n_p1, sum_filled_tp, n_after_drop
@@ -1266,6 +1266,9 @@ def fn_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum((F.col("pr") == "UNKNOWN").cast("long")).alias("n_filled_pr"),
         F.sum((F.col("pr") == "P1").cast("long")).alias("n_p1"),
-        F.round(F.sum("tp"), 4).alias("sum_filled_tp"),
+        # 2dp, not 4dp: the ~2.3e9-magnitude sum of exact-cent values is
+        # ~0.005 from any 2dp edge, so summation-order noise (~1e-5)
+        # can't flip the rounding; at 4dp it could (cross-engine flake).
+        F.round(F.sum("tp"), 2).alias("sum_filled_tp"),
     )
     return stats.crossJoin(F.broadcast(dropped))

@@ -937,13 +937,24 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("w2"),
         F.col("pos").alias("pos2"),
     )
+    # Explode the literal [1,2] offsets on the left side so the window
+    # condition becomes part of the composite equi-key (doc_id, pos+off)
+    # — a selective hash join that is linear in corpus size. Joining on
+    # doc_id alone with the offset as a residual would be per-document
+    # all-pairs (quadratic in document length), the classic blowup.
+    left = toks.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        "pos",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("off"),
+    ).select("doc_id", "w1", (F.col("pos") + F.col("off")).alias("pos_t"))
     pairs = (
-        toks.join(
+        left.join(
             b,
             (F.col("doc_id") == F.col("doc_id2"))
-            & (F.col("pos2") - F.col("pos")).isin(1, 2),
+            & (F.col("pos_t") == F.col("pos2")),
         )
-        .groupBy(F.col("tok").alias("w1"), "w2")
+        .groupBy("w1", "w2")
         .agg(F.count("*").alias("c_xy"))
     )
     uni = toks.groupBy("tok").agg(F.count("*").alias("c"))

@@ -163,7 +163,8 @@ def udtf_split_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_arrow_map",
     oracle="""
         SELECT s_suppkey,
-               round(s_acctbal * 1.07, 4) AS adjusted_bal,
+               floor((s_acctbal * 1.07) * 10000.0 + 0.5) / 10000.0
+                   AS adjusted_bal,
                upper(s_name) AS name_uc
         FROM supplier
     """,
@@ -183,12 +184,27 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             t = pa.table(
                 {
                     "s_suppkey": batch.column("s_suppkey"),
-                    "adjusted_bal": pc.round(
-                        pc.multiply(
-                            pc.cast(batch.column("s_acctbal"), pa.float64()),
-                            pa.scalar(1.07),
+                    # floor-convention round (floor(x*1e4+0.5)/1e4):
+                    # pc.round's tie behavior differs from DuckDB's by
+                    # an ulp at 4dp edges; these IEEE ops are
+                    # bit-identical across Arrow and DuckDB.
+                    "adjusted_bal": pc.divide(
+                        pc.floor(
+                            pc.add(
+                                pc.multiply(
+                                    pc.multiply(
+                                        pc.cast(
+                                            batch.column("s_acctbal"),
+                                            pa.float64(),
+                                        ),
+                                        pa.scalar(1.07),
+                                    ),
+                                    pa.scalar(10000.0),
+                                ),
+                                pa.scalar(0.5),
+                            )
                         ),
-                        ndigits=4,
+                        pa.scalar(10000.0),
                     ),
                     "name_uc": pc.utf8_upper(batch.column("s_name")),
                 }

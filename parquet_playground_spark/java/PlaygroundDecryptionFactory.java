@@ -34,6 +34,20 @@ public class PlaygroundDecryptionFactory implements DecryptionPropertiesFactory 
   private static final byte[] KEY_COL1 = "1234567890123450".getBytes(StandardCharsets.UTF_8);
   private static final byte[] KEY_COL2 = "1234567890123451".getBytes(StandardCharsets.UTF_8);
 
+  /** Published corpus key for a key id; null when unknown. */
+  static byte[] keyFor(String keyId) {
+    switch (keyId) {
+      case "kf":
+        return KEY_FOOTER;
+      case "kc1":
+        return KEY_COL1;
+      case "kc2":
+        return KEY_COL2;
+      default:
+        return null;
+    }
+  }
+
   @Override
   public FileDecryptionProperties getFileDecryptionProperties(Configuration conf, Path path) {
     DecryptionKeyRetriever retriever =

@@ -329,7 +329,7 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH v2 AS (
             SELECT o_orderkey,
                    CASE WHEN o_orderkey % 13 = 0
-                        THEN round(o_totalprice * 1.1, 2)
+                        THEN floor((o_totalprice * 1.1) * 100.0 + 0.5) / 100.0
                         ELSE round(o_totalprice, 2) END AS price
             FROM orders WHERE o_orderkey % 17 <> 0
             UNION ALL
@@ -367,9 +367,14 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 17 != 0)
         .select(
             "o_orderkey",
+            # floor-convention on the repriced branch: price*1.1 has
+            # long decimals, and Spark/DuckDB round() disagree at .xx5
+            # edges; the shared floor expression is bit-identical in
+            # both engines. Plain round() on the untouched branch is
+            # safe — the input is already an exact 2-decimal value.
             F.when(
                 F.col("o_orderkey") % 13 == 0,
-                F.round(F.col("o_totalprice") * 1.1, 2),
+                F.floor((F.col("o_totalprice") * 1.1) * 100.0 + 0.5) / 100.0,
             )
             .otherwise(F.round("o_totalprice", 2))
             .alias("price"),

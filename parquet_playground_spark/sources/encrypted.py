@@ -113,3 +113,103 @@ def encrypted_corpus_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         records, "file string, status string, n_rows long, sum_double double"
     )
+
+
+WRITE_FACTORY_CLASS = "pp.PlaygroundCryptoFactory"
+
+# (variant, plaintext_footer, aad_prefix) — mirrors the corpus envelope:
+# encrypted footer + encrypted columns, the plaintext-footer mode, and
+# the AAD-prefix mode (prefix stored in-file, as the corpus's
+# encrypt_columns_and_footer_aad variant does).
+_WRITE_VARIANTS: list[tuple[str, bool, str | None]] = [
+    ("columns_and_footer", False, None),
+    ("plaintext_footer", True, None),
+    ("aad_prefix", False, "tester"),
+]
+
+
+@register(
+    "write_encrypted_roundtrip",
+    oracle="""
+        SELECT v.variant, TRUE AS unkeyed_read_fails, t.n_rows,
+               t.sum_price_r2
+        FROM (VALUES ('columns_and_footer'), ('plaintext_footer'),
+                     ('aad_prefix')) AS v(variant)
+        CROSS JOIN (
+            SELECT count(*) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_price_r2
+            FROM lineitem WHERE l_orderkey <= 200
+        ) t
+    """,
+)
+def write_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet Modular Encryption WRITE: encrypt lineitem columns with
+    the corpus's published keys (footer "kf", l_extendedprice "kc1",
+    l_discount "kc2" — reference README.md:37-50), in the three corpus
+    envelope modes (encrypted footer / plaintext footer / AAD prefix),
+    then prove the roundtrip both ways: an unkeyed read of an encrypted
+    column FAILS, and a keyed read returns the exact source aggregate.
+
+    Scale: encryption is a per-column-chunk codec step inside the
+    normal parquet write path — the factory conf rides the per-write
+    Hadoop conf, so a 1000-executor write encrypts in parallel with no
+    extra shuffle or driver coordination.
+    """
+    import tempfile
+
+    from parquet_playground_spark.tables import ensure_session_defaults, load_table
+
+    ensure_session_defaults(spark)
+    try:
+        spark.sparkContext._jsc.sc().addJar(CRYPTO_JAR)
+    except Exception:  # noqa: BLE001 — fallback only
+        pass
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    records = []
+    base = os.path.join(tempfile.gettempdir(), "ppspark_encrypted_write")
+    for variant, plaintext_footer, aad in _WRITE_VARIANTS:
+        out = os.path.join(base, variant)
+        writer = (
+            src.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.crypto.factory.class", WRITE_FACTORY_CLASS)
+            .option(
+                "playground.encrypt.columns",
+                "l_extendedprice:kc1,l_discount:kc2",
+            )
+        )
+        if plaintext_footer:
+            writer = writer.option("playground.plaintext.footer", "true")
+        if aad is not None:
+            writer = writer.option("playground.aad.prefix", aad)
+        writer.parquet(out)
+
+        # Unkeyed read of an encrypted column must fail (in plaintext-
+        # footer mode the footer itself parses, so force column access).
+        try:
+            spark.read.parquet(out).agg(F.sum("l_extendedprice")).collect()
+            unkeyed_fails = False
+        except Exception:  # noqa: BLE001 — expected: no keys
+            unkeyed_fails = True
+
+        keyed = (
+            spark.read.option(
+                "parquet.crypto.factory.class", WRITE_FACTORY_CLASS
+            )
+            .parquet(out)
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("s"),
+            )
+            .collect()[0]
+        )
+        records.append((variant, unkeyed_fails, int(keyed["n"]), float(keyed["s"])))
+    return spark.createDataFrame(
+        records,
+        "variant string, unkeyed_read_fails boolean, n_rows long, "
+        "sum_price_r2 double",
+    )

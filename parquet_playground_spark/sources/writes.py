@@ -513,3 +513,150 @@ def write_nested_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("line.qty"), 2).alias("qty_sum"),
     )
+
+
+@register(
+    "write_bloom_filter_prune",
+    oracle="""
+        SELECT count(*) AS n_match,
+               TRUE AS all_files_have_bloom,
+               min(p_partkey) AS min_match_key
+        FROM part
+        WHERE p_name = (SELECT p_name FROM part WHERE p_partkey = 100)
+    """,
+)
+def write_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter sidecar (the corpus ships bloom_filter.bin;
+    reference has no writer for it): write `part` with a bloom filter
+    on p_name (`parquet.bloom.filter.enabled#p_name`), verify via
+    footer metadata that every part-file carries a bloom filter for the
+    column, then run the point lookup the filter exists for. The
+    all_files_have_bloom flag is hash-checked against a literal TRUE,
+    so a silently dropped bloom filter fails the oracle.
+
+    Scale: bloom filters are the row-group skipping mechanism for
+    point predicates on high-cardinality UNSORTED columns — the case
+    min/max stats can't prune. The footer introspection is
+    driver-side over file metadata only (bytes per file, not data).
+    """
+    p = load_table(spark, sf_dir, "part")
+    out = _tmp("part_bloom")
+    (
+        p.repartition(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#p_name", "true")
+        .option("parquet.bloom.filter.expected.ndv#p_name", "50000")
+        # a fully dictionary-encoded chunk omits its bloom filter (the
+        # dictionary already serves as an exact membership structure);
+        # force PLAIN on p_name so the bloom sidecar is actually written
+        # — at real NDV (100 TB) the dict would overflow and PLAIN is
+        # what the writer falls back to anyway
+        .option("parquet.enable.dictionary#p_name", "false")
+        .parquet(out)
+    )
+
+    # Footer-only check: every data file must report a bloom-filter
+    # offset for p_name (ColumnChunkMetaData.getBloomFilterOffset >= 0).
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    files = [
+        f for f in os.listdir(out)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    all_have = len(files) > 0
+    for fname in files:
+        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(out, fname))
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jpath, hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            found = False
+            for block in reader.getFooter().getBlocks():
+                for col in block.getColumns():
+                    if (
+                        col.getPath().toDotString() == "p_name"
+                        and col.getBloomFilterOffset() >= 0
+                    ):
+                        found = True
+            all_have = all_have and found
+        finally:
+            reader.close()
+
+    # The point lookup the bloom filter serves. The literal is resolved
+    # driver-side (1-row lookup) so the EqualTo predicate pushes down
+    # to the scan, where parquet-mr consults the bloom filter per row
+    # group; the DuckDB oracle states the same lookup as a subquery.
+    target = (
+        p.filter(F.col("p_partkey") == 100).select("p_name").collect()[0][0]
+    )
+    back = spark.read.parquet(out).filter(F.col("p_name") == target)
+    return back.agg(
+        F.count("*").alias("n_match"),
+        F.lit(all_have).alias("all_files_have_bloom"),
+        F.min("p_partkey").alias("min_match_key"),
+    )
+
+
+# The knobs the reference hand-tunes in its S3 TransferManager upload
+# (LoadParquet.java:55-72: multipart threshold/part size 16 MiB,
+# 16-thread pool), re-expressed as the public s3a/committer confs a
+# Spark job sets for the same behavior. On the local stand-in path the
+# s3a keys are inert but ride the per-write job conf exactly as they
+# would against s3a://, where the magic committer gives the
+# no-rename-commit multipart upload (R9) the reference implements by
+# hand.
+_OBJECT_STORE_CONF: list[tuple[str, str]] = [
+    ("fs.s3a.committer.name", "magic"),
+    ("mapreduce.outputcommitter.factory.scheme.s3a",
+     "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"),
+    ("fs.s3a.multipart.size", "16M"),
+    ("fs.s3a.multipart.threshold", "16M"),
+    ("fs.s3a.threads.max", "16"),
+    ("fs.s3a.fast.upload", "true"),
+]
+
+
+@register(
+    "write_object_store_committer",
+    oracle="""
+        SELECT 'fs.s3a.committer.name' AS setting, 'magic' AS value
+        UNION ALL SELECT 'mapreduce.outputcommitter.factory.scheme.s3a',
+            'org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory'
+        UNION ALL SELECT 'fs.s3a.multipart.size', '16M'
+        UNION ALL SELECT 'fs.s3a.multipart.threshold', '16M'
+        UNION ALL SELECT 'fs.s3a.threads.max', '16'
+        UNION ALL SELECT 'fs.s3a.fast.upload', 'true'
+        UNION ALL SELECT 'rows_roundtripped',
+            CAST((SELECT count(*) FROM orders WHERE o_orderkey <= 2000)
+                 AS VARCHAR)
+    """,
+)
+def write_object_store_committer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store sink analog of the reference's S3 upload pipeline
+    (LoadParquet.java:55-72: TransferManager with a tuned 16 MiB
+    multipart threshold and a 16-thread pool). Spark replaces all of
+    that with committer configuration: the same write against an
+    s3a:// path needs only these confs — executors stream part-files
+    through multipart uploads in parallel and the magic committer
+    finalizes without a rename pass (which S3 lacks). The write here
+    rides a local stand-in path; the emitted table pins the exact conf
+    set so the oracle fails if a knob drifts.
+
+    Scale: committer choice is THE object-store bottleneck at 100 TB —
+    a rename-based commit is O(data) on S3, the magic committer is
+    O(files) metadata-only."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+    out = _tmp("orders_object_store")
+    writer = o.write.mode("overwrite")
+    for k, v in _OBJECT_STORE_CONF:
+        writer = writer.option(k, v)
+    writer.parquet(out)
+    n = spark.read.parquet(out).count()
+    rows = [(k, v) for k, v in _OBJECT_STORE_CONF]
+    rows.append(("rows_roundtripped", str(n)))
+    return spark.createDataFrame(rows, "setting string, value string")

@@ -383,13 +383,15 @@ def test_nearest_hub_broadcasts_hubs(spark):
 
 
 def test_pmi_pair_join_is_equi_not_cartesian(spark):
-    """The ±2-window pair extraction must plan as a doc_id equi hash
-    join (offset condition as residual), never an all-pairs product.
-    The only nested-loop joins allowed are the broadcast 1-row totals
-    frames (scalar cross joins), so pin the pair join specifically."""
+    """The ±2-window pair extraction must plan on the COMPOSITE equi-key
+    (doc_id, pos + offset) — the exploded-offset shape that is linear in
+    corpus size — never on doc_id alone with the offset as a residual
+    (per-document all-pairs, quadratic in document length). The only
+    nested-loop joins allowed are the broadcast 1-row totals frames."""
     plan = formatted_plan(_q("text_pmi_collocations")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # the (doc_id) pair join
+    # the exploded-offset key column must be part of a join's hash keys
+    assert "pos_t" in plan
     # scalar totals may broadcast-nested-loop; the heavy token join
     # must not: every BNLJ in the plan builds a 1-row aggregate side
     tree = plan.split("\n\n")[0]
@@ -420,4 +422,6 @@ def test_matryoshka_shares_one_corpus_scan(spark):
     tree = formatted_plan(
         _q("embedding_matryoshka_truncate")(spark, SF_DIR)
     ).split("\n\n")[0]
-    assert tree.count("Scan parquet") <= 3  # corpus + broadcast query side
+    # exactly corpus + broadcast query side; a regression to one corpus
+    # scan per resolution would show as 3 (2 corpus + 1 query)
+    assert tree.count("Scan parquet") <= 2
