@@ -238,12 +238,16 @@ ORACLE_QUERIES = [
     "text_pmi_collocations",   # K: windowed PMI phrase mining
     "ml_logistic_gradient_steps",  # stats: GD loop, collect-free
     "embedding_matryoshka_truncate",  # K: dim-truncation recall audit
+    "write_encrypted_roundtrip",  # A: modular-encryption WRITE, 3 modes
+    "write_bloom_filter_prune",   # A: bloom sidecar write + point lookup
+    "write_object_store_committer",  # A: s3a committer conf analog
+    "corpus_smoke_reads",      # A: stated-value corpus envelope (was rows)
+    "encrypted_corpus_reads",  # A: stated-value decrypt check (was rows)
+    "multimodal_decode_features",  # K: body-md5 oracle (was rows)
 ]
 
 # rows-only queries: assert they run and return sane row counts
 ROWS_ONLY_QUERIES = {
-    "corpus_smoke_reads": 31,
-    "multimodal_decode_features": 500,
     "stream_stateful_running": None,  # >0
 }
 

@@ -425,3 +425,12 @@ def test_matryoshka_shares_one_corpus_scan(spark):
     # exactly corpus + broadcast query side; a regression to one corpus
     # scan per resolution would show as 3 (2 corpus + 1 query)
     assert tree.count("Scan parquet") <= 2
+
+
+def test_bloom_point_lookup_pushes_predicate(spark):
+    """The point predicate the bloom filter serves must reach the scan
+    as a pushed EqualTo — bloom row-group skipping only engages below a
+    pushed filter, never above a post-scan Filter node."""
+    plan = formatted_plan(_q("write_bloom_filter_prune")(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "EqualTo(p_name," in plan
