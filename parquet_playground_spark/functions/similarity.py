@@ -214,13 +214,16 @@ def sim_search_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_search_ann_recall")  # rows-only: measures the approximation
+@register("sim_search_ann_recall")  # oracle composed below from the
+# topk + ivf oracles (both independently driver-green)
 def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF path against the exact brute-force top-k —
     the self-check every ANN deployment ships with. Joins the two
     result sets per query and reports |ANN ∩ exact| / k. At scale this
     runs over a sampled query set and drives the probes/centroids
-    tuning loop."""
+    tuning loop. Fully oracle-checked: both inputs have exact DuckDB
+    twins, so the recall oracle is their composition (see the module
+    footer), not a rows-only recall bound."""
     exact = QUERIES_REF["sim_search_cosine_topk"](spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
@@ -246,6 +249,27 @@ def sim_search_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # late import-free registry handle (avoids a circular import at module load)
 from parquet_playground_spark.registry import QUERIES as QUERIES_REF  # noqa: E402
+from parquet_playground_spark.registry import ORACLES as ORACLES_REF  # noqa: E402
+
+# sim_search_ann_recall's oracle is the composition of the exact-topk
+# and IVF oracles (registered above, both driver-green): same semi-join
+# + per-query hit count DuckDB-side. Assigned here because it needs the
+# two oracle strings to exist first.
+ORACLES_REF["sim_search_ann_recall"] = f"""
+    WITH exact AS ({{topk}}),
+         ann AS ({{ivf}})
+    SELECT e.query_id,
+           count(*) AS n_hits,
+           round(count(*) / CAST({{k}} AS DOUBLE), 4) AS recall_at_k
+    FROM exact e
+    JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+""".format(
+    topk=ORACLES_REF["sim_search_cosine_topk"],
+    ivf=ORACLES_REF["sim_search_ann_ivf"],
+    k=TOP_K,
+)
 
 
 @register(
@@ -281,7 +305,15 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_lloyd_iterations")
+@register(
+    "kmeans_lloyd_iterations",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, CAST(8 AS BIGINT), TRUE),
+            (1, CAST(8 AS BIGINT), TRUE)
+        ) AS t(iteration, k_used, inertia_decreased)
+    """,
+)
 def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative algorithm surface: two Lloyd iterations of k-means
     over the embedding corpus, K=8, deterministically initialized from
@@ -291,10 +323,13 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect of the corpus; only the K x dim centroid table (driver-
     sized at any corpus scale) moves between iterations.
 
-    Rows-only by design (iterative fixpoints aren't single-statement
-    SQL); tests/test_correctness.py asserts inertia strictly decreases
-    across the iterations, which a wrong assignment or update breaks.
-    Returns one row per iteration with the total inertia."""
+    An iterative fixpoint isn't single-statement SQL, so the hashed
+    output is the semantic contract: per iteration, all 8 clusters
+    stay populated and inertia strictly decreases vs the previous
+    iteration (TRUE by definition at iteration 0). The raw inertia
+    floats stay out of the hash — they carry partition-order noise —
+    but a wrong assignment or centroid update breaks monotone
+    improvement and flips the stated VALUES oracle."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def sqdist(a: Column, b: Column) -> Column:
@@ -326,7 +361,9 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("d2"), 4).alias("inertia"),
             F.count_distinct("cid").alias("k_used"),
         ).collect()[0]
-        stats.append((it, float(row["inertia"]), int(row["k_used"])))
+        prev_inertia = stats[-1][1] if stats else float("inf")
+        stats.append((it, float(row["inertia"]), int(row["k_used"]),
+                      float(row["inertia"]) < prev_inertia))
         # M-step: element-wise mean per cluster -> next centroid table
         # (K x dim rows; driver-sized forever)
         centroids = (
@@ -349,7 +386,8 @@ def kmeans_lloyd_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return spark.createDataFrame(
-        stats, "iteration int, inertia double, k_used long"
+        [(it, k, dec) for it, _inertia, k, dec in stats],
+        "iteration int, k_used long, inertia_decreased boolean",
     )
 
 

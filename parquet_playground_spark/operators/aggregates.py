@@ -244,24 +244,80 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # rows-only: approximate by design
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch — constant memory per group at any SF (the scale
-    substitute for exact COUNT DISTINCT on high-cardinality keys)."""
+    substitute for exact COUNT DISTINCT on high-cardinality keys).
+
+    The sketch estimate itself is engine-specific, so the hashed output
+    is the EXACT count (oracle-checkable) plus the semantic contract —
+    the estimate lands within 5x the requested 1% rsd — as a boolean
+    the oracle pins to TRUE. A broken sketch flips the hash. At 100 TB
+    only the sketch column survives; the exact twin is the small-scale
+    ground truth."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    )
 
 
-@register("agg_approx_percentile")  # rows-only: approximate by design
+@register(
+    "agg_approx_percentile",
+    oracle="""
+        SELECT count(*) AS n,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_exact,
+               round(quantile_cont(l_extendedprice, 0.50), 4) AS q2_exact,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_exact,
+               TRUE AS approx_within_1pct
+        FROM lineitem
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch, mergeable, bounded memory) next to
+    the exact interpolated quartiles. Hashed output: the exact
+    quartiles (cross-engine checkable against quantile_cont) plus the
+    sketch-vs-exact relative-error contract as an oracle-pinned TRUE.
+    At 100 TB only the sketch column survives; the exact path is the
+    small-scale ground truth."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
-        )
+    agg = li.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("aq"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("eq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    within = F.aggregate(
+        F.zip_with(
+            "aq", "eq", lambda a, e: F.abs(a - e) / e <= F.lit(0.01)
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    return agg.select(
+        "n",
+        F.round(F.element_at("eq", 1), 4).alias("q1_exact"),
+        F.round(F.element_at("eq", 2), 4).alias("q2_exact"),
+        F.round(F.element_at("eq", 3), 4).alias("q3_exact"),
+        within.alias("approx_within_1pct"),
     )
 
 
@@ -385,22 +441,43 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_hll_union")
+@register(
+    "sketch_hll_union",
+    oracle="""
+        SELECT count(*) AS total_rows,
+               count(DISTINCT o_custkey) AS exact_custkeys,
+               TRUE AS union_within_5pct
+        FROM orders
+    """,
+)
 def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (DataSketches HLL): one
     hll_sketch_agg per priority group, then hll_union_agg merges the
     group sketches into a global estimate — the partition-then-merge
-    topology every 100 TB distinct-count runs. Rows-only (sketch
-    estimates are engine-specific); tests/test_correctness.py bounds
-    the estimate against the exact distinct count."""
+    topology every 100 TB distinct-count runs. The sketch estimate is
+    engine-specific, so the hashed output is the exact side (rows +
+    exact distinct) plus the union-estimate error contract as an
+    oracle-pinned TRUE boolean — a broken sketch merge flips the hash.
+    At 100 TB only the sketch path survives; the exact countDistinct is
+    the small-scale ground truth."""
     o = load_table(spark, sf_dir, "orders")
     per_group = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return per_group.agg(
+    merged = per_group.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_custkeys"),
         F.sum("n_rows").alias("total_rows"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_custkeys"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "total_rows",
+        "exact_custkeys",
+        (
+            F.abs(F.col("approx_custkeys") - F.col("exact_custkeys"))
+            / F.col("exact_custkeys")
+            <= 0.05
+        ).alias("union_within_5pct"),
     )
 
 

@@ -327,15 +327,26 @@ def write_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("source_corrupt_records")
+@register(
+    "source_corrupt_records",
+    oracle="""
+        SELECT count(*) AS n_total,
+               count(*) FILTER (WHERE o_orderkey % 7 <> 0) AS n_good,
+               count(*) FILTER (WHERE o_orderkey % 7 = 0) AS n_bad,
+               round(sum(o_totalprice) FILTER (WHERE o_orderkey % 7 <> 0), 4)
+                   AS sum_good_p
+        FROM orders WHERE o_orderkey <= 2000
+    """,
+)
 def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE-mode ingestion of a JSONL batch where every 7th line
     is deliberately malformed (truncated JSON): bad records land in
     _corrupt_record instead of failing the job — the reference's
     robust-ingestion theme (its corpus ships malformed files; README
     'should fail cleanly') mapped to Spark's per-record quarantine.
-    Rows-only with exact expected counts asserted in tests (the line
-    corpus is derived deterministically from orders)."""
+    The corruption rule is deterministic (orderkey mod 7), so the
+    good/bad split and the good-side value sum are fully
+    oracle-derivable from orders."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     lines = o.select(
         F.when(

@@ -325,12 +325,23 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, "append")
 
 
-@register("stream_stateful_running")  # rows-only: custom stateful operator
+@register(
+    "stream_stateful_running",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
 def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running aggregate across micro-batches via
     applyInPandasWithState — the custom-stateful-operator surface
     (reference has no equivalent; north-star extension). State = (count,
-    sum) per user, updated batch by batch; final rows = per-user totals."""
+    sum) per user, updated batch by batch; final rows = per-user totals,
+    which after the 3-chunk availableNow replay must equal the plain
+    batch GROUP BY over all events — the oracle states exactly that, so
+    state carry-over bugs (lost chunk, double count) flip the hash."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

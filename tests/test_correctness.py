@@ -244,6 +244,13 @@ ORACLE_QUERIES = [
     "corpus_smoke_reads",      # A: stated-value corpus envelope (was rows)
     "encrypted_corpus_reads",  # A: stated-value decrypt check (was rows)
     "multimodal_decode_features",  # K: body-md5 oracle (was rows)
+    "agg_approx_count_distinct",  # D: exact + sketch-bound hash (was rows)
+    "agg_approx_percentile",   # D: exact quartiles + bound (was rows)
+    "sketch_hll_union",        # D: exact + union-bound hash (was rows)
+    "sim_search_ann_recall",   # K: composed topk+ivf oracle (was rows)
+    "source_corrupt_records",  # A: derivable split oracle (was rows)
+    "stream_stateful_running",  # I: batch-equivalence oracle (was rows)
+    "kmeans_lloyd_iterations",  # K: semantic VALUES oracle (was rows)
 ]
 
 # rows-only queries: assert they run and return sane row counts
@@ -303,58 +310,47 @@ def test_watermark_drops_late_row(spark):
     assert out.filter("late_event_included").count() == 0
 
 
-def test_corrupt_records_are_quarantined_not_fatal(spark, oracle_con):
-    """source_corrupt_records is rows-only; the good/bad split must
-    equal the deterministic corruption rule (every 7th key)."""
-    reg = _registry()
-    row = reg.QUERIES["source_corrupt_records"](spark, SF_DIR).collect()[0]
-    n_total, n_bad = oracle_con.sql(
-        "SELECT count(*), count(*) FILTER (WHERE o_orderkey % 7 = 0) "
-        "FROM orders WHERE o_orderkey <= 2000"
-    ).fetchone()
-    assert row["n_total"] == n_total
-    assert row["n_bad"] == n_bad
-    assert row["n_good"] == n_total - n_bad
+def test_encrypted_read_wrong_aad_fails(spark):
+    """AAD integrity: the disable-aad-storage corpus file requires the
+    caller-supplied prefix; a WRONG prefix must fail the read, not
+    silently decrypt (GCM tag verification)."""
+    import pytest as _pytest
+
+    from parquet_playground_spark.sources.encrypted import read_encrypted
+
+    with _pytest.raises(Exception):
+        read_encrypted(
+            spark,
+            "encrypt_columns_and_footer_disable_aad_storage.parquet.encrypted",
+            "wrong-prefix",
+        ).agg({"double_field": "sum"}).collect()
 
 
-def test_kmeans_inertia_decreases(spark):
-    """kmeans_lloyd_iterations is rows-only (iterative fixpoint); a
-    wrong assignment or centroid update breaks monotone improvement."""
+def test_kmeans_clusters_stay_populated_and_improve(spark):
+    """kmeans_lloyd_iterations now hashes its semantic contract; this
+    re-asserts it directly so a VALUES-oracle edit can't silently
+    weaken the check."""
     reg = _registry()
     rows = {
         r["iteration"]: r
         for r in reg.QUERIES["kmeans_lloyd_iterations"](spark, SF_DIR).collect()
     }
-    assert rows[1]["inertia"] < rows[0]["inertia"]
-    assert rows[0]["k_used"] == 8
+    assert rows[1]["inertia_decreased"]
+    assert rows[0]["k_used"] == 8 and rows[1]["k_used"] == 8
 
 
-def test_approx_percentile_brackets_exact(spark, oracle_con):
-    """agg_approx_percentile is rows-only (sketch); bound each quartile
-    against the exact value within 2%."""
+def test_sketch_bounds_hold(spark):
+    """The sketch queries hash exact values + a within-bound boolean;
+    re-assert the booleans directly (a TRUE literal in the oracle can
+    only fail if these are False, so keep the semantic intent pinned
+    in a test too)."""
     reg = _registry()
-    approx = reg.QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()[0][
-        "price_quartiles"
-    ]
-    exact = oracle_con.sql(
-        "SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) FROM lineitem"
-    ).fetchone()[0]
-    for a, x in zip(approx, exact):
-        assert abs(a - x) / x < 0.02
-
-
-def test_hll_sketch_estimate_close_to_exact(spark, oracle_con):
-    """sketch_hll_union is rows-only (estimates are engine-specific);
-    bound the merged-sketch estimate against the exact distinct count."""
-    reg = _registry()
-    row = reg.QUERIES["sketch_hll_union"](spark, SF_DIR).collect()[0]
-    exact = oracle_con.sql(
-        "SELECT count(DISTINCT o_custkey) FROM orders"
-    ).fetchone()[0]
-    assert abs(row["approx_custkeys"] - exact) / exact < 0.05
-    assert row["total_rows"] == oracle_con.sql(
-        "SELECT count(*) FROM orders"
-    ).fetchone()[0]
+    acd = reg.QUERIES["agg_approx_count_distinct"](spark, SF_DIR).collect()[0]
+    assert acd["approx_within_5pct"]
+    ap = reg.QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()[0]
+    assert ap["approx_within_1pct"]
+    hll = reg.QUERIES["sketch_hll_union"](spark, SF_DIR).collect()[0]
+    assert hll["union_within_5pct"]
 
 
 def test_every_oracle_key_is_registered():
