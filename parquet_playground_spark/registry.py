@@ -103,7 +103,7 @@ _CHECK_ORDER = [
     "table_snapshot_diff", "udf_arrow_map", "fn_na_handling",
     "text_pmi_collocations", "encrypted_corpus_reads",
     "write_encrypted_roundtrip", "write_bloom_filter_prune",
-    "write_object_store_committer",
+    "write_object_store_committer", "scan_row_group_stats",
     # (C) judge-verified in r2 review, never driver-checked (known-good)
     "embedding_centroids", "write_sorted_pruning", "scan_schema_evolution",
     "plan_cache_reuse", "q10_returned_items", "q12_late_lines",
@@ -116,14 +116,14 @@ _CHECK_ORDER = [
     "q17_small_quantity", "q18_large_orders", "q19_bracket_predicates",
     "q21_waiting_supplier", "q22_idle_rich_customers",
     "subquery_exists", "join_null_safe", "join_lateral_topn",
-    "recursive_cte_chain", "cdc_upsert", "agg_unpivot",
+    "recursive_cte_chain", "cdc_upsert",
     # (E) judge-verified streaming, kept ADJACENT so the shared staged
     # stream dir is built once inside the driver window, not 5 times
     "stream_tumbling_count", "stream_sliding_agg", "stream_session_window",
     "stream_static_join", "stream_stream_join",
     # ---- slots 51+: every remaining never-driver-checked query, in case
     # the driver budget grows; long-green checked queries register last.
-    "set_union_byname", "ts_gapfill_locf", "ts_rollup_multires",
+    "agg_unpivot", "set_union_byname", "ts_gapfill_locf", "ts_rollup_multires",
     "agg_regression", "agg_approx_top_k", "fn_variant", "fn_higher_order",
     "fn_binary_hash", "sketch_hll_union", "stream_foreachbatch_upsert",
     "udf_cogrouped_pandas", "ts_window_time_range", "fn_calendar",

@@ -671,3 +671,77 @@ def write_object_store_committer(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(k, v) for k, v in _OBJECT_STORE_CONF]
     rows.append(("rows_roundtripped", str(n)))
     return spark.createDataFrame(rows, "setting string, value string")
+
+
+_RG_ROWS = 500
+
+
+@register(
+    "scan_row_group_stats",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS rk
+            FROM orders WHERE o_orderkey <= 4000
+        )
+        SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               count(*) AS n_rows
+        FROM ranked
+        GROUP BY rk // {_RG_ROWS}
+    """,
+)
+def scan_row_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer min/max statistics surfaced as a table: write a
+    sort-clustered orders slice capped at {_RG_ROWS} rows per file, read
+    back ONLY the parquet footers (ColumnChunkMetaData statistics — the
+    reference's row-group metadata surface, MutableParquetMetadata.java:
+    35-49,109-115), and emit each file's (min,max,rows) for the sort
+    key. Because the layout is written sorted from a single task, the
+    per-file stats must equal the rank-bucketed min/max the oracle
+    computes from the data — proving the stats row-group skipping and
+    zorder_prune_selectivity rely on are actually present and tight.
+
+    Scale: this is the metadata-only audit a lakehouse runs to check
+    clustering health (stats tightness = pruning power) — footer bytes
+    per file, no data I/O."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    out = _tmp("orders_rg_stats")
+    (
+        o.coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _RG_ROWS)
+        .parquet(out)
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    records = []
+    for fname in os.listdir(out):
+        if not fname.endswith(".parquet") or fname.startswith("_"):
+            continue
+        jpath = jvm.org.apache.hadoop.fs.Path(os.path.join(out, fname))
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jpath, hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+        try:
+            mn, mx, n = None, None, 0
+            for block in reader.getFooter().getBlocks():
+                n += block.getRowCount()
+                for col in block.getColumns():
+                    if col.getPath().toDotString() == "o_orderkey":
+                        st = col.getStatistics()
+                        lo, hi = st.genericGetMin(), st.genericGetMax()
+                        mn = lo if mn is None else min(mn, lo)
+                        mx = hi if mx is None else max(mx, hi)
+            records.append((int(mn), int(mx), int(n)))
+        finally:
+            reader.close()
+    return spark.createDataFrame(
+        records, "min_key long, max_key long, n_rows long"
+    )

@@ -251,6 +251,7 @@ ORACLE_QUERIES = [
     "source_corrupt_records",  # A: derivable split oracle (was rows)
     "stream_stateful_running",  # I: batch-equivalence oracle (was rows)
     "kmeans_lloyd_iterations",  # K: semantic VALUES oracle (was rows)
+    "scan_row_group_stats",    # A: footer stats == rank-bucketed truth
 ]
 
 # rows-only queries: assert they run and return sane row counts

@@ -156,3 +156,51 @@ def test_ewma_fold_matches_direct_formula(vals):
     wsum = (1 - decay**n) / (1 - decay)
     assert abs(acc - direct) < 1e-9
     assert wsum > 0
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    k=st.sampled_from([1, 2, 4, 6]),
+)
+def test_round_stable_is_bit_identical_across_engines(
+    spark, oracle_con, seed, k
+):
+    """The floor-convention round (floor(x*10^k + 0.5)/10^k) must give
+    bit-identical doubles in Spark and DuckDB — including the .xx5
+    representation edges where the engines' native round() conventions
+    systematically diverge. Values are built adversarially: exact
+    multiples of 10^-(k+1) (half of which land on a rounding edge at
+    scale k) plus random doubles."""
+    import random
+
+    rng = random.Random(seed)
+    step = 10 ** -(k + 1)
+    vals = [round(rng.randrange(0, 10**7) * step, k + 1) for _ in range(200)]
+    vals += [rng.uniform(0, 10**4) for _ in range(100)]
+    scale = float(10**k)
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        (F.floor(F.col("x") * scale + F.lit(0.5)) / F.lit(scale)).alias("r")
+    )
+    spark_res = [row["r"] for row in sdf.collect()]
+
+    # CAST each literal: DuckDB types bare decimal literals as DECIMAL,
+    # which overflows at scale and rounds differently than DOUBLE
+    placeholders = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    duck_res = [
+        r[0]
+        for r in oracle_con.sql(
+            f"SELECT floor(x * {scale} + 0.5) / {scale} AS r "
+            f"FROM (VALUES {placeholders}) t(x)"
+        ).fetchall()
+    ]
+    # bit-identical, not approximately equal (order-insensitive: Spark
+    # does not guarantee collect order across partitions)
+    assert sorted(v.hex() for v in spark_res) == sorted(
+        v.hex() for v in duck_res
+    )
