@@ -1096,3 +1096,113 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("n_chars").cast("bigint").alias("survivor_chars"),
     )
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        assigned AS (
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_distance(e.v, c.cv), c.cid
+                       ) AS rn
+                FROM e CROSS JOIN c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS ka, b.vec_id AS kb, a.cid AS cid,
+                   list_cosine_similarity(a.v, b.v) AS cs
+            FROM assigned a
+            JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) > 0.3
+        )
+        SELECT kb AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
+               ka AS keeper_id, round(cs, 4) AS cos_sim
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY kb ORDER BY cs DESC, ka
+            ) AS rn FROM pairs
+        ) WHERE rn = 1
+    """,
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): assign every embedding to its nearest centroid
+    (deterministic init: vec_id < 8, the same coarse quantizer seed as
+    the IVF index), then run the pairwise cosine check ONLY within each
+    cluster — the clustering bounds the quadratic stage to
+    sum(|cluster|^2) instead of n^2, which is the whole trick at
+    100 TB (K scales with corpus so clusters stay bounded). Greedy
+    keep-lowest-id policy: each above-threshold vector reports its
+    strongest smaller-id partner as keeper. Threshold 0.3 matches the
+    synthetic corpus's cosine range (dedup_embedding_cosine ibid.).
+
+    Scale: centroids broadcast (K x dim), assignment is a narrow pass,
+    and the self-join shuffles on cluster_id so each task sees one
+    cluster's vectors — no all-pairs stage anywhere. Spark replays the
+    uncached assignment subtree once per self-join side; a production
+    run persists (or writes) the assignment before the pair stage so
+    the corpus scans once."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("ka"), F.col("cid").alias("cid_a"),
+        F.col("v").alias("va"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("kb"), F.col("cid").alias("cid_b"),
+        F.col("v").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("ka") < F.col("kb")))
+        .withColumn("cs", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+        .filter(F.col("cs") > 0.3)
+        .select("ka", "kb", F.col("cid_a").alias("cid"), "cs")
+    )
+    w = Window.partitionBy("kb").orderBy(F.col("cs").desc(), "ka")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("kb").alias("vec_id"),
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("ka").alias("keeper_id"),
+            F.round("cs", 4).alias("cos_sim"),
+        )
+    )

@@ -252,6 +252,7 @@ ORACLE_QUERIES = [
     "stream_stateful_running",  # I: batch-equivalence oracle (was rows)
     "kmeans_lloyd_iterations",  # K: semantic VALUES oracle (was rows)
     "scan_row_group_stats",    # A: footer stats == rank-bucketed truth
+    "dedup_semantic_clustered",  # K: SemDeDup cluster-bounded cosine
 ]
 
 # rows-only queries: assert they run and return sane row counts

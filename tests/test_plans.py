@@ -434,3 +434,16 @@ def test_bloom_point_lookup_pushes_predicate(spark):
     plan = formatted_plan(_q("write_bloom_filter_prune")(spark, SF_DIR))
     assert "PushedFilters" in plan
     assert "EqualTo(p_name," in plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
+    """The quadratic cosine stage must be bounded by the cluster
+    equi-join; the only nested-loop join allowed is the 8-row centroid
+    broadcast for assignment."""
+    plan = formatted_plan(_q("dedup_semantic_clustered")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    # assignment's 8-row centroid broadcast appears once per self-join
+    # side (Spark duplicates the uncached subtree); anything more means
+    # the pair stage itself went nested-loop
+    assert tree.count("BroadcastNestedLoopJoin") <= 2
