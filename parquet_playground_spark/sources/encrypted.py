@@ -69,7 +69,10 @@ def read_encrypted(
 _ENCRYPTED_ORACLE = (
     "SELECT * FROM (VALUES "
     + ", ".join(
-        f"('{f}', 'ok', 50, 1361.1111)" for f in ENCRYPTED_FILES
+        # CAST: DuckDB types a bare decimal literal DECIMAL(9,4); the
+        # Spark side emits DOUBLE, so state the literal as DOUBLE too
+        f"('{f}', 'ok', 50, CAST(1361.1111 AS DOUBLE))"
+        for f in ENCRYPTED_FILES
     )
     + ") AS t(file, status, n_rows, sum_double)"
 )
