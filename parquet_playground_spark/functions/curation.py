@@ -869,3 +869,85 @@ def dataset_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bucket").alias("min_bucket"),
         F.max("bucket").alias("max_bucket"),
     )
+
+
+@register(
+    "corpus_token_budget_pack",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(lower(text), ' ')))
+                       AS n_uniq
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, n_tok,
+                   CAST(n_uniq AS DOUBLE) / n_tok AS quality
+            FROM t
+        ), ranked AS (
+            SELECT doc_id, n_tok, quality,
+                   sum(n_tok) OVER (
+                       ORDER BY quality DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_tok
+            FROM scored
+        ), b AS (
+            SELECT CAST(floor(sum(n_tok) * 0.5) AS BIGINT) AS budget FROM t
+        )
+        SELECT b.budget AS budget_tokens,
+               count(*) AS n_docs_selected,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens_selected,
+               round(min(quality), 6) AS cut_quality
+        FROM ranked CROSS JOIN b
+        WHERE cum_tok <= b.budget
+        GROUP BY b.budget
+    """,
+)
+def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select-to-budget: take the highest-quality documents (lexical
+    diversity = distinct/total tokens, doc_id tie-break) until the
+    cumulative token count reaches a target budget (half the corpus
+    here) — the greedy knapsack every fixed-token-budget training run
+    executes after scoring. Output is the selection audit: budget,
+    docs/tokens admitted, and the quality cut line.
+
+    Scale: the global quality-ordered running sum is a single-partition
+    window at sandbox size; at 100 TB the same cut comes from an
+    approx-quantile quality threshold broadcast as a filter, with the
+    exact running sum only over the boundary quantile's docs (the
+    curriculum_quality_stages note generalizes). Quality is an exact
+    integer ratio, so both engines rank identically."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.split(F.lower("text"), " "))).alias("n_uniq"),
+    )
+    scored = t.select(
+        "doc_id",
+        "n_tok",
+        (F.col("n_uniq").cast("double") / F.col("n_tok")).alias("quality"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    budget = t.agg(
+        F.floor(F.sum("n_tok") * 0.5).cast("bigint").alias("budget")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_selected"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens_selected"),
+            F.round(F.min("quality"), 6).alias("cut_quality"),
+        )
+        .select(
+            F.col("budget").alias("budget_tokens"),
+            "n_docs_selected",
+            "n_tokens_selected",
+            "cut_quality",
+        )
+    )

@@ -253,6 +253,7 @@ ORACLE_QUERIES = [
     "kmeans_lloyd_iterations",  # K: semantic VALUES oracle (was rows)
     "scan_row_group_stats",    # A: footer stats == rank-bucketed truth
     "dedup_semantic_clustered",  # K: SemDeDup cluster-bounded cosine
+    "corpus_token_budget_pack",  # K: greedy select-to-token-budget
 ]
 
 # rows-only queries: assert they run and return sane row counts
