@@ -204,3 +204,42 @@ def test_round_stable_is_bit_identical_across_engines(
     assert sorted(v.hex() for v in spark_res) == sorted(
         v.hex() for v in duck_res
     )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_preround_decimal_cast_parity(spark, oracle_con, seed):
+    """The fn_cast_decimal fix class: after the shared floor-convention
+    pre-round to 2 decimals, double→DECIMAL(18,2) casts must agree
+    between Spark (HALF_UP on string form) and DuckDB (binary round) —
+    the pre-round parks every value ~0.005 from a boundary, so the
+    conventions cannot diverge. Random values include forced .xx5
+    edges (the case that failed the r2 driver hash un-pre-rounded)."""
+    import random
+
+    rng = random.Random(seed)
+    vals = [round(rng.randrange(0, 10**7) * 0.001, 3) for _ in range(200)]
+    vals += [rng.uniform(0, 10**4) for _ in range(100)]
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        (F.floor(F.col("x") * 100.0 + F.lit(0.5)) / F.lit(100.0))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("d")
+    )
+    spark_res = sorted(row["d"] for row in sdf.collect())
+
+    placeholders = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    duck_res = sorted(
+        r[0]
+        for r in oracle_con.sql(
+            "SELECT CAST(CAST(floor(x * 100.0 + 0.5) / 100.0 "
+            "AS DECIMAL(18,2)) AS VARCHAR) AS d "
+            f"FROM (VALUES {placeholders}) t(x)"
+        ).fetchall()
+    )
+    assert spark_res == duck_res
