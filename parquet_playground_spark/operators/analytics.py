@@ -2116,3 +2116,31 @@ def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS discounted,
+               floor(discounted * 100.0 + 0.5) / 100.0 AS discounted_r2
+        FROM lineitem WHERE l_orderkey <= 500
+    """,
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+ SQL surface): a SELECT-list
+    expression referencing an alias defined earlier in the same
+    SELECT — the ergonomic layering every hand-written report query
+    uses, resolved by Catalyst into nested projections (no recompute;
+    the plan evaluates `discounted` once). DuckDB shares the same
+    lateral-alias resolution, so the oracle is the identical text."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pp_lca_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS discounted,
+               floor(discounted * 100.0 + 0.5) / 100.0 AS discounted_r2
+        FROM pp_lca_lineitem WHERE l_orderkey <= 500
+        """
+    )

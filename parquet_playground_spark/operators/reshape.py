@@ -189,3 +189,37 @@ def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r_name")
     )
     return agg.transpose()
+
+
+@register(
+    "api_pandas_on_spark",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the drop-in pandas surface
+    compiling to the same distributed plans — read_parquet → groupby →
+    named agg → to_spark, equal to the plain SQL GROUP BY. This is the
+    migration path for single-node pandas pipelines: same code shape,
+    Catalyst underneath (no driver materialization; the groupby is a
+    normal shuffled hash aggregate)."""
+    import os
+
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    agg = (
+        psdf.groupby("o_orderpriority")
+        .agg(n_orders=("o_orderkey", "count"), total=("o_totalprice", "sum"))
+        .reset_index()
+    )
+    return agg.to_spark().select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("total", 2).alias("total_price"),
+    )

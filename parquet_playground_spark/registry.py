@@ -124,6 +124,7 @@ _CHECK_ORDER = [
     # ---- slots 51+: every remaining never-driver-checked query, in case
     # the driver budget grows; long-green checked queries register last.
     "dedup_semantic_clustered", "corpus_token_budget_pack",
+    "api_pandas_on_spark", "sql_lateral_column_alias",
     "agg_unpivot", "set_union_byname", "ts_gapfill_locf", "ts_rollup_multires",
     "agg_regression", "agg_approx_top_k", "fn_variant", "fn_higher_order",
     "fn_binary_hash", "sketch_hll_union", "stream_foreachbatch_upsert",

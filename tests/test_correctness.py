@@ -254,6 +254,8 @@ ORACLE_QUERIES = [
     "scan_row_group_stats",    # A: footer stats == rank-bucketed truth
     "dedup_semantic_clustered",  # K: SemDeDup cluster-bounded cosine
     "corpus_token_budget_pack",  # K: greedy select-to-token-budget
+    "api_pandas_on_spark",     # API: pyspark.pandas surface parity
+    "sql_lateral_column_alias",  # H: SELECT-list alias reference
 ]
 
 # rows-only queries: assert they run and return sane row counts
