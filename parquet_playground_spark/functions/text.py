@@ -985,3 +985,76 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .select("w1", "w2", "c_xy", "pmi")
     )
+
+
+@register(
+    "text_repetition_rep_n",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, len(toks) AS n,
+                   len(list_distinct(toks)) AS u1,
+                   len(list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1]))) AS u2
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT doc_id, n AS n_tokens,
+               round(1 - CAST(u1 AS DOUBLE) / n, 6) AS rep1,
+               round(1 - CAST(u2 AS DOUBLE) / (n - 1), 6) AS rep2
+        FROM s
+    """,
+)
+def text_repetition_rep_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratios rep-1/rep-2 (1 − distinct
+    n-grams / total n-grams — the repetition metric from the neural
+    text degeneration literature, and the Gopher repetition-filter
+    class applied per doc): high rep-n marks looping/boilerplate text
+    a pretraining filter drops. All array built-ins (split, transform
+    over an index sequence, array_distinct) — per-row JVM compute, no
+    shuffle at all until a downstream consumer aggregates.
+
+    Complements dedup_char_ngram_repeats (cross-document repeats) with
+    the intra-document signal. Ratios are exact integer divisions, so
+    both engines produce identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.round(
+                1
+                - F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks"),
+                6,
+            ).alias("rep1"),
+            F.round(
+                1
+                - F.size(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("toks") - 1),
+                            lambda i: F.concat(
+                                F.element_at("toks", i),
+                                F.lit(" "),
+                                F.element_at("toks", i + 1),
+                            ),
+                        )
+                    )
+                ).cast("double")
+                / (F.size("toks") - 1),
+                6,
+            ).alias("rep2"),
+        )
+    )

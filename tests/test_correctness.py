@@ -256,6 +256,7 @@ ORACLE_QUERIES = [
     "corpus_token_budget_pack",  # K: greedy select-to-token-budget
     "api_pandas_on_spark",     # API: pyspark.pandas surface parity
     "sql_lateral_column_alias",  # H: SELECT-list alias reference
+    "text_repetition_rep_n",   # K: within-doc repetition ratios
 ]
 
 # rows-only queries: assert they run and return sane row counts
