@@ -649,3 +649,34 @@ def join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY region_name, nation_name
         """
     )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+        SELECT o.o_orderpriority,
+               count(*) AS n,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 0
+        GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the SHUFFLE_HASH hint forces a shuffled
+    hash join where the planner would default to sort-merge — the right
+    call when one side is too big to broadcast but small enough to
+    hash per-partition (skips both sort passes; SMJ only wins when
+    spilling or pre-sorted bucketing is in play). The hint changes the
+    physical strategy, never the result — the oracle pins that.
+    tests/test_plans.py pins the ShuffledHashJoin node."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return (
+        o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

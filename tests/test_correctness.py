@@ -257,6 +257,7 @@ ORACLE_QUERIES = [
     "api_pandas_on_spark",     # API: pyspark.pandas surface parity
     "sql_lateral_column_alias",  # H: SELECT-list alias reference
     "text_repetition_rep_n",   # K: within-doc repetition ratios
+    "join_shuffle_hash_hint",  # C: SHJ strategy hint, plan-pinned
 ]
 
 # rows-only queries: assert they run and return sane row counts

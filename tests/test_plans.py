@@ -447,3 +447,11 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
     # side (Spark duplicates the uncached subtree); anything more means
     # the pair stage itself went nested-loop
     assert tree.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_shuffle_hash_hint_forces_shj(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (not the
+    default SortMergeJoin, not a broadcast)."""
+    plan = formatted_plan(_q("join_shuffle_hash_hint")(spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
