@@ -2144,3 +2144,50 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pp_lca_lineitem WHERE l_orderkey <= 500
         """
     )
+
+
+@register(
+    "sql_udf_scalar",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               floor(((l_extendedprice * (1 - l_discount)) * (1 + l_tax))
+                     * 100.0 + 0.5) / 100.0 AS charge_r2,
+               CASE WHEN l_quantity >= 30 THEN 'bulk' ELSE 'retail' END
+                   AS order_class
+        FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... RETURN):
+    reusable business logic declared in SQL that Catalyst INLINES into
+    the calling plan — unlike Python UDFs there is no serialization
+    boundary, the expression participates in codegen, pushdown, and
+    constant folding exactly as if written inline (the oracle IS the
+    inlined form). This is the right tool for shared scalar logic at
+    100 TB; the Python UDF surface (udf_python_scalar) exists for
+    logic SQL can't express."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pp_charge(
+            p DOUBLE, d DOUBLE, t DOUBLE
+        ) RETURNS DOUBLE RETURN (p * (1 - d)) * (1 + t)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pp_order_class(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q >= 30 THEN 'bulk' ELSE 'retail' END
+        """
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("pp_sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               floor(pp_charge(l_extendedprice, l_discount, l_tax)
+                     * 100.0 + 0.5) / 100.0 AS charge_r2,
+               pp_order_class(l_quantity) AS order_class
+        FROM pp_sqludf_lineitem WHERE l_orderkey <= 300
+        """
+    )

@@ -258,6 +258,7 @@ ORACLE_QUERIES = [
     "sql_lateral_column_alias",  # H: SELECT-list alias reference
     "text_repetition_rep_n",   # K: within-doc repetition ratios
     "join_shuffle_hash_hint",  # C: SHJ strategy hint, plan-pinned
+    "sql_udf_scalar",          # H: SQL-defined functions, inlined
 ]
 
 # rows-only queries: assert they run and return sane row counts

@@ -455,3 +455,13 @@ def test_shuffle_hash_hint_forces_shj(spark):
     plan = formatted_plan(_q("join_shuffle_hash_hint")(spark, SF_DIR))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """SQL-defined functions must inline — no Python evaluation node,
+    and the scan filter still pushes down through the UDF calls."""
+    df = _q("sql_udf_scalar")(spark, SF_DIR)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "PushedFilters" in plan and "l_orderkey" in plan
