@@ -9,6 +9,7 @@ import org.apache.hadoop.fs.Path;
 import org.apache.parquet.crypto.ColumnEncryptionProperties;
 import org.apache.parquet.crypto.EncryptionPropertiesFactory;
 import org.apache.parquet.crypto.FileEncryptionProperties;
+import org.apache.parquet.crypto.ParquetCipher;
 import org.apache.parquet.hadoop.api.WriteSupport;
 import org.apache.parquet.hadoop.metadata.ColumnPath;
 
@@ -57,9 +58,15 @@ public class PlaygroundCryptoFactory extends PlaygroundDecryptionFactory
     if (conf.getBoolean("playground.plaintext.footer", false)) {
       builder.withPlaintextFooter();
     }
+    if ("GCM_CTR".equals(conf.get("playground.cipher"))) {
+      builder.withAlgorithm(ParquetCipher.AES_GCM_CTR_V1);
+    }
     String aadPrefix = conf.get("playground.aad.prefix");
     if (aadPrefix != null) {
       builder.withAADPrefix(aadPrefix.getBytes(StandardCharsets.UTF_8));
+      if (conf.getBoolean("playground.disable.aad.storage", false)) {
+        builder.withoutAADPrefixStorage();
+      }
     }
     return builder.build();
   }

@@ -124,10 +124,16 @@ WRITE_FACTORY_CLASS = "pp.PlaygroundCryptoFactory"
 # encrypted footer + encrypted columns, the plaintext-footer mode, and
 # the AAD-prefix mode (prefix stored in-file, as the corpus's
 # encrypt_columns_and_footer_aad variant does).
-_WRITE_VARIANTS: list[tuple[str, bool, str | None]] = [
-    ("columns_and_footer", False, None),
-    ("plaintext_footer", True, None),
-    ("aad_prefix", False, "tester"),
+# (variant, plaintext_footer, aad_prefix, ctr, disable_aad_storage) —
+# mirrors ALL five writable corpus envelope modes: encrypted footer,
+# plaintext footer, stored AAD prefix, GCM_CTR cipher, and the
+# AAD-prefix-not-stored mode (reader must supply the prefix).
+_WRITE_VARIANTS: list[tuple[str, bool, str | None, bool, bool]] = [
+    ("columns_and_footer", False, None, False, False),
+    ("plaintext_footer", True, None, False, False),
+    ("aad_prefix", False, "tester", False, False),
+    ("ctr_mode", False, None, True, False),
+    ("disable_aad_storage", False, "tester", False, True),
 ]
 
 
@@ -137,7 +143,8 @@ _WRITE_VARIANTS: list[tuple[str, bool, str | None]] = [
         SELECT v.variant, TRUE AS unkeyed_read_fails, t.n_rows,
                t.sum_price_r2
         FROM (VALUES ('columns_and_footer'), ('plaintext_footer'),
-                     ('aad_prefix')) AS v(variant)
+                     ('aad_prefix'), ('ctr_mode'),
+                     ('disable_aad_storage')) AS v(variant)
         CROSS JOIN (
             SELECT count(*) AS n_rows,
                    round(sum(l_extendedprice), 2) AS sum_price_r2
@@ -148,9 +155,10 @@ _WRITE_VARIANTS: list[tuple[str, bool, str | None]] = [
 def write_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet Modular Encryption WRITE: encrypt lineitem columns with
     the corpus's published keys (footer "kf", l_extendedprice "kc1",
-    l_discount "kc2" — reference README.md:37-50), in the three corpus
-    envelope modes (encrypted footer / plaintext footer / AAD prefix),
-    then prove the roundtrip both ways: an unkeyed read of an encrypted
+    l_discount "kc2" — reference README.md:37-50), in all five corpus
+    envelope modes (encrypted footer / plaintext footer / stored AAD
+    prefix / GCM_CTR cipher / AAD prefix not stored), then prove the
+    roundtrip both ways: an unkeyed read of an encrypted
     column FAILS, and a keyed read returns the exact source aggregate.
 
     Scale: encryption is a per-column-chunk codec step inside the
@@ -174,7 +182,7 @@ def write_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     records = []
     base = os.path.join(tempfile.gettempdir(), "ppspark_encrypted_write")
-    for variant, plaintext_footer, aad in _WRITE_VARIANTS:
+    for variant, plaintext_footer, aad, ctr, no_aad_store in _WRITE_VARIANTS:
         out = os.path.join(base, variant)
         writer = (
             src.coalesce(1)
@@ -189,6 +197,10 @@ def write_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             writer = writer.option("playground.plaintext.footer", "true")
         if aad is not None:
             writer = writer.option("playground.aad.prefix", aad)
+        if ctr:
+            writer = writer.option("playground.cipher", "GCM_CTR")
+        if no_aad_store:
+            writer = writer.option("playground.disable.aad.storage", "true")
         writer.parquet(out)
 
         # Unkeyed read of an encrypted column must fail (in plaintext-
@@ -199,11 +211,14 @@ def write_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:  # noqa: BLE001 — expected: no keys
             unkeyed_fails = True
 
+        keyed_reader = spark.read.option(
+            "parquet.crypto.factory.class", WRITE_FACTORY_CLASS
+        )
+        if no_aad_store:
+            # prefix not stored in-file: the reader must supply it
+            keyed_reader = keyed_reader.option("playground.aad.prefix", aad)
         keyed = (
-            spark.read.option(
-                "parquet.crypto.factory.class", WRITE_FACTORY_CLASS
-            )
-            .parquet(out)
+            keyed_reader.parquet(out)
             .agg(
                 F.count("*").alias("n"),
                 F.round(F.sum("l_extendedprice"), 2).alias("s"),
