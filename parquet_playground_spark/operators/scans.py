@@ -357,3 +357,44 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_nationkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "scan_type_widening",
+    oracle="""
+        SELECT CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+               round(sum(n_regionkey * 1.5), 2) AS widened_sum,
+               count(*) AS n
+        FROM nation
+    """,
+)
+def scan_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-widening schema evolution: files written with narrow types
+    (int32 keys, float weights) read through a WIDER user schema
+    (bigint, double) — the upcast path a long-lived table takes when a
+    column outgrows its original type. mergeSchema cannot reconcile
+    int32 vs int64 file footers; a widened explicit read schema can,
+    and the parquet vectorized reader upcasts per batch with no row
+    penalty. The aggregate matches the source table exactly because
+    int32→int64 and float32(1.5x of small ints)→float64 are lossless
+    for these values."""
+    import os
+    import tempfile
+
+    n = load_table(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), "ppspark_narrow_types")
+    (
+        n.select(
+            F.col("n_nationkey").cast("int").alias("n_nationkey"),
+            (F.col("n_regionkey") * 1.5).cast("float").alias("weight"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.schema("n_nationkey bigint, weight double").parquet(out)
+    return back.agg(
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        F.round(F.sum("weight"), 2).alias("widened_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -259,6 +259,7 @@ ORACLE_QUERIES = [
     "text_repetition_rep_n",   # K: within-doc repetition ratios
     "join_shuffle_hash_hint",  # C: SHJ strategy hint, plan-pinned
     "sql_udf_scalar",          # H: SQL-defined functions, inlined
+    "scan_type_widening",      # A: widened read schema over narrow files
 ]
 
 # rows-only queries: assert they run and return sane row counts
