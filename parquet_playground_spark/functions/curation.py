@@ -897,7 +897,8 @@ def dataset_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b.budget AS budget_tokens,
                count(*) AS n_docs_selected,
                CAST(sum(n_tok) AS BIGINT) AS n_tokens_selected,
-               round(min(quality), 6) AS cut_quality
+               floor(min(quality) * 1000000.0 + 0.5) / 1000000.0
+                   AS cut_quality
         FROM ranked CROSS JOIN b
         WHERE cum_tok <= b.budget
         GROUP BY b.budget
@@ -942,7 +943,11 @@ def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs_selected"),
             F.sum("n_tok").cast("bigint").alias("n_tokens_selected"),
-            F.round(F.min("quality"), 6).alias("cut_quality"),
+            # floor-convention: plain round() diverges cross-engine at
+            # .xx5 edges, and quality ratios (u/n) can land there
+            (
+                F.floor(F.min("quality") * 1000000.0 + 0.5) / 1000000.0
+            ).alias("cut_quality"),
         )
         .select(
             F.col("budget").alias("budget_tokens"),

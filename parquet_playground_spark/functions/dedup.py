@@ -1117,17 +1117,17 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pairs AS (
             SELECT a.vec_id AS ka, b.vec_id AS kb, a.cid AS cid,
-                   list_cosine_similarity(a.v, b.v) AS cs
+                   floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5)
+                       / 10000.0 AS cs_r4
             FROM assigned a
             JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.v, b.v) > 0.3
         )
         SELECT kb AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
-               ka AS keeper_id, round(cs, 4) AS cos_sim
+               ka AS keeper_id, cs_r4 AS cos_sim
         FROM (
             SELECT *, row_number() OVER (
-                PARTITION BY kb ORDER BY cs DESC, ka
-            ) AS rn FROM pairs
+                PARTITION BY kb ORDER BY cs_r4 DESC, ka
+            ) AS rn FROM pairs WHERE cs_r4 > 0.3
         ) WHERE rn = 1
     """,
 )
@@ -1189,13 +1189,21 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # round-before-rank (same convention as sim_search_cosine_topk):
+    # the two engines compute the cosine by different op orderings
+    # (~1 ulp apart), so threshold and keeper-rank comparisons run on
+    # the floor-convention 4dp value — near-ties become exact ties
+    # broken deterministically by ka
+    cs_r4 = F.floor(
+        (dot / (nrm(F.col("va")) * nrm(F.col("vb")))) * 10000.0 + 0.5
+    ) / 10000.0
     pairs = (
         a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("ka") < F.col("kb")))
-        .withColumn("cs", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
-        .filter(F.col("cs") > 0.3)
-        .select("ka", "kb", F.col("cid_a").alias("cid"), "cs")
+        .withColumn("cs_r4", cs_r4)
+        .filter(F.col("cs_r4") > 0.3)
+        .select("ka", "kb", F.col("cid_a").alias("cid"), "cs_r4")
     )
-    w = Window.partitionBy("kb").orderBy(F.col("cs").desc(), "ka")
+    w = Window.partitionBy("kb").orderBy(F.col("cs_r4").desc(), "ka")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1203,6 +1211,6 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kb").alias("vec_id"),
             F.col("cid").cast("bigint").alias("cluster_id"),
             F.col("ka").alias("keeper_id"),
-            F.round("cs", 4).alias("cos_sim"),
+            F.col("cs_r4").alias("cos_sim"),
         )
     )

@@ -1001,8 +1001,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t WHERE len(toks) >= 2
         )
         SELECT doc_id, n AS n_tokens,
-               round(1 - CAST(u1 AS DOUBLE) / n, 6) AS rep1,
-               round(1 - CAST(u2 AS DOUBLE) / (n - 1), 6) AS rep2
+               floor((1 - CAST(u1 AS DOUBLE) / n) * 1000000.0 + 0.5)
+                   / 1000000.0 AS rep1,
+               floor((1 - CAST(u2 AS DOUBLE) / (n - 1)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS rep2
         FROM s
     """,
 )
@@ -1017,43 +1019,29 @@ def text_repetition_rep_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complements dedup_char_ngram_repeats (cross-document repeats) with
     the intra-document signal. Ratios are exact integer divisions, so
-    both engines produce identical doubles."""
+    both engines compute identical doubles; the projection rounds with
+    the shared floor-convention (plain round diverges at .xx5 edges)."""
+    from parquet_playground_spark.functions.scalars import _round_stable
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    n = F.size(toks)
+    n = F.size(F.col("toks"))
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
         ),
     )
     return (
-        d.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= 2)
+        d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .filter(n >= 2)
         .select(
             "doc_id",
-            F.size("toks").alias("n_tokens"),
-            F.round(
-                1
-                - F.size(F.array_distinct("toks")).cast("double")
-                / F.size("toks"),
-                6,
+            n.alias("n_tokens"),
+            _round_stable(
+                1 - F.size(F.array_distinct("toks")).cast("double") / n, 6
             ).alias("rep1"),
-            F.round(
-                1
-                - F.size(
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("toks") - 1),
-                            lambda i: F.concat(
-                                F.element_at("toks", i),
-                                F.lit(" "),
-                                F.element_at("toks", i + 1),
-                            ),
-                        )
-                    )
-                ).cast("double")
-                / (F.size("toks") - 1),
+            _round_stable(
+                1 - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
                 6,
             ).alias("rep2"),
         )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
 
+from parquet_playground_spark.functions.scalars import _round_stable
 from parquet_playground_spark.registry import register
 from parquet_playground_spark.tables import load_table
 
@@ -82,9 +83,7 @@ def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        (F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
-            "charged"
-        ),
+        _round_stable(raw, 4).alias("charged"),
     )
 
 

@@ -30,6 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_playground_spark.functions.scalars import _round_stable
 from parquet_playground_spark.registry import register
 from parquet_playground_spark.tables import load_table
 
@@ -367,14 +368,13 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 17 != 0)
         .select(
             "o_orderkey",
-            # floor-convention on the repriced branch: price*1.1 has
-            # long decimals, and Spark/DuckDB round() disagree at .xx5
-            # edges; the shared floor expression is bit-identical in
-            # both engines. Plain round() on the untouched branch is
-            # safe — the input is already an exact 2-decimal value.
+            # _round_stable on the repriced branch: price*1.1 has long
+            # decimals where Spark/DuckDB round() disagree at .xx5
+            # edges. Plain round() on the untouched branch is safe —
+            # the input is already an exact 2-decimal value.
             F.when(
                 F.col("o_orderkey") % 13 == 0,
-                F.floor((F.col("o_totalprice") * 1.1) * 100.0 + 0.5) / 100.0,
+                _round_stable(F.col("o_totalprice") * 1.1, 2),
             )
             .otherwise(F.round("o_totalprice", 2))
             .alias("price"),

@@ -127,6 +127,7 @@ _CHECK_ORDER = [
     "api_pandas_on_spark", "sql_lateral_column_alias",
     "text_repetition_rep_n", "join_shuffle_hash_hint", "sql_udf_scalar",
     "scan_type_widening",
+    "agg_approx_count_distinct", "agg_approx_percentile",
     "agg_unpivot", "set_union_byname", "ts_gapfill_locf", "ts_rollup_multires",
     "agg_regression", "agg_approx_top_k", "fn_variant", "fn_higher_order",
     "fn_binary_hash", "sketch_hll_union", "stream_foreachbatch_upsert",

@@ -120,10 +120,6 @@ def encrypted_corpus_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WRITE_FACTORY_CLASS = "pp.PlaygroundCryptoFactory"
 
-# (variant, plaintext_footer, aad_prefix) — mirrors the corpus envelope:
-# encrypted footer + encrypted columns, the plaintext-footer mode, and
-# the AAD-prefix mode (prefix stored in-file, as the corpus's
-# encrypt_columns_and_footer_aad variant does).
 # (variant, plaintext_footer, aad_prefix, ctr, disable_aad_storage) —
 # mirrors ALL five writable corpus envelope modes: encrypted footer,
 # plaintext footer, stored AAD prefix, GCM_CTR cipher, and the

@@ -238,7 +238,7 @@ ORACLE_QUERIES = [
     "text_pmi_collocations",   # K: windowed PMI phrase mining
     "ml_logistic_gradient_steps",  # stats: GD loop, collect-free
     "embedding_matryoshka_truncate",  # K: dim-truncation recall audit
-    "write_encrypted_roundtrip",  # A: modular-encryption WRITE, 3 modes
+    "write_encrypted_roundtrip",  # A: modular-encryption WRITE, 5 modes
     "write_bloom_filter_prune",   # A: bloom sidecar write + point lookup
     "write_object_store_committer",  # A: s3a committer conf analog
     "corpus_smoke_reads",      # A: stated-value corpus envelope (was rows)
@@ -264,7 +264,7 @@ ORACLE_QUERIES = [
 
 # rows-only queries: assert they run and return sane row counts
 ROWS_ONLY_QUERIES = {
-    "stream_stateful_running": None,  # >0
+    "stream_watermark_late": None,  # >0; the one remaining rows-only query
 }
 
 
