@@ -1272,3 +1272,40 @@ def fn_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("tp"), 2).alias("sum_filled_tp"),
     )
     return stats.crossJoin(F.broadcast(dropped))
+
+
+@register(
+    "fn_mask_redact",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                   '[0-9]', 'n', 'g') AS masked_default,
+               regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_digits,
+               CAST(length(c_name) AS BIGINT) AS orig_len
+        FROM customer
+    """,
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in mask() redaction (Spark 3.4+): class-preserving
+    masking — uppercase→X, lowercase→x, digit→n by default, with
+    per-class overrides (here: digits-only masking that keeps the
+    readable prefix). The shape-preserving property (length and
+    character classes survive) is what makes masked columns still
+    joinable/groupable for analytics while unlinkable as PII —
+    complements text_pii_redaction's regex scrubbing with the
+    engine-native primitive. Oracle states the same masking as
+    explicit character-class regexp_replace chains."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_default"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit(None).cast("string"),
+            lowerChar=F.lit(None).cast("string"),
+            digitChar=F.lit("*"),
+            otherChar=F.lit(None).cast("string"),
+        ).alias("masked_digits"),
+        F.length("c_name").cast("bigint").alias("orig_len"),
+    )

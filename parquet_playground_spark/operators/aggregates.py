@@ -939,3 +939,121 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_qty",
         F.round("weighted_median", 2).alias("weighted_median"),
     )
+
+
+@register(
+    "sketch_kll_quantiles",
+    oracle="""
+        SELECT count(*) AS n,
+               round(quantile_cont(o_totalprice, 0.25), 4) AS q1_exact,
+               round(quantile_cont(o_totalprice, 0.50), 4) AS q2_exact,
+               round(quantile_cont(o_totalprice, 0.75), 4) AS q3_exact,
+               TRUE AS kll_within_rank_bound
+        FROM orders
+    """,
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (DataSketches, Spark 4): one
+    kll_sketch_agg per priority group, kll_merge_agg combines them,
+    quantile estimates read off the merged sketch — the
+    partition-then-merge topology for percentiles at 100 TB, where the
+    GK-based percentile_approx cannot merge across independent jobs.
+    KLL guarantees a RANK error bound (not a value bound), so the
+    contract boolean checks each estimate lies between the exact
+    quantiles at q±0.05 — the correct acceptance region; exact
+    quartiles are the hashed ground truth."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    merged = per_group.agg(F.kll_merge_agg_double("sk").alias("mk"))
+    est = merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("mk", F.lit(q)).alias(f"e{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ]
+    )
+    bounds = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"p{int(q*100)}")
+            for q in (0.20, 0.25, 0.30, 0.45, 0.50, 0.55, 0.70, 0.75, 0.80)
+        ],
+    )
+    j = est.crossJoin(F.broadcast(bounds))
+    within = (
+        F.col("e0").between(F.col("p20"), F.col("p30"))
+        & F.col("e1").between(F.col("p45"), F.col("p55"))
+        & F.col("e2").between(F.col("p70"), F.col("p80"))
+    )
+    return j.select(
+        "n",
+        F.round("p25", 4).alias("q1_exact"),
+        F.round("p50", 4).alias("q2_exact"),
+        F.round("p75", 4).alias("q3_exact"),
+        within.alias("kll_within_rank_bound"),
+    )
+
+
+@register(
+    "sketch_theta_setops",
+    oracle="""
+        WITH f AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderstatus = 'F'),
+             o AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderstatus = 'O')
+        SELECT (SELECT count(*) FROM (SELECT * FROM f UNION
+                                      SELECT * FROM o)) AS exact_union,
+               (SELECT count(*) FROM (SELECT * FROM f INTERSECT
+                                      SELECT * FROM o)) AS exact_intersect,
+               TRUE AS union_within_5pct,
+               TRUE AS intersect_within_5pct
+    """,
+)
+def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (DataSketches, Spark 4): SET ALGEBRA on distinct
+    sketches — union AND intersection estimates from two independently
+    built sketches, the capability HLL lacks (HLL unions only). The
+    production shape: build one sketch per segment in one pass each,
+    then answer overlap questions (customers active in both states)
+    without re-scanning. Hashed output: exact union/intersection
+    cardinalities plus oracle-pinned within-bound booleans."""
+    o = load_table(spark, sf_dir, "orders")
+    sa = o.filter(F.col("o_orderstatus") == "F").agg(
+        F.theta_sketch_agg("o_custkey").alias("sa")
+    )
+    sb = o.filter(F.col("o_orderstatus") == "O").agg(
+        F.theta_sketch_agg("o_custkey").alias("sb")
+    )
+    est = sa.crossJoin(F.broadcast(sb)).select(
+        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("u_est"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias(
+            "i_est"
+        ),
+    )
+    exact = o.filter(F.col("o_orderstatus").isin("F", "O")).agg(
+        F.countDistinct("o_custkey").alias("exact_union"),
+    )
+    both = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(
+            o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    j = est.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(both))
+    return j.select(
+        "exact_union",
+        "exact_intersect",
+        (
+            F.abs(F.col("u_est") - F.col("exact_union"))
+            / F.col("exact_union")
+            <= 0.05
+        ).alias("union_within_5pct"),
+        (
+            F.abs(F.col("i_est") - F.col("exact_intersect"))
+            / F.col("exact_intersect")
+            <= 0.05
+        ).alias("intersect_within_5pct"),
+    )

@@ -126,7 +126,8 @@ _CHECK_ORDER = [
     "dedup_semantic_clustered", "corpus_token_budget_pack",
     "api_pandas_on_spark", "sql_lateral_column_alias",
     "text_repetition_rep_n", "join_shuffle_hash_hint", "sql_udf_scalar",
-    "scan_type_widening",
+    "scan_type_widening", "sketch_kll_quantiles", "sketch_theta_setops",
+    "fn_mask_redact",
     "agg_approx_count_distinct", "agg_approx_percentile",
     "agg_unpivot", "set_union_byname", "ts_gapfill_locf", "ts_rollup_multires",
     "agg_regression", "agg_approx_top_k", "fn_variant", "fn_higher_order",

@@ -260,6 +260,9 @@ ORACLE_QUERIES = [
     "join_shuffle_hash_hint",  # C: SHJ strategy hint, plan-pinned
     "sql_udf_scalar",          # H: SQL-defined functions, inlined
     "scan_type_widening",      # A: widened read schema over narrow files
+    "sketch_kll_quantiles",    # D: mergeable quantile sketch + bound
+    "sketch_theta_setops",     # D: sketch set algebra + bounds
+    "fn_mask_redact",          # H: class-preserving masking
 ]
 
 # rows-only queries: assert they run and return sane row counts
