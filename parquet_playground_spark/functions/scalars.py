@@ -109,8 +109,8 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_orderkey, l_linenumber,
                floor(l_extendedprice * 10.0 + 0.5) / 10.0 AS price_r1,
                abs(l_discount - 0.05) AS disc_dev,
-               ceil(l_quantity / 7) AS q_ceil,
-               floor(l_quantity / 7) AS q_floor,
+               CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
+               CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
                CAST(l_quantity AS INTEGER) % 5 AS q_mod,
                floor(power(l_discount, 2) * 1000000.0 + 0.5) / 1000000.0
                    AS disc_sq,
@@ -142,14 +142,14 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_cast_decimal",
     oracle="""
         SELECT l_orderkey, l_linenumber,
-               CAST(floor(l_discount * 100.0 + 0.5) / 100.0
-                    AS DECIMAL(4,2)) AS disc_d4_2,
-               CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
-                    AS DECIMAL(10,2)) AS price_d10_2,
-               CAST(floor((l_extendedprice * l_quantity) * 100.0 + 0.5) / 100.0
-                    AS DECIMAL(13,2)) AS gross_d13_2,
-               CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
-                    AS DECIMAL(25,2)) AS price_d25_2,
+               CAST(CAST(floor(l_discount * 100.0 + 0.5) / 100.0
+                         AS DECIMAL(4,2)) AS VARCHAR) AS disc_d4_2,
+               CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+                         AS DECIMAL(10,2)) AS VARCHAR) AS price_d10_2,
+               CAST(CAST(floor((l_extendedprice * l_quantity) * 100.0 + 0.5)
+                         / 100.0 AS DECIMAL(13,2)) AS VARCHAR) AS gross_d13_2,
+               CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) / 100.0
+                         AS DECIMAL(25,2)) AS VARCHAR) AS price_d25_2,
                CAST(CAST(floor(l_quantity * 100.0 + 0.5) / 100.0
                          AS DECIMAL(10,2)) AS VARCHAR) AS qty_str
         FROM lineitem
@@ -165,6 +165,13 @@ def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     cast flips at .xx5 representation edges. After the shared pre-round
     the value is the nearest double to an exact 2-decimal number —
     0.005 from any rounding boundary — so both conventions agree.
+
+    Every DECIMAL column is projected as VARCHAR on BOTH sides before
+    comparison: DuckDB's pandas conversion renders DECIMAL as float64
+    (904.0) while Spark's toPandas keeps Decimal('904.00'), so a
+    type-sensitive canon hashes identical values apart (driver r2+r3
+    hash-FAIL). The fixed two-decimal string rendering is identical in
+    both engines; the decimal-cast capability itself is unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
     return li.select(
@@ -172,15 +179,19 @@ def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         _round_stable(F.col("l_discount"), 2)
         .cast(T.DecimalType(4, 2))
+        .cast("string")
         .alias("disc_d4_2"),
         _round_stable(F.col("l_extendedprice"), 2)
         .cast(T.DecimalType(10, 2))
+        .cast("string")
         .alias("price_d10_2"),
         _round_stable(F.col("l_extendedprice") * F.col("l_quantity"), 2)
         .cast(T.DecimalType(13, 2))
+        .cast("string")
         .alias("gross_d13_2"),
         _round_stable(F.col("l_extendedprice"), 2)
         .cast(T.DecimalType(25, 2))
+        .cast("string")
         .alias("price_d25_2"),
         _round_stable(F.col("l_quantity"), 2)
         .cast(T.DecimalType(10, 2))
@@ -1228,9 +1239,10 @@ def fn_from_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         stats AS (
             SELECT count(*) AS n_rows,
-                   sum(CASE WHEN pr = 'UNKNOWN' THEN 1 ELSE 0 END)
-                       AS n_filled_pr,
-                   sum(CASE WHEN pr = 'P1' THEN 1 ELSE 0 END) AS n_p1,
+                   CAST(sum(CASE WHEN pr = 'UNKNOWN' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_filled_pr,
+                   CAST(sum(CASE WHEN pr = 'P1' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_p1,
                    round(sum(tp), 2) AS sum_filled_tp
             FROM repl
         )

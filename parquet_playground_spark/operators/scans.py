@@ -363,7 +363,8 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_type_widening",
     oracle="""
         SELECT CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
-               round(sum(n_regionkey * 1.5), 2) AS widened_sum,
+               round(sum(n_regionkey * CAST(1.5 AS DOUBLE)), 2)
+                   AS widened_sum,
                count(*) AS n
         FROM nation
     """,
