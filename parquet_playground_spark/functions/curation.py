@@ -618,8 +618,8 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT source,
                count(*) AS n_docs,
-               sum(n_copies) AS n_out,
-               sum(n_copies * n_chars) AS chars_out
+               CAST(sum(n_copies) AS BIGINT) AS n_out,
+               CAST(sum(n_copies * n_chars) AS BIGINT) AS chars_out
         FROM copies GROUP BY source
     """,
 )
@@ -669,7 +669,7 @@ def corpus_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                     AS BIGINT) % 16 AS shard,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(doc_id) AS min_doc,
                max(doc_id) AS max_doc
         FROM documents GROUP BY 1
@@ -825,7 +825,7 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT split, lang,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(bucket) AS min_bucket,
                max(bucket) AS max_bucket
         FROM labeled

@@ -326,7 +326,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT shard,
                CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS pack_id,
                count(*) AS n_docs,
-               sum(tokens) AS total_tokens
+               CAST(sum(tokens) AS BIGINT) AS total_tokens
         FROM run
         GROUP BY shard, CAST(floor((cum - tokens) / 512.0) AS BIGINT)
     """,

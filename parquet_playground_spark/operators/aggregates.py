@@ -284,7 +284,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_exact,
                round(quantile_cont(l_extendedprice, 0.50), 4) AS q2_exact,
                round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_exact,
-               TRUE AS approx_within_1pct
+               TRUE AS approx_within_rank_band
         FROM lineitem
     """,
 )
@@ -292,32 +292,49 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (GK sketch, mergeable, bounded memory) next to
     the exact interpolated quartiles. Hashed output: the exact
     quartiles (cross-engine checkable against quantile_cont) plus the
-    sketch-vs-exact relative-error contract as an oracle-pinned TRUE.
-    At 100 TB only the sketch column survives; the exact path is the
-    small-scale ground truth."""
+    sketch contract as an oracle-pinned TRUE.
+
+    The contract is RANK-based, matching what GK actually guarantees
+    (rank error <= 1/accuracy = 1e-4): each estimate must fall between
+    the exact quantiles at q +/- 0.005 (50x the guarantee — slack for
+    interpolation differences, still a real check). A VALUE-error pin
+    (the r3 version's 1%) is not implied by the sketch: a flat-density
+    region can legally turn a tiny rank error into a large value error
+    at another SF, flipping the hash (ADVICE r3). At 100 TB only the
+    sketch column survives; the exact path is the small-scale ground
+    truth."""
     li = load_table(spark, sf_dir, "lineitem")
+    delta = 0.005
+    qs = [0.25, 0.5, 0.75]
     agg = li.agg(
         F.percentile_approx(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), 10000
         ).alias("aq"),
         F.percentile(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs])
         ).alias("eq"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q - delta) for q in qs])
+        ).alias("eq_lo"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q + delta) for q in qs])
+        ).alias("eq_hi"),
         F.count(F.lit(1)).alias("n"),
     )
-    within = F.aggregate(
-        F.zip_with(
-            "aq", "eq", lambda a, e: F.abs(a - e) / e <= F.lit(0.01)
-        ),
-        F.lit(True),
-        lambda acc, x: acc & x,
-    )
+    within = F.lit(True)
+    for i in range(1, len(qs) + 1):
+        a = F.element_at("aq", i)
+        within = (
+            within
+            & (a >= F.element_at("eq_lo", i))
+            & (a <= F.element_at("eq_hi", i))
+        )
     return agg.select(
         "n",
         F.round(F.element_at("eq", 1), 4).alias("q1_exact"),
         F.round(F.element_at("eq", 2), 4).alias("q2_exact"),
         F.round(F.element_at("eq", 3), 4).alias("q3_exact"),
-        within.alias("approx_within_1pct"),
+        within.alias("approx_within_rank_band"),
     )
 
 
@@ -1007,7 +1024,7 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT count(*) FROM (SELECT * FROM f INTERSECT
                                       SELECT * FROM o)) AS exact_intersect,
                TRUE AS union_within_5pct,
-               TRUE AS intersect_within_5pct
+               TRUE AS intersect_within_band
     """,
 )
 def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,7 +1034,14 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape: build one sketch per segment in one pass each,
     then answer overlap questions (customers active in both states)
     without re-scanning. Hashed output: exact union/intersection
-    cardinalities plus oracle-pinned within-bound booleans."""
+    cardinalities plus oracle-pinned within-bound booleans.
+
+    The intersection band is ABSOLUTE, derived from the union
+    cardinality (|est - exact| <= 2% of exact_union): theta
+    intersection error scales with the union size, not the
+    intersection size, so a relative-to-intersection pin (the r3
+    version's 5%) could legally fail on a small overlap between two
+    large sets (ADVICE r3)."""
     o = load_table(spark, sf_dir, "orders")
     sa = o.filter(F.col("o_orderstatus") == "F").agg(
         F.theta_sketch_agg("o_custkey").alias("sa")
@@ -1053,7 +1077,6 @@ def sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("union_within_5pct"),
         (
             F.abs(F.col("i_est") - F.col("exact_intersect"))
-            / F.col("exact_intersect")
-            <= 0.05
-        ).alias("intersect_within_5pct"),
+            <= 0.02 * F.col("exact_union")
+        ).alias("intersect_within_band"),
     )

@@ -2133,14 +2133,18 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT — the ergonomic layering every hand-written report query
     uses, resolved by Catalyst into nested projections (no recompute;
     the plan evaluates `discounted` once). DuckDB shares the same
-    lateral-alias resolution, so the oracle is the identical text."""
+    lateral-alias resolution, so the oracle is the same text except
+    Spark's double-literal suffix (100.0D): a bare 100.0 is DECIMAL in
+    Spark SQL, and BIGINT/DECIMAL division would emit DECIMAL(27,6)
+    where DuckDB emits DOUBLE — the pandas-visible type skew the r4
+    sweep flags."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("pp_lca_lineitem")
     return spark.sql(
         """
         SELECT l_orderkey, l_linenumber,
                l_extendedprice * (1 - l_discount) AS discounted,
-               floor(discounted * 100.0 + 0.5) / 100.0 AS discounted_r2
+               floor(discounted * 100.0D + 0.5D) / 100.0D AS discounted_r2
         FROM pp_lca_lineitem WHERE l_orderkey <= 500
         """
     )
@@ -2186,7 +2190,7 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_orderkey, l_linenumber,
                floor(pp_charge(l_extendedprice, l_discount, l_tax)
-                     * 100.0 + 0.5) / 100.0 AS charge_r2,
+                     * 100.0D + 0.5D) / 100.0D AS charge_r2,
                pp_order_class(l_quantity) AS order_class
         FROM pp_sqludf_lineitem WHERE l_orderkey <= 300
         """

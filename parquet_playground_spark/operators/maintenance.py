@@ -782,7 +782,7 @@ def recon_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT relationship,
                count(*) AS n_child_keys,
-               count(*) - sum(has_parent) AS n_orphan_keys,
+               CAST(count(*) - sum(has_parent) AS BIGINT) AS n_orphan_keys,
                min(CASE WHEN has_parent = 0 THEN fk END) AS min_orphan_key
         FROM rels
         GROUP BY relationship

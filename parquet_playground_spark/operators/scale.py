@@ -378,8 +378,8 @@ def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms AS (SELECT i, b, sum(c) AS cell FROM hashed GROUP BY i, b)
         SELECT h.k AS custkey,
                max(h.c) AS exact_cnt,
-               min(cms.cell) AS est_cnt,
-               min(cms.cell) - max(h.c) AS overcount
+               CAST(min(cms.cell) AS BIGINT) AS est_cnt,
+               CAST(min(cms.cell) - max(h.c) AS BIGINT) AS overcount
         FROM hashed h JOIN cms USING (i, b)
         WHERE h.k <= 50
         GROUP BY h.k

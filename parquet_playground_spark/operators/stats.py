@@ -246,7 +246,7 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM grp GROUP BY user_id, anchor
         )
         SELECT user_id,
-               sum(streak_len) AS n_active_days,
+               CAST(sum(streak_len) AS BIGINT) AS n_active_days,
                max(streak_len) AS longest_streak,
                count(*) AS n_streaks
         FROM streaks GROUP BY user_id
@@ -512,7 +512,8 @@ def stat_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(n2) OVER (ORDER BY v) AS c2
             FROM pts
         )
-        SELECT t1 AS n_building, t2 AS n_machinery,
+        SELECT CAST(t1 AS BIGINT) AS n_building,
+               CAST(t2 AS BIGINT) AS n_machinery,
                round(max(abs(CAST(c1 AS DOUBLE) / t1
                              - CAST(c2 AS DOUBLE) / t2)), 6) AS ks_d
         FROM ecdf CROSS JOIN tot

@@ -360,7 +360,7 @@ def test_sketch_bounds_hold(spark):
     acd = reg.QUERIES["agg_approx_count_distinct"](spark, SF_DIR).collect()[0]
     assert acd["approx_within_5pct"]
     ap = reg.QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()[0]
-    assert ap["approx_within_1pct"]
+    assert ap["approx_within_rank_band"]
     hll = reg.QUERIES["sketch_hll_union"](spark, SF_DIR).collect()[0]
     assert hll["union_within_5pct"]
 

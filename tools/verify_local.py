@@ -5,7 +5,16 @@ in DuckDB: row count, sorted column names, and an order-insensitive
 value hash (rows canonicalized to strings, sorted). Rows-only queries
 are executed and reported with row counts.
 
-Usage: python tools/verify_local.py [query_name ...]
+--strict adds driver-parity type sensitivity (VERDICT r3 item 4): both
+results are round-tripped through pandas (Spark .toPandas(), DuckDB
+.df()) before hashing, pandas dtype kinds must agree column-by-column,
+and the canon does NOT collapse 7.0 -> 7 or Decimal -> float. The
+default canon collapsed exactly those, which is why fn_math passed
+locally while failing the driver hash two rounds running — a DuckDB
+HUGEINT/DOUBLE result reaching pandas as float64 hashes apart from
+Spark's int64 under any type-sensitive canon.
+
+Usage: python tools/verify_local.py [--strict] [query_name ...]
 """
 
 from __future__ import annotations
@@ -64,8 +73,88 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
 
 
+def canon_value_strict(v) -> str:
+    """Type-sensitive canon over pandas-converted cells.
+
+    No 7.0 -> 7 collapse, no Decimal -> float: a dtype skew between the
+    engines becomes a hash difference, like the driver's canon.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "nan" if math.isnan(f) else repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (pd.Timestamp, datetime)):
+        # Midnight renders date-only: DuckDB's pandas conversion widens
+        # DATE to datetime64, Spark keeps datetime.date objects — an
+        # engine-representation split the driver demonstrably tolerates
+        # (fn_date is driver-green), not a result-type skew.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.strftime("%Y-%m-%d")
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_value_strict(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ",".join(
+                f"{k}:{canon_value_strict(x)}" for k, x in sorted(v.items())
+            )
+            + "}"
+        )
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def _kind(series) -> str:
+    """Dtype kind, with datetime-like object columns folded into 'dt'."""
+    import pandas as pd
+
+    k = series.dtype.kind
+    if k == "M":
+        return "dt"
+    if k == "O":
+        nn = series.dropna()
+        if len(nn) and isinstance(
+            nn.iloc[0], (date, datetime, pd.Timestamp)
+        ):
+            return "dt"
+    return k
+
+
+def canon_pdf_strict(pdf) -> tuple[list[str], dict[str, str]]:
+    """Canonical rows + per-column dtype kinds for a pandas frame."""
+    cols = sorted(pdf.columns)
+    kinds = {c: _kind(pdf[c]) for c in pdf.columns}
+    rows = sorted(
+        "|".join(canon_value_strict(row[c]) for c in cols)
+        for row in pdf.to_dict("records")
+    )
+    return rows, kinds
+
+
 def main() -> int:
     from parquet_playground_spark import get_spark, registry
+
+    strict = "--strict" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
 
     registry.load_all()
     spark = get_spark("verify-local")
@@ -76,7 +165,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    names = sys.argv[1:] or sorted(registry.QUERIES)
+    names = args or sorted(registry.QUERIES)
     n_pass = n_fail = n_rows_only = 0
     failures = []
     for name in names:
@@ -84,32 +173,53 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if strict:
+                spdf = sdf.toPandas()
+            srows = [tuple(r) for r in sdf.collect()] if not strict else []
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc(limit=5)
             n_fail += 1
             failures.append(name)
             continue
+        n_spark = len(spdf) if strict else len(srows)
         if name not in registry.ORACLES:
-            print(f"rows  {name}: {len(srows)} rows (rows-only)")
+            print(f"rows  {name}: {n_spark} rows (rows-only)")
             n_rows_only += 1
             continue
         try:
             rel = con.sql(registry.ORACLES[name])
             ocols = [c for c in rel.columns]
-            orows = rel.fetchall()
+            if strict:
+                opdf = rel.df()
+                orows = []
+            else:
+                orows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
             n_fail += 1
             failures.append(name)
             continue
+        n_oracle = len(opdf) if strict else len(orows)
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if n_spark != n_oracle:
+            problems.append(f"rowcount spark={n_spark} duckdb={n_oracle}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(ocols)}")
-        if not problems:
+        if not problems and strict:
+            sc, skinds = canon_pdf_strict(spdf)
+            oc, okinds = canon_pdf_strict(opdf)
+            kind_skew = {
+                c: (skinds[c], okinds[c])
+                for c in skinds
+                if skinds[c] != okinds.get(c)
+            }
+            if kind_skew:
+                problems.append(f"dtype-kind skew: {kind_skew}")
+            elif sc != oc:
+                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                problems.append(f"strict values differ, first diffs: {diff}")
+        elif not problems:
             sc, oc = canon_rows(scols, srows), canon_rows(ocols, orows)
             if sc != oc:
                 diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
@@ -119,7 +229,7 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
         else:
-            print(f"ok    {name}: {len(srows)} rows")
+            print(f"ok    {name}: {n_spark} rows")
             n_pass += 1
     print(
         f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, {n_fail} FAIL"
