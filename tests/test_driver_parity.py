@@ -1,0 +1,86 @@
+"""Driver-parity regression net: result-TYPE skew across ALL oracles.
+
+Two rounds in a row (r2, r3) had queries that passed the local value
+canon but failed the driver's hash because the two engines emitted
+different RESULT TYPES for identical values — DuckDB HUGEINT/DOUBLE/
+DECIMAL reaching pandas as float64 or Decimal objects where Spark
+emits int64/float64 (VERDICT r3 "What's wrong" #1-#4). This suite
+makes that class un-shippable: every registered oracle's DuckDB
+result types are compared against the Spark DataFrame schema (analysis
+only — no execution of the heavy path) using the same family rules as
+tools/type_sweep.py. A new query with a `sum(int_col)` oracle (HUGEINT)
+or an uncast DECIMAL projection fails here before it can burn a driver
+round.
+
+Value-level strict verification (pandas round-trip + dtype-kind
+assert) is the `tools/verify_local.py --strict` sweep — run it per
+round; it is too slow for pytest (~30 min).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR, TABLES
+from tools.type_sweep import _duck_token, _flag, _spark_token
+
+
+def _oracle_names():
+    from parquet_playground_spark import registry
+
+    registry.load_all()
+    return sorted(registry.ORACLES)
+
+
+# Heavy side-effect queries (multi-variant writes, streaming staging,
+# iterative jobs) whose DataFrame CONSTRUCTION already executes jobs.
+# Their types are covered by the per-round `verify_local.py --strict`
+# sweep; excluding them keeps this net fast enough to run on every
+# pytest invocation.
+_HEAVY = {
+    "write_encrypted_roundtrip",
+    "stream_checkpoint_recovery",
+    "stream_foreachbatch_upsert",
+    "stream_progress_metrics",
+    "sink_python_datasource",
+    "kmeans_lloyd_iterations",
+    "ml_logistic_gradient_steps",
+    "embedding_pca_power_iteration",
+    "graph_pagerank_power",
+    "mv_incremental_refresh",
+    "plan_cache_reuse",
+    "stream_dedup",
+    "stream_dedup_within_watermark",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_static_join",
+    "stream_stateful_running",
+    "stream_stream_join",
+    "stream_stream_left_outer",
+    "stream_transform_with_state",
+    "stream_tumbling_count",
+    "stream_python_source",
+}
+
+
+@pytest.mark.parametrize("name", [n for n in _oracle_names() if n not in _HEAVY])
+def test_no_result_type_skew(spark, name):
+    from parquet_playground_spark import registry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    sdf = registry.QUERIES[name](spark, SF_DIR)
+    sfields = {f.name: _spark_token(f.dataType) for f in sdf.schema.fields}
+    rel = con.sql(registry.ORACLES[name])
+    dfields = dict(zip(rel.columns, [_duck_token(t) for t in rel.types]))
+    assert sorted(sfields) == sorted(dfields), "column-name mismatch"
+    skew = {}
+    for col, stok in sfields.items():
+        sev = _flag(stok, dfields[col])
+        if sev and "MISMATCH" in sev:
+            skew[col] = (stok, dfields[col], sev)
+    assert not skew, f"result-type skew vs oracle: {skew}"
