@@ -14,7 +14,16 @@ locally while failing the driver hash two rounds running — a DuckDB
 HUGEINT/DOUBLE result reaching pandas as float64 hashes apart from
 Spark's int64 under any type-sensitive canon.
 
-Usage: python tools/verify_local.py [--strict] [query_name ...]
+--vanilla runs the queries on a bare
+`SparkSession.builder.master("local[8]").getOrCreate()` session instead
+of `get_spark` — the external driver builds exactly such a session, so
+confs injected by get_spark (timezone, AQE, the crypto classpath) are
+absent and every query must self-provision via
+`tables.ensure_session_defaults` / `install_crypto_classloader`.
+--vanilla --strict together are the closest local approximation of the
+official gate.
+
+Usage: python tools/verify_local.py [--strict] [--vanilla] [names ...]
 """
 
 from __future__ import annotations
@@ -154,10 +163,16 @@ def main() -> int:
     from parquet_playground_spark import get_spark, registry
 
     strict = "--strict" in sys.argv
+    vanilla = "--vanilla" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
 
     registry.load_all()
-    spark = get_spark("verify-local")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("verify-local")
 
     con = duckdb.connect()
     for t in TABLES:
