@@ -1214,3 +1214,50 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs_r4").alias("cos_sim"),
         )
     )
+
+
+@register(
+    "dedup_prefix_boilerplate",
+    oracle="""
+        WITH pre AS (
+            SELECT doc_id,
+                   array_to_string(
+                       (string_split_regex(lower(text), '\\s+'))[1:3],
+                       ' ') AS prefix
+            FROM documents
+        )
+        SELECT prefix,
+               count(*) AS n_docs,
+               min(doc_id) AS canonical_doc_id,
+               max(doc_id) AS last_doc_id
+        FROM pre
+        GROUP BY prefix
+        HAVING count(*) > 1
+        ORDER BY n_docs DESC, prefix
+    """,
+)
+def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix (boilerplate) detection: group documents by their
+    leading token k-prefix — the cheap first pass crawl pipelines run
+    to catch template/mirror pages whose bodies diverge after a common
+    header. One map-side-combinable groupBy on a computed key; no
+    candidate join at all, so it scales like exact dedup rather than
+    MinHash. k=3 here because the synthetic corpus draws from a ~30
+    word vocabulary (longer prefixes are all-unique at this SF); a real
+    crawl uses k~50 tokens and the plan is unchanged. Survivor policy
+    matches dedup_exact: min doc_id is canonical."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.lower("text"), r"\s+"), 1, 3)
+    ).alias("prefix")
+    return (
+        d.select("doc_id", prefix)
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), "prefix")
+    )

@@ -1046,3 +1046,112 @@ def text_repetition_rep_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep2"),
         )
     )
+
+
+@register(
+    "text_vocab_freq_spectrum",
+    oracle="""
+        WITH freq AS (
+            SELECT tok, count(*) AS f
+            FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+        )
+        SELECT f AS frequency, count(*) AS n_types,
+               CAST(sum(f) AS BIGINT) AS n_tokens
+        FROM freq
+        GROUP BY f
+        ORDER BY f
+    """,
+)
+def text_vocab_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency spectrum (Zipf/Heaps audit): for each
+    observed term frequency, how many vocabulary types occur exactly
+    that often and how many tokens they contribute. The spectrum's
+    hapax/low-frequency mass is the standard smoothing input
+    (Good-Turing) and a corpus-health signal — a crawl whose hapax
+    share collapses is heavily duplicated. Two map-side-combinable
+    aggregations: explode->count per type (vocab-sized shuffle), then
+    count per frequency (spectrum-sized — tiny). Integer-exact
+    end-to-end, so the oracle hash has zero float exposure. At 100 TB
+    the first groupBy is the only real shuffle and is the same shape
+    as text_tokenize_counts."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("f"))
+    )
+    return (
+        freq.groupBy(F.col("f").alias("frequency"))
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("f").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("frequency")
+    )
+
+
+@register(
+    "text_doc_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY doc_id, tok
+        ),
+        tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                       count(*) AS n_types
+                FROM tok GROUP BY doc_id)
+        SELECT t.doc_id, tot.n AS n_tokens, tot.n_types,
+               round(-sum((t.c * 1.0 / tot.n) * ln(t.c * 1.0 / tot.n))
+                     / ln(2), 4) AS entropy_bits
+        FROM tok t JOIN tot USING (doc_id)
+        GROUP BY t.doc_id, tot.n, tot.n_types
+        ORDER BY t.doc_id
+    """,
+)
+def text_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy in bits — the information-density
+    quality feature: near-zero entropy flags degenerate/repetitive docs
+    (a standard pre-training filter alongside the Gopher rules), and
+    the (n_tokens, n_types, entropy) triple feeds curriculum ordering.
+    Shape: explode -> per-(doc,term) count (map-side combinable, the
+    one fact-sized shuffle) -> per-doc reduce. The entropy sum has at
+    most |vocab| terms per doc; rounded to 4 dp so sub-ulp libm/
+    summation-order drift between engines cannot flip the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").alias("n_types"),
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        tok.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_types")
+        .agg(
+            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 4).alias(
+                "entropy_bits"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "entropy_bits",
+        )
+        .orderBy("doc_id")
+    )

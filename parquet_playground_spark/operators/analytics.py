@@ -2195,3 +2195,285 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pp_sqludf_lineitem WHERE l_orderkey <= 300
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completions over a DERIVED partsupp. The testdata publishes no
+# partsupp table, so Q2/Q9/Q11/Q16/Q20 — the five partsupp-dependent
+# TPC-H queries — are expressed over the partsupp analog every engine
+# can derive from the fact table itself: the distinct (l_partkey,
+# l_suppkey) supply relationships, with ps_availqty = total quantity
+# ever supplied (exact: integral quantities summed in double) and
+# ps_supplycost = the best observed unit price (min of exact double
+# divisions — order-independent, so engine-stable). The CTE is shared
+# verbatim between the Spark SQL and the DuckDB oracle. At scale the
+# derivation is one map-side-combinable groupBy of the fact table and
+# would be materialized once as a bucketed table (see
+# write_bucketed_table) rather than re-derived per query.
+# ---------------------------------------------------------------------------
+
+_PS_CTE = """
+        ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS ps_availqty,
+                   min(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM {li}
+            GROUP BY l_partkey, l_suppkey
+        )
+"""
+
+_Q2_SQL = """
+        WITH {ps}
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+        FROM part_v p
+        JOIN ps ON ps.ps_partkey = p.p_partkey
+        JOIN supplier_v s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation_v n ON n.n_nationkey = s.s_nationkey
+        JOIN region_v r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND p.p_size BETWEEN 10 AND 20
+          AND p.p_type = 'STANDARD'
+          AND ps.ps_supplycost = (
+              SELECT min(ps2.ps_supplycost)
+              FROM ps ps2
+              JOIN supplier_v s2 ON s2.s_suppkey = ps2.ps_suppkey
+              JOIN nation_v n2 ON n2.n_nationkey = s2.s_nationkey
+              JOIN region_v r2 ON r2.r_regionkey = n2.n_regionkey
+              WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+"""
+
+
+def _tpch_views(spark: SparkSession, sf_dir: str, prefix: str, tables):
+    """Register prefix-unique temp views; return name mapping."""
+    out = {}
+    for t in tables:
+        v = f"{prefix}_{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(v)
+        out[t] = v
+    return out
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=_Q2_SQL.format(ps=_PS_CTE.format(li="lineitem"))
+    .replace("part_v", "part")
+    .replace("supplier_v", "supplier")
+    .replace("nation_v", "nation")
+    .replace("region_v", "region"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped: for each STANDARD mid-size part, the European
+    supplier offering the minimum derived supply cost. The correlated
+    scalar subquery (per-part min cost within the region) decorrelates
+    into a region-filtered aggregate joined back on partkey; region/
+    nation/supplier dims broadcast; the min-cost equality compares
+    exact doubles (min over identical division results on both
+    engines), so the filter is engine-stable. Top-100 runs as
+    TakeOrderedAndProject with a unique (acctbal, nation, supplier,
+    part) tie-break."""
+    v = _tpch_views(
+        spark, sf_dir, "q2", ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    return spark.sql(
+        _Q2_SQL.format(ps=_PS_CTE.format(li=v["lineitem"]))
+        .replace("part_v", v["part"])
+        .replace("supplier_v", v["supplier"])
+        .replace("nation_v", v["nation"])
+        .replace("region_v", v["region"])
+    )
+
+
+_Q9_SQL = """
+        WITH {ps}
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)
+                         - ps.ps_supplycost * l.l_quantity), 4) AS sum_profit
+        FROM lineitem_v l
+        JOIN ps ON ps.ps_partkey = l.l_partkey
+               AND ps.ps_suppkey = l.l_suppkey
+        JOIN part_v p ON p.p_partkey = l.l_partkey
+        JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+        JOIN orders_v o ON o.o_orderkey = l.l_orderkey
+        JOIN nation_v n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY nation, o_year DESC
+"""
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=_Q9_SQL.format(ps=_PS_CTE.format(li="lineitem"))
+    .replace("lineitem_v", "lineitem")
+    .replace("part_v", "part")
+    .replace("supplier_v", "supplier")
+    .replace("orders_v", "orders")
+    .replace("nation_v", "nation"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: profit (revenue minus derived supply cost) on
+    'red' parts by supplier nation and order year. The derived-partsupp
+    CTE joins back to the fact on the composite (partkey, suppkey)
+    equi-key — one co-partitioned shuffle; part/supplier/nation/orders
+    dims feed broadcast or co-shuffled hash joins and the name LIKE
+    prunes parts before the join. year() is CAST to INT on both engines
+    (DuckDB's year() is BIGINT — driver-canon type alignment)."""
+    v = _tpch_views(
+        spark, sf_dir, "q9",
+        ["lineitem", "part", "supplier", "orders", "nation"],
+    )
+    return spark.sql(
+        _Q9_SQL.format(ps=_PS_CTE.format(li=v["lineitem"]))
+        .replace("lineitem_v", v["lineitem"])
+        .replace("part_v", v["part"])
+        .replace("supplier_v", v["supplier"])
+        .replace("orders_v", v["orders"])
+        .replace("nation_v", v["nation"])
+    )
+
+
+_Q11_SQL = """
+        WITH {ps}
+        SELECT ps.ps_partkey,
+               round(sum(ps.ps_supplycost * ps.ps_availqty), 4) AS value
+        FROM ps
+        JOIN supplier_v s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation_v n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY ps.ps_partkey
+        HAVING sum(ps.ps_supplycost * ps.ps_availqty) > (
+            SELECT sum(ps2.ps_supplycost * ps2.ps_availqty) * 0.001
+            FROM ps ps2
+            JOIN supplier_v s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation_v n2 ON n2.n_nationkey = s2.s_nationkey
+            WHERE n2.n_name = 'NATION_7')
+        ORDER BY value DESC, ps.ps_partkey
+"""
+
+
+@register(
+    "q11_important_stock",
+    oracle=_Q11_SQL.format(ps=_PS_CTE.format(li="lineitem"))
+    .replace("supplier_v", "supplier")
+    .replace("nation_v", "nation"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped: parts whose derived inventory value held by
+    one nation's suppliers exceeds 0.1% of that nation's total. The
+    uncorrelated scalar subquery computes the threshold once (broadcast
+    single row); the main branch is one groupBy over the nation-pruned
+    partsupp derivation. The nation filter reaches the supplier dim
+    before either join, so both sides shuffle only the ~1/25 slice."""
+    v = _tpch_views(spark, sf_dir, "q11", ["lineitem", "supplier", "nation"])
+    return spark.sql(
+        _Q11_SQL.format(ps=_PS_CTE.format(li=v["lineitem"]))
+        .replace("supplier_v", v["supplier"])
+        .replace("nation_v", v["nation"])
+    )
+
+
+_Q16_SQL = """
+        WITH {ps}
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part_v p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND ps.ps_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle=_Q16_SQL.format(ps=_PS_CTE.format(li="lineitem"))
+    .replace("part_v", "part")
+    .replace("supplier_v", "supplier"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: how many suppliers can supply each qualifying
+    (brand, type, size) bucket, excluding flagged suppliers (negative
+    account balance stands in for the spec's complaint-comment scan).
+    The NOT IN subquery is tiny and broadcast as a null-aware anti
+    join; part filters prune before the join; count(DISTINCT) runs as
+    the standard two-phase expand/aggregate."""
+    v = _tpch_views(spark, sf_dir, "q16", ["lineitem", "part", "supplier"])
+    return spark.sql(
+        _Q16_SQL.format(ps=_PS_CTE.format(li=v["lineitem"]))
+        .replace("part_v", v["part"])
+        .replace("supplier_v", v["supplier"])
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+              SELECT ps.ps_suppkey
+              FROM ps
+              JOIN part p ON p.p_partkey = ps.ps_partkey
+              WHERE p.p_name LIKE 'small%'
+                AND ps.ps_availqty > (
+                    SELECT 2 * sum(l.l_quantity)
+                    FROM lineitem l
+                    WHERE l.l_partkey = ps.ps_partkey
+                      AND l.l_suppkey = ps.ps_suppkey
+                      AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+                      AND l.l_shipdate < TIMESTAMP '2000-01-01'))
+        ORDER BY s.s_name
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped: suppliers in one nation holding excess derived
+    stock of 'small' parts — total supplied quantity more than twice
+    what they shipped in 1999. The doubly-nested correlated subquery
+    decorrelates into a date-pruned per-(part,supplier) aggregate
+    joined on the composite key, then the IN collapses to a left-semi
+    join against the small supplier dim. Quantity sums are integral in
+    double, so the 2x threshold compare is exact on both engines."""
+    for t in ["lineitem", "part", "supplier", "nation"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q20_{t}")
+    return spark.sql(
+        """
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+            FROM q20_lineitem
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_name, s.s_acctbal
+        FROM q20_supplier s
+        JOIN q20_nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+              SELECT ps.ps_suppkey
+              FROM ps
+              JOIN q20_part p ON p.p_partkey = ps.ps_partkey
+              WHERE p.p_name LIKE 'small%'
+                AND ps.ps_availqty > (
+                    SELECT 2 * sum(l.l_quantity)
+                    FROM q20_lineitem l
+                    WHERE l.l_partkey = ps.ps_partkey
+                      AND l.l_suppkey = ps.ps_suppkey
+                      AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+                      AND l.l_shipdate < TIMESTAMP '2000-01-01'))
+        ORDER BY s.s_name
+        """
+    )

@@ -124,7 +124,12 @@ _CHECK_ORDER = [
     # ---- slots 51+: remaining never-driver-checked queries (r5
     # window candidates; stream_* kept adjacent so the staged stream
     # dir builds once). Driver-green queries are unlisted and register
-    # last in module order.
+    # last in module order. r4's new queries (TPC-H completions over
+    # derived partsupp + corpus additions) lead the r5 candidates.
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_stock", "q16_supplier_part_counts",
+    "q20_part_promotion", "dedup_prefix_boilerplate",
+    "text_vocab_freq_spectrum", "text_doc_entropy",
     "corpus_token_budget_pack", "api_pandas_on_spark",
     "text_repetition_rep_n", "join_shuffle_hash_hint",
     "sketch_kll_quantiles", "fn_mask_redact", "agg_unpivot",
