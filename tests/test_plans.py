@@ -465,3 +465,45 @@ def test_sql_udf_inlines_into_codegen(spark):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan
     assert "PushedFilters" in plan and "l_orderkey" in plan
+
+
+def test_q9_derived_partsupp_broadcasts_dims(spark):
+    # Q9 over derived partsupp: dims (part/supplier/nation) must
+    # broadcast; the fact-side work is the ps-derivation groupBy plus
+    # the final agg — no cartesian and no more than 3 fact shuffles.
+    plan = formatted_plan(_q("q9_product_type_profit")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q2_min_cost_filter_is_not_cartesian(spark):
+    # The correlated min-cost equality must decorrelate into a join,
+    # not a per-row nested loop over the derivation.
+    plan = formatted_plan(_q("q2_min_cost_supplier")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_semi_join_decorrelates(spark):
+    # The nested correlated IN must plan as semi-join machinery, not a
+    # row-at-a-time subquery loop.
+    plan = formatted_plan(_q("q20_part_promotion")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_prefix_dedup_single_shuffle(spark):
+    # Prefix boilerplate dedup is one computed-key groupBy: exactly one
+    # fact shuffle (plus AQE-inserted final ordering), no join at all.
+    plan = formatted_plan(_q("dedup_prefix_boilerplate")(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") == 1  # group key; + 1 range sort
+
+
+def test_vocab_spectrum_two_stage_agg(spark):
+    # Spectrum = two chained map-side-combinable aggs; the partial_
+    # aggregates must exist (map-side combine) and no join appears.
+    plan = formatted_plan(_q("text_vocab_freq_spectrum")(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "partial_count" in plan
