@@ -956,3 +956,86 @@ def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cut_quality",
         )
     )
+
+
+@register(
+    "corpus_importance_resampling",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(length(text) - length(replace(text, ' ', ''))
+                        + 1 AS DOUBLE) AS n_tokens
+            FROM documents
+        ),
+        norm AS (
+            SELECT avg(n_tokens) AS mean_tokens FROM scored
+        ),
+        weighted AS (
+            SELECT s.doc_id, s.source, s.n_chars,
+                   CASE WHEN s.n_tokens / n.mean_tokens > 4.0 THEN 4.0
+                        ELSE s.n_tokens / n.mean_tokens END AS w
+            FROM scored s CROSS JOIN norm n
+        ),
+        kept AS (
+            SELECT doc_id, source, n_chars, w,
+                   CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 10000
+                        < CAST(floor(w * 2500.0 + 0.5) AS BIGINT)
+                        THEN 1 ELSE 0 END AS keep
+            FROM weighted
+        )
+        SELECT source,
+               count(*) AS n_in,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(keep * n_chars) AS BIGINT) AS chars_kept,
+               round(sum(keep * w), 4) AS weight_kept
+        FROM kept
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling: keep each document with
+    probability proportional to a per-doc importance weight — here
+    token count over the corpus mean, capped at 4x — realized without
+    an RNG by comparing an md5 hash of doc_id against the weight-scaled
+    acceptance threshold (keep iff hash%10000 < round(w*2500), i.e.
+    base acceptance 25% scaled by importance). The same docs survive on
+    every engine, run, and retry, which is what makes resampled
+    training sets reproducible. The global normalizer is a 1-row
+    broadcast (mean token count); everything else is narrow plus one
+    map-combinable readout groupBy — the 100 TB shape. Importance here
+    is a length proxy; production swaps in an n-gram likelihood-ratio
+    score with the identical plan. The hash gate reuses the portable
+    md5-bucket predicate (scale.py) so DuckDB selects the identical
+    cohort; the fractional threshold is floor(x+0.5)-rounded (§7.3
+    rule 1b) before the integer compare."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("double")
+    scored = d.select("doc_id", "source", "n_chars", n_tokens.alias("n_tokens"))
+    norm = scored.agg(F.avg("n_tokens").alias("mean_tokens"))
+    w = F.least(F.col("n_tokens") / F.col("mean_tokens"), F.lit(4.0))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    )
+    keep = F.when(
+        bucket < F.floor(w * 2500.0 + 0.5).cast("bigint"), 1
+    ).otherwise(0)
+    kept = scored.crossJoin(F.broadcast(norm)).select(
+        "source", "n_chars", w.alias("w"), keep.alias("keep")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_chars")).cast("bigint").alias(
+                "chars_kept"
+            ),
+            F.round(F.sum(F.col("keep") * F.col("w")), 4).alias("weight_kept"),
+        )
+        .orderBy("source")
+    )

@@ -677,3 +677,76 @@ def ml_logistic_gradient_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w2", 6).alias("w_items"),
         F.round("ll", 6).alias("log_loss"),
     )
+
+
+_NORMAL_EQ_SQL = """
+        WITH stats AS (
+            SELECT round(CAST(count(*) AS DOUBLE), 2)          AS n,
+                   round(sum(l_quantity), 2)                   AS sx1,
+                   round(sum(l_discount), 2)                   AS sx2,
+                   round(sum(l_extendedprice), 2)              AS sy,
+                   round(sum(l_quantity * l_quantity), 2)      AS sx11,
+                   round(sum(l_quantity * l_discount), 2)      AS sx12,
+                   round(sum(l_discount * l_discount), 2)      AS sx22,
+                   round(sum(l_quantity * l_extendedprice), 2) AS sx1y,
+                   round(sum(l_discount * l_extendedprice), 2) AS sx2y
+            FROM {li}
+        ),
+        solved AS (
+            SELECT
+                n * (sx11 * sx22 - sx12 * sx12)
+                - sx1 * (sx1 * sx22 - sx12 * sx2)
+                + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+                sy * (sx11 * sx22 - sx12 * sx12)
+                - sx1 * (sx1y * sx22 - sx12 * sx2y)
+                + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det_b,
+                n * (sx1y * sx22 - sx12 * sx2y)
+                - sy * (sx1 * sx22 - sx12 * sx2)
+                + sx2 * (sx1 * sx2y - sx1y * sx2) AS det_w1,
+                n * (sx11 * sx2y - sx1y * sx12)
+                - sx1 * (sx1 * sx2y - sx1y * sx2)
+                + sy * (sx1 * sx12 - sx11 * sx2) AS det_w2
+            FROM stats
+        ),
+        coef AS (
+            SELECT det_b / det AS b, det_w1 / det AS w1, det_w2 / det AS w2
+            FROM solved
+        )
+        SELECT round(c.b, 6)  AS bias,
+               round(c.w1, 6) AS w_quantity,
+               round(c.w2, 6) AS w_discount,
+               round(sqrt(sum(
+                   (l.l_extendedprice
+                    - (c.b + c.w1 * l.l_quantity + c.w2 * l.l_discount))
+                   * (l.l_extendedprice
+                      - (c.b + c.w1 * l.l_quantity + c.w2 * l.l_discount)))
+                   / max(s.n)), 4) AS rmse
+        FROM {li} l CROSS JOIN coef c CROSS JOIN stats s
+        GROUP BY c.b, c.w1, c.w2
+"""
+
+
+@register(
+    "ml_linear_normal_equation",
+    oracle=_NORMAL_EQ_SQL.format(li="lineitem"),
+)
+def ml_linear_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature linear regression solved in CLOSED FORM by the
+    normal equations: one scan aggregates the 9 sufficient statistics
+    (the Gram matrix X'X and X'y), the 3x3 system is solved inline via
+    Cramer's rule, and a second scan scores RMSE. This is the canonical
+    100 TB supervised-fit pattern — the data crosses the network as 9
+    doubles, never as rows; the "solve" is O(1) and the two scans are
+    shuffle-free map-side reductions. (The iterative sibling is
+    ml_logistic_gradient_steps; this is the one-pass exact path.)
+
+    Determinism: every sufficient statistic is rounded to 2 dp BEFORE
+    the solve — float summation order differs between engines at the
+    1e-9 level on these 1e11-magnitude sums, but the rounded Gram
+    entries are identical, and Cramer arithmetic on identical doubles
+    is bit-identical. The residual sum's own order drift dies under
+    sqrt(SS/n) at 4 dp."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ppml_lineitem"
+    )
+    return spark.sql(_NORMAL_EQ_SQL.format(li="ppml_lineitem"))
