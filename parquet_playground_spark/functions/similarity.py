@@ -757,3 +757,129 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "embedding_product_quantization",
+    oracle="""
+        WITH subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS m),
+        cb AS (
+            SELECT CAST(e.vec_id AS INTEGER) AS k, s.m,
+                   list_transform(
+                       e.embedding[s.m * 8 + 1 : s.m * 8 + 8],
+                       x -> CAST(x AS DOUBLE)) AS c
+            FROM embeddings e CROSS JOIN subs s
+            WHERE e.vec_id < 4
+        ),
+        vx AS (
+            SELECT e.vec_id, s.m,
+                   list_transform(
+                       e.embedding[s.m * 8 + 1 : s.m * 8 + 8],
+                       x -> CAST(x AS DOUBLE)) AS x
+            FROM embeddings e CROSS JOIN subs s
+        ),
+        d AS (
+            SELECT vx.vec_id, vx.m, cb.k,
+                   list_reduce(
+                       [ (vx.x[CAST(i AS INTEGER)] - cb.c[CAST(i AS INTEGER)])
+                         * (vx.x[CAST(i AS INTEGER)] - cb.c[CAST(i AS INTEGER)])
+                         FOR i IN range(1, 9) ],
+                       (a, b) -> a + b) AS dist
+            FROM vx JOIN cb ON cb.m = vx.m
+        ),
+        best AS (
+            SELECT vec_id, m, min(dist) AS bd FROM d GROUP BY 1, 2
+        ),
+        chosen AS (
+            SELECT d.vec_id, d.m, min(d.k) AS code, min(d.dist) AS dist
+            FROM d JOIN best ON d.vec_id = best.vec_id AND d.m = best.m
+                            AND d.dist = best.bd
+            GROUP BY d.vec_id, d.m
+        )
+        SELECT m AS subspace, code,
+               count(*) AS n_vecs,
+               round(sum(dist), 4) AS sum_distortion
+        FROM chosen
+        GROUP BY m, code
+        ORDER BY subspace, code
+    """,
+)
+def embedding_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ index building block): the
+    64-dim space splits into M=8 subspaces of 8 dims; each subvector is
+    assigned to its nearest codebook centroid, so a vector compresses
+    to M one-byte codes. The codebook here is the first 4 corpus
+    vectors' subvectors — a deterministic stand-in for the k-means
+    codebook (kmeans_lloyd_iterations is the trained sibling); the
+    assignment plan is identical either way. Output: per (subspace,
+    code) population and total distortion — one wrong assignment moves
+    a count.
+
+    Scale shape: the codebook (M*K tiny arrays) broadcasts; assignment
+    is a narrow per-row argmin over K * M ordered-fold distances (JVM
+    array lambdas, no Python); the readout is one map-combinable
+    groupBy of M*K rows. The argmin tie-breaks on (distance, code) via
+    struct ordering — identical to the oracle's min-dist-then-min-code,
+    and the per-dim double arithmetic is exact on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    M, D, K = 8, 8, 4
+
+    def sub(col, m):
+        return F.transform(
+            F.slice(col, m * D + 1, D), lambda x: x.cast("double")
+        )
+
+    exploded = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), sub(F.col("embedding"), m).alias("x")
+                    )
+                    for m in range(M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.x").alias("x"))
+    codebook = (
+        e.filter(F.col("vec_id") < K)
+        .select(
+            F.col("vec_id").cast("int").alias("k"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            sub(F.col("embedding"), m).alias("c"),
+                        )
+                        for m in range(M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("k", F.col("s.m").alias("m"), F.col("s.c").alias("c"))
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("x"), F.col("c"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    assigned = (
+        exploded.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", F.struct(dist.alias("dist"), F.col("k")).alias("dk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dk").alias("best"))
+    )
+    return (
+        assigned.groupBy(
+            F.col("m").alias("subspace"), F.col("best.k").alias("code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("best.dist"), 4).alias("sum_distortion"),
+        )
+        .orderBy("subspace", "code")
+    )

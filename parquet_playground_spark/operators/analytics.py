@@ -2477,3 +2477,107 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s.s_name
         """
     )
+
+
+@register(
+    "events_uplift_cuped",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                               1, 8)) AS BIGINT) % 2 AS variant,
+                   round(sum(CASE WHEN event_type = 'purchase'
+                                   AND ts < TIMESTAMP '2024-01-16'
+                                  THEN value ELSE 0 END), 4) AS pre,
+                   round(sum(CASE WHEN event_type = 'purchase'
+                                   AND ts >= TIMESTAMP '2024-01-16'
+                                  THEN value ELSE 0 END), 4) AS post
+            FROM events
+            GROUP BY user_id
+        ),
+        gstats AS (
+            SELECT count(*) AS n,
+                   sum(pre) AS sp, sum(post) AS so,
+                   sum(pre * post) AS spo, sum(pre * pre) AS spp
+            FROM per_user
+        ),
+        theta AS (
+            SELECT (spo - sp * so / n) / (spp - sp * sp / n) AS th,
+                   sp / n AS pre_mean
+            FROM gstats
+        )
+        SELECT CAST(u.variant AS BIGINT) AS variant,
+               count(*) AS n_users,
+               round(avg(u.post), 4) AS mean_post,
+               round(avg(u.post - t.th * (u.pre - t.pre_mean)), 4)
+                   AS mean_adjusted,
+               round(max(t.th), 6) AS theta
+        FROM per_user u CROSS JOIN theta t
+        GROUP BY u.variant
+        ORDER BY variant
+    """,
+)
+def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: the post-period
+    purchase metric is adjusted by each user's PRE-period covariate
+    (theta = cov(post,pre)/var(pre), adjusted = post − θ·(pre − mean)),
+    the standard trick that cuts experiment runtime by removing
+    between-user variance the treatment cannot explain. Assignment is
+    the same md5-deterministic rule as events_ab_test_lift. Shape: one
+    user-level aggregate (the only fact shuffle), a 1-row broadcast of
+    (θ, pre-mean), then a variant-sized readout. Per-user sums are
+    rounded at 4 dp before the covariance sums, so θ is engine-stable
+    to ~1e-15 and every output survives its rounding."""
+    e = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    pre_cut = F.col("ts") < "2024-01-16"
+    per_user = e.groupBy("user_id").agg(
+        F.first(variant).alias("variant"),
+        F.round(
+            F.sum(F.when(is_purchase & pre_cut, F.col("value")).otherwise(0.0)),
+            4,
+        ).alias("pre"),
+        F.round(
+            F.sum(
+                F.when(is_purchase & ~pre_cut, F.col("value")).otherwise(0.0)
+            ),
+            4,
+        ).alias("post"),
+    )
+    glob = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sp"),
+        F.sum("post").alias("so"),
+        F.sum(F.col("pre") * F.col("post")).alias("spo"),
+        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+    )
+    theta = glob.select(
+        (
+            (F.col("spo") - F.col("sp") * F.col("so") / F.col("n"))
+            / (F.col("spp") - F.col("sp") * F.col("sp") / F.col("n"))
+        ).alias("th"),
+        (F.col("sp") / F.col("n")).alias("pre_mean"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy(F.col("variant").cast("bigint").alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("post"), 4).alias("mean_post"),
+            F.round(
+                F.avg(
+                    F.col("post")
+                    - F.col("th") * (F.col("pre") - F.col("pre_mean"))
+                ),
+                4,
+            ).alias("mean_adjusted"),
+            F.round(F.max("th"), 6).alias("theta"),
+        )
+        .orderBy("variant")
+    )

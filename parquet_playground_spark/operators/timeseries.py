@@ -790,3 +790,84 @@ def ts_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_bus_days"),
         F.max("bus_days").alias("max_bus_days"),
     )
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 4) AS daily_value
+            FROM events
+            GROUP BY 1, 2
+        ),
+        centered AS (
+            SELECT event_type, day, daily_value,
+                   avg(daily_value) OVER (PARTITION BY event_type) AS mu
+            FROM daily
+        ),
+        cusum AS (
+            SELECT event_type, day, daily_value,
+                   round(sum(daily_value - mu) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 4) AS cusum
+            FROM centered
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(max(abs(cusum)), 4) AS max_abs_cusum,
+               min(day) FILTER (WHERE abs(cusum) = (
+                   SELECT max(abs(c2.cusum)) FROM cusum c2
+                   WHERE c2.event_type = cusum.event_type))
+                   AS changepoint_day
+        FROM cusum
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: cumulative sum of
+    daily-value deviations from the series mean; the day where |CUSUM|
+    peaks is the most likely single changepoint (classic
+    Page/Pettitt-style screen run on every metric dashboard). Shape:
+    one daily groupBy (map-combinable), a series-mean window, an
+    ORDERED running sum — sequential order makes the float fold
+    deterministic on both engines given 4-dp daily inputs — and a
+    per-type argmax readout with min-day tie-break. Days per type are
+    bounded (time), so window partitions never skew."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("daily_value"))
+    mu_w = Window.partitionBy("event_type")
+    run_w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.round(
+            F.sum(F.col("daily_value") - F.avg("daily_value").over(mu_w)).over(
+                run_w
+            ),
+            4,
+        ).alias("cusum"),
+    )
+    peak = cusum.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.max(F.abs("cusum")), 4).alias("max_abs_cusum"),
+    )
+    return (
+        cusum.join(peak, "event_type")
+        .filter(F.abs(F.col("cusum")) == F.col("max_abs_cusum"))
+        .groupBy("event_type", "n_days", "max_abs_cusum")
+        .agg(F.min("day").alias("changepoint_day"))
+        .select(
+            "event_type", "n_days", "max_abs_cusum", "changepoint_day"
+        )
+        .orderBy("event_type")
+    )
