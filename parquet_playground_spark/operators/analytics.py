@@ -2289,8 +2289,11 @@ _Q9_SQL = """
         WITH {ps}
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS INT) AS o_year,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)
-                         - ps.ps_supplycost * l.l_quantity), 4) AS sum_profit
+               round(CAST(sum(CAST(floor((l.l_extendedprice
+                                          * (1 - l.l_discount)
+                                          - ps.ps_supplycost * l.l_quantity)
+                                         * 100.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS sum_profit
         FROM lineitem_v l
         JOIN ps ON ps.ps_partkey = l.l_partkey
                AND ps.ps_suppkey = l.l_suppkey
@@ -2338,14 +2341,18 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q11_SQL = """
         WITH {ps}
         SELECT ps.ps_partkey,
-               round(sum(ps.ps_supplycost * ps.ps_availqty), 4) AS value
+               round(CAST(sum(CAST(floor(ps.ps_supplycost * ps.ps_availqty
+                                         * 100.0 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS value
         FROM ps
         JOIN supplier_v s ON s.s_suppkey = ps.ps_suppkey
         JOIN nation_v n ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name = 'NATION_7'
         GROUP BY ps.ps_partkey
-        HAVING sum(ps.ps_supplycost * ps.ps_availqty) > (
-            SELECT sum(ps2.ps_supplycost * ps2.ps_availqty) * 0.001
+        HAVING sum(CAST(floor(ps.ps_supplycost * ps.ps_availqty
+                              * 100.0 + 0.5) AS BIGINT)) > (
+            SELECT sum(CAST(floor(ps2.ps_supplycost * ps2.ps_availqty
+                                  * 100.0 + 0.5) AS BIGINT)) * 0.001
             FROM ps ps2
             JOIN supplier_v s2 ON s2.s_suppkey = ps2.ps_suppkey
             JOIN nation_v n2 ON n2.n_nationkey = s2.s_nationkey

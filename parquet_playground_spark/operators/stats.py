@@ -681,15 +681,27 @@ def ml_logistic_gradient_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORMAL_EQ_SQL = """
         WITH stats AS (
-            SELECT round(CAST(count(*) AS DOUBLE), 2)          AS n,
-                   round(sum(l_quantity), 2)                   AS sx1,
-                   round(sum(l_discount), 2)                   AS sx2,
-                   round(sum(l_extendedprice), 2)              AS sy,
-                   round(sum(l_quantity * l_quantity), 2)      AS sx11,
-                   round(sum(l_quantity * l_discount), 2)      AS sx12,
-                   round(sum(l_discount * l_discount), 2)      AS sx22,
-                   round(sum(l_quantity * l_extendedprice), 2) AS sx1y,
-                   round(sum(l_discount * l_extendedprice), 2) AS sx2y
+            -- Each sufficient statistic is accumulated as INTEGER
+            -- hundredths (per-term floor(x*100+0.5), identical on both
+            -- engines) so the sums are order-independent EXACT integer
+            -- adds; the /100.0 recovers the double the solve consumes.
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100.0 AS sx1,
+                   CAST(sum(CAST(floor(l_discount * 100000.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100000.0 AS sx2,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100.0 AS sy,
+                   CAST(sum(CAST(floor(l_quantity * l_quantity * 100.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100.0 AS sx11,
+                   CAST(sum(CAST(floor(l_quantity * l_discount * 100000.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100000.0 AS sx12,
+                   CAST(sum(CAST(floor(l_discount * l_discount * 1000000.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx22,
+                   CAST(sum(CAST(floor(l_quantity * l_extendedprice * 100.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 100.0 AS sx1y,
+                   CAST(sum(CAST(floor(l_discount * l_extendedprice * 10000.0 + 0.5)
+                            AS BIGINT)) AS DOUBLE) / 10000.0 AS sx2y
             FROM {li}
         ),
         solved AS (
@@ -740,11 +752,13 @@ def ml_linear_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free map-side reductions. (The iterative sibling is
     ml_logistic_gradient_steps; this is the one-pass exact path.)
 
-    Determinism: every sufficient statistic is rounded to 2 dp BEFORE
-    the solve — float summation order differs between engines at the
-    1e-9 level on these 1e11-magnitude sums, but the rounded Gram
-    entries are identical, and Cramer arithmetic on identical doubles
-    is bit-identical. The residual sum's own order drift dies under
+    Determinism: every sufficient statistic is accumulated as scaled
+    INTEGERS (per-term floor-rounding, identical on both engines), so
+    the sums are order-independent exact adds — float summation order
+    differs between engines at the 1e-5 absolute level on these
+    1e11-magnitude sums, enough to flip a rounded decimal. The
+    recovered doubles are identical, so Cramer arithmetic is
+    bit-identical. The residual sum's own order drift dies under
     sqrt(SS/n) at 4 dp."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "ppml_lineitem"

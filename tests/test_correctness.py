@@ -263,6 +263,19 @@ ORACLE_QUERIES = [
     "sketch_kll_quantiles",    # D: mergeable quantile sketch + bound
     "sketch_theta_setops",     # D: sketch set algebra + bounds
     "fn_mask_redact",          # H: class-preserving masking
+    "q2_min_cost_supplier",    # headline: derived-partsupp min-cost
+    "q9_product_type_profit",  # headline: derived-partsupp profit
+    "q11_important_stock",     # headline: scalar-subquery threshold
+    "q16_supplier_part_counts",  # headline: NOT IN + count distinct
+    "q20_part_promotion",      # headline: nested correlated IN
+    "dedup_prefix_boilerplate",  # K: shared-prefix screen
+    "text_vocab_freq_spectrum",  # K: Zipf/Heaps spectrum
+    "text_doc_entropy",        # K: per-doc unigram entropy
+    "ml_linear_normal_equation",  # scale: Gram-matrix closed-form fit
+    "corpus_importance_resampling",  # K: DSIR-style acceptance gate
+    "events_uplift_cuped",     # scale: variance-reduced A/B readout
+    "ts_changepoint_cusum",    # TS: peak-|CUSUM| changepoint
+    "embedding_product_quantization",  # K: PQ codebook assignment
 ]
 
 # rows-only queries: assert they run and return sane row counts
