@@ -1155,3 +1155,102 @@ def text_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_LM_K = 0.5
+
+
+@register(
+    "text_bigram_lm_perplexity",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest([ t[CAST(i AS INTEGER)] || ' ' ||
+                            t[CAST(i + 1 AS INTEGER)]
+                            FOR i IN range(1, len(t)) ]) AS bg
+            FROM toks
+            WHERE len(t) >= 2
+        ),
+        bg_counts AS (
+            SELECT bg, count(*) AS c12 FROM big GROUP BY bg
+        ),
+        ctx_counts AS (
+            SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+            FROM bg_counts GROUP BY 1
+        ),
+        vocab AS (
+            SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(t) AS tok FROM toks) WHERE tok <> ''
+        )
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(-ln((bc.c12 + {_LM_K})
+                             / (cc.c1 + {_LM_K} * vocab.v))), 4) AS avg_nll,
+               round(exp(avg(-ln((bc.c12 + {_LM_K})
+                                 / (cc.c1 + {_LM_K} * vocab.v)))), 4)
+                   AS perplexity
+        FROM big b
+        JOIN bg_counts bc ON bc.bg = b.bg
+        JOIN ctx_counts cc ON cc.w1 = string_split(b.bg, ' ')[1]
+        CROSS JOIN vocab
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per document with add-k
+    smoothing (k={_LM_K}) — the CCNet/Wikipedia-LM filtering signal one
+    order up from text_perplexity_proxy's unigram model: a doc whose
+    own bigrams are globally rare scores high and gets culled or
+    down-weighted. Shape: one bigram explode + count (the fact-sized
+    shuffle), a vocab-squared-bounded LM table and a 1-row vocab size
+    that both BROADCAST back onto the per-doc bigram stream, then a
+    per-doc reduce. The per-doc NLL sum has at most |doc| terms of
+    magnitude ~ln|V²|, so 4-dp rounding absorbs summation-order
+    drift."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c12"))
+    ctx_counts = bg_counts.groupBy(
+        F.split("bg", " ")[0].alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("c12") + _LM_K) / (F.col("c1") + _LM_K * F.col("v"))
+    )
+    return (
+        bigrams.join(F.broadcast(bg_counts), "bg")
+        .join(
+            F.broadcast(ctx_counts),
+            F.split(F.col("bg"), " ")[0] == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )

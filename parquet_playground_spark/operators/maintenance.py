@@ -840,3 +840,56 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "dq_freshness_sla",
+    oracle="""
+        WITH feeds AS (
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+                       AS last_sec
+            FROM events GROUP BY event_type
+        ),
+        now_ref AS (
+            SELECT CAST(epoch(date_trunc('second', max(ts))) AS BIGINT)
+                       AS now_sec
+            FROM events
+        )
+        SELECT f.event_type, f.n_events, f.last_sec,
+               CAST(floor((n.now_sec - f.last_sec) / 60.0) AS BIGINT)
+                   AS lag_minutes,
+               (n.now_sec - f.last_sec) <= 7200 AS within_sla
+        FROM feeds f CROSS JOIN now_ref n
+        ORDER BY f.event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness SLA check: each event feed's last-arrival lag
+    against the pipeline reference clock (the corpus max timestamp —
+    deterministic stand-in for now()), flagged against a 2-hour SLA.
+    This is the first monitor every ingestion DAG grows: a feed whose
+    producer died shows a growing lag while row counts look normal.
+    Shape: one map-combinable per-feed aggregate + a 1-row broadcast
+    reference clock — scan-bound at any scale, and the per-feed max(ts)
+    needs no shuffle beyond the |feeds|-row readout."""
+    e = load_table(spark, sf_dir, "events")
+    last = F.unix_timestamp(F.date_trunc("second", F.max("ts"))).cast("bigint")
+    feeds = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        last.alias("last_sec"),
+    )
+    now_ref = e.agg(last.alias("now_sec"))
+    lag = F.col("now_sec") - F.col("last_sec")
+    return (
+        feeds.crossJoin(F.broadcast(now_ref))
+        .select(
+            "event_type",
+            "n_events",
+            "last_sec",
+            F.floor(lag / 60.0).cast("bigint").alias("lag_minutes"),
+            (lag <= 7200).alias("within_sla"),
+        )
+        .orderBy("event_type")
+    )

@@ -871,3 +871,89 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.5, 0.3, 7
+
+
+@register(
+    "ts_holt_linear_forecast",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 4) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type,
+                   list(v ORDER BY day) AS vals,
+                   count(*) AS n_days
+            FROM daily GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, n_days,
+                   list_reduce(
+                       list_transform(vals, v -> [v, 0.0]),
+                       (a, b) -> [
+                           {_HOLT_ALPHA} * b[1]
+                           + (1 - {_HOLT_ALPHA}) * (a[1] + a[2]),
+                           {_HOLT_BETA} * (({_HOLT_ALPHA} * b[1]
+                               + (1 - {_HOLT_ALPHA}) * (a[1] + a[2])) - a[1])
+                           + (1 - {_HOLT_BETA}) * a[2]
+                       ]) AS st
+            FROM series
+        )
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               round(st[1], 4) AS level,
+               round(st[2], 4) AS trend,
+               round(st[1] + {_HOLT_H} * st[2], 4) AS forecast_h7
+        FROM folded
+        ORDER BY event_type
+    """,
+)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per series: level
+    and trend evolve together through an ORDERED fold over the daily
+    values — the recurrence a window frame cannot express — and the
+    final state extrapolates an h-step forecast. State is a 2-element
+    double array so the same fold runs on both engines (DuckDB's
+    list_reduce requires acc type = element type); the fold order is
+    pinned by the day sort, so with 4-dp daily inputs the floats are
+    bit-identical cross-engine. Shape: one daily groupBy, then a
+    per-series collect (bounded: days-per-series is time, not data) —
+    the batch twin of transformWithState's running smoother."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "v"))
+        ).alias("dv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    vals = F.transform(F.col("dv"), lambda s: s["v"])
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        lvl = F.element_at(acc, 1)
+        trd = F.element_at(acc, 2)
+        v = F.element_at(x, 1)
+        new_lvl = a * v + (1 - a) * (lvl + trd)
+        return F.array(new_lvl, b * (new_lvl - lvl) + (1 - b) * trd)
+
+    as_state = F.transform(vals, lambda v: F.array(v, F.lit(0.0)))
+    st = F.aggregate(
+        F.slice(as_state, 2, F.greatest(F.size(as_state) - 1, F.lit(0))),
+        F.element_at(as_state, 1),
+        step,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at(st, 1), 4).alias("level"),
+        F.round(F.element_at(st, 2), 4).alias("trend"),
+        F.round(
+            F.element_at(st, 1) + _HOLT_H * F.element_at(st, 2), 4
+        ).alias("forecast_h7"),
+    ).orderBy("event_type")

@@ -132,7 +132,8 @@ _CHECK_ORDER = [
     "text_vocab_freq_spectrum", "text_doc_entropy",
     "ml_linear_normal_equation", "corpus_importance_resampling",
     "events_uplift_cuped", "ts_changepoint_cusum",
-    "embedding_product_quantization",
+    "embedding_product_quantization", "ts_holt_linear_forecast",
+    "text_bigram_lm_perplexity", "dq_freshness_sla",
     "corpus_token_budget_pack", "api_pandas_on_spark",
     "text_repetition_rep_n", "join_shuffle_hash_hint",
     "sketch_kll_quantiles", "fn_mask_redact", "agg_unpivot",

@@ -276,6 +276,9 @@ ORACLE_QUERIES = [
     "events_uplift_cuped",     # scale: variance-reduced A/B readout
     "ts_changepoint_cusum",    # TS: peak-|CUSUM| changepoint
     "embedding_product_quantization",  # K: PQ codebook assignment
+    "ts_holt_linear_forecast",  # TS: level+trend recurrence fold
+    "text_bigram_lm_perplexity",  # K: smoothed bigram-LM filter signal
+    "dq_freshness_sla",        # L: feed-lag SLA monitor
 ]
 
 # rows-only queries: assert they run and return sane row counts
