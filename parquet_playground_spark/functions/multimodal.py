@@ -83,7 +83,7 @@ def multimodal_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     media = with_binary_payload(d)
-    out = os.path.join(tempfile.gettempdir(), "ppspark_media_roundtrip")
+    out = os.path.join(tempfile.gettempdir(), f"ppspark_media_roundtrip_{os.getpid()}")
     media.write.mode("overwrite").option("compression", "snappy").parquet(out)
     back = spark.read.parquet(out)
     text_back = F.decode(F.expr("substring(media, 13, length(media) - 12)"), "utf-8")

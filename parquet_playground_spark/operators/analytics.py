@@ -2588,3 +2588,61 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_LINKPRED_SQL = """
+        WITH nodes AS (
+            SELECT DISTINCT l_orderkey AS ord, l_partkey AS p
+            FROM {li}
+            WHERE l_partkey < 300
+        ),
+        edges AS (
+            SELECT DISTINCT a.p AS u, b.p AS v
+            FROM nodes a JOIN nodes b ON a.ord = b.ord AND a.p < b.p
+        ),
+        und AS (
+            SELECT u, v FROM edges
+            UNION ALL
+            SELECT v AS u, u AS v FROM edges
+        ),
+        deg AS (
+            SELECT u, count(*) AS d FROM und GROUP BY u
+        ),
+        two_hop AS (
+            SELECT e1.u AS a, e2.v AS c, count(*) AS common_neighbors
+            FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+            GROUP BY e1.u, e2.v
+        )
+        SELECT t.a, t.c, t.common_neighbors,
+               round(CAST(t.common_neighbors AS DOUBLE)
+                     / (da.d + dc.d - t.common_neighbors), 6) AS jaccard
+        FROM two_hop t
+        JOIN deg da ON da.u = t.a
+        JOIN deg dc ON dc.u = t.c
+        LEFT JOIN edges e ON e.u = t.a AND e.v = t.c
+        WHERE e.u IS NULL
+        ORDER BY t.common_neighbors DESC, jaccard DESC, t.a, t.c
+        LIMIT 20
+"""
+
+
+@register(
+    "graph_link_prediction_cn",
+    oracle=_LINKPRED_SQL.format(li="lineitem"),
+)
+def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: non-adjacent part
+    pairs ranked by common-neighbor count and neighborhood Jaccard —
+    the classic recommender/knowledge-graph completion primitive. The
+    2-hop expansion is the quadratic hazard here, so the node set is
+    DEGREE-BOUNDED up front (the same explicit-bound discipline as the
+    dedup exact-twin queries: a production run prunes high-degree hub
+    nodes first, which caps the per-node expansion; the bound is a key
+    range at test scale). All equi-joins — the wedge join shuffles on
+    the shared neighbor, the existing-edge check is a broadcast-able
+    anti join, and the top-20 runs as TakeOrderedAndProject with a
+    full unique tie-break."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lp_lineitem"
+    )
+    return spark.sql(_LINKPRED_SQL.format(li="lp_lineitem"))

@@ -124,8 +124,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    small_dir = os.path.join(tempfile.gettempdir(), "ppspark_compact_small")
-    big_dir = os.path.join(tempfile.gettempdir(), "ppspark_compact_big")
+    small_dir = os.path.join(tempfile.gettempdir(), f"ppspark_compact_small_{os.getpid()}")
+    big_dir = os.path.join(tempfile.gettempdir(), f"ppspark_compact_big_{os.getpid()}")
     o.repartition(_SMALL_FILES).write.mode("overwrite").parquet(small_dir)
     small = spark.read.parquet(small_dir)
     small.coalesce(_COMPACTED_FILES).write.mode("overwrite").parquet(big_dir)

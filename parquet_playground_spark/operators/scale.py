@@ -471,3 +471,52 @@ def sql_partition_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY nationkey
         """
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, source, n_chars,
+                   ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 1000000 + 0.5)
+                      / 1000000.0)
+                   / n_chars AS k
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, round(k * 1000.0, 6) AS sample_key
+        FROM keyed
+        ORDER BY k DESC, doc_id
+        LIMIT 50
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fixed size k=50, via the
+    Efraimidis-Spirakis reservoir key: each row gets key ln(u)/w for a
+    deterministic md5-derived u in (0,1) and weight w (here n_chars:
+    longer docs proportionally likelier), and the k LARGEST keys are
+    the sample — equivalent to sequential weighted draws, but
+    expressible as a global top-k, so it runs as
+    TakeOrderedAndProject with no shuffle of the losers and no
+    sequential state. The u derivation is the portable md5 bucket (+0.5
+    keeps u strictly inside (0,1)), so both engines rank the identical
+    key set; ties are impossible at these key gaps and doc_id breaks
+    them anyway. This is the fixed-SIZE complement to
+    corpus_importance_resampling's fixed-RATE acceptance gate."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        (_portable_bucket(F.col("doc_id").cast("string"), 1000000) + 0.5)
+        / 1000000.0
+    )
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.col("k") * 1000.0, 6).alias("sample_key"),
+        )
+    )

@@ -85,7 +85,7 @@ def write_roundtrip_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
     InMemoryOutputFile.java:9-46, a single-node ceiling this removes).
     """
     orders = load_table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "ppspark_roundtrip_orders")
+    out = os.path.join(tempfile.gettempdir(), f"ppspark_roundtrip_orders_{os.getpid()}")
     orders.write.mode("overwrite").option("compression", "snappy").parquet(out)
     back = spark.read.parquet(out)
     return back.agg(
@@ -157,7 +157,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (per-file footers stay authoritative; no rewrite of old
     data). Even/odd orderkey halves stand in for the two snapshots."""
     o = load_table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "ppspark_schema_evo")
+    out = os.path.join(tempfile.gettempdir(), f"ppspark_schema_evo_{os.getpid()}")
     old = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     )
@@ -207,7 +207,7 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the files (it is here: partitionBy writes it into the path, and we
     re-derive nothing from it)."""
     o = load_table(spark, sf_dir, "orders")
-    root = os.path.join(tempfile.gettempdir(), "ppspark_lake_tree")
+    root = os.path.join(tempfile.gettempdir(), f"ppspark_lake_tree_{os.getpid()}")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(root)
     # decoy the glob must skip
     with open(os.path.join(root, "manifest.json"), "w") as fh:
@@ -256,7 +256,7 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % _META_BUCKETS
     )
-    root = os.path.join(tempfile.gettempdir(), "ppspark_meta_buckets")
+    root = os.path.join(tempfile.gettempdir(), f"ppspark_meta_buckets_{os.getpid()}")
     with_b = o.withColumn("b", bucket)
     for i in range(_META_BUCKETS):
         with_b.filter(F.col("b") == i).coalesce(1).write.mode(
@@ -336,7 +336,7 @@ def scan_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    stage = os.path.join(tempfile.gettempdir(), "ppspark_corrupt_mix")
+    stage = os.path.join(tempfile.gettempdir(), f"ppspark_corrupt_mix_{os.getpid()}")
     os.makedirs(stage, exist_ok=True)
     shutil.copy(table_path(sf_dir, "nation"), os.path.join(stage, "good.parquet"))
     shutil.copy(
@@ -383,7 +383,7 @@ def scan_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     n = load_table(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.gettempdir(), "ppspark_narrow_types")
+    out = os.path.join(tempfile.gettempdir(), f"ppspark_narrow_types_{os.getpid()}")
     (
         n.select(
             F.col("n_nationkey").cast("int").alias("n_nationkey"),

@@ -134,6 +134,7 @@ _CHECK_ORDER = [
     "events_uplift_cuped", "ts_changepoint_cusum",
     "embedding_product_quantization", "ts_holt_linear_forecast",
     "text_bigram_lm_perplexity", "dq_freshness_sla",
+    "sample_weighted_reservoir", "graph_link_prediction_cn",
     "corpus_token_budget_pack", "api_pandas_on_spark",
     "text_repetition_rep_n", "join_shuffle_hash_hint",
     "sketch_kll_quantiles", "fn_mask_redact", "agg_unpivot",

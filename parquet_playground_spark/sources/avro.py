@@ -81,7 +81,7 @@ def avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    out = os.path.join(tempfile.gettempdir(), "ppspark_avro_ingest")
+    out = os.path.join(tempfile.gettempdir(), f"ppspark_avro_ingest_{os.getpid()}")
     avro_to_parquet(spark, REFERENCE_AVRO, out)
     back = spark.read.parquet(out)
     return back.select("id", F.array_join("id2", ",").alias("id2_joined"))

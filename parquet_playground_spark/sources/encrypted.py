@@ -215,7 +215,7 @@ def write_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     records = []
-    base = os.path.join(tempfile.gettempdir(), "ppspark_encrypted_write")
+    base = os.path.join(tempfile.gettempdir(), f"ppspark_encrypted_write_{os.getpid()}")
     for variant, plaintext_footer, aad, ctr, no_aad_store in _WRITE_VARIANTS:
         try:
             records.append(

@@ -275,7 +275,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_defaults(spark)
     spark.dataSource.register(make_sink_datasource())
-    out = os.path.join(tempfile.gettempdir(), "ppspark_pysink")
+    out = os.path.join(tempfile.gettempdir(), f"ppspark_pysink_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"

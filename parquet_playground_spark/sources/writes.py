@@ -22,7 +22,11 @@ from parquet_playground_spark.tables import load_table
 
 
 def _tmp(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"ppspark_{name}")
+    # Per-process suffix: two concurrent harness sessions (e.g. pytest
+    # next to a verify sweep) must not overwrite each other's staging
+    # dirs mid-read. Stable within a process so per-session caching
+    # still works.
+    return os.path.join(tempfile.gettempdir(), f"ppspark_{name}_{os.getpid()}")
 
 
 @register(

@@ -81,7 +81,7 @@ def _stage_events(
     if cached and os.path.isdir(cached):
         return cached
     out = os.path.join(
-        tempfile.gettempdir(), f"ppspark_stream_{kind}{n_chunks}"
+        tempfile.gettempdir(), f"ppspark_stream_{kind}{n_chunks}_{os.getpid()}"
     )
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
@@ -727,8 +727,8 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _events_arrow(sf_dir)
     n = t.num_rows
     step = n // 2 + 1
-    src = os.path.join(tempfile.gettempdir(), "ppspark_ckpt_src")
-    ckpt = os.path.join(tempfile.gettempdir(), "ppspark_ckpt_cp")
+    src = os.path.join(tempfile.gettempdir(), f"ppspark_ckpt_src_{os.getpid()}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ppspark_ckpt_cp_{os.getpid()}")
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     os.makedirs(src)

@@ -279,6 +279,8 @@ ORACLE_QUERIES = [
     "ts_holt_linear_forecast",  # TS: level+trend recurrence fold
     "text_bigram_lm_perplexity",  # K: smoothed bigram-LM filter signal
     "dq_freshness_sla",        # L: feed-lag SLA monitor
+    "sample_weighted_reservoir",  # scale: fixed-size weighted sample
+    "graph_link_prediction_cn",  # scale: bounded 2-hop wedge join
 ]
 
 # rows-only queries: assert they run and return sane row counts

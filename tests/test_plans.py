@@ -146,13 +146,12 @@ def test_partitioned_layout_prunes_partitions(spark):
     """A filter on the Hive partition column must become a
     PartitionFilter (directory pruning — zero I/O for other statuses),
     not a post-scan filter."""
-    import os
-    import tempfile
+    from parquet_playground_spark.sources.writes import _tmp
 
     _q("write_partitioned_parquet")(spark, SF_DIR).collect()  # materialize dir
-    back = spark.read.parquet(
-        os.path.join(tempfile.gettempdir(), "ppspark_orders_partitioned")
-    ).filter("o_orderstatus = 'F'")
+    back = spark.read.parquet(_tmp("orders_partitioned")).filter(
+        "o_orderstatus = 'F'"
+    )
     plan = formatted_plan(back)
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
 
@@ -333,13 +332,10 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark):
     dynamicpruning subquery on the fact's partition column — at scale
     this is what turns 'scan all partitions then join' into 'scan only
     the partitions the dim filter selects'."""
-    import os
-    import tempfile
+    from parquet_playground_spark.sources.writes import _tmp
 
     _q("write_partitioned_parquet")(spark, SF_DIR).collect()  # materialize dir
-    fact = spark.read.parquet(
-        os.path.join(tempfile.gettempdir(), "ppspark_orders_partitioned")
-    )
+    fact = spark.read.parquet(_tmp("orders_partitioned"))
     from pyspark.sql import functions as F
 
     dim = spark.createDataFrame(
