@@ -2646,3 +2646,61 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lp_lineitem"
     )
     return spark.sql(_LINKPRED_SQL.format(li="lp_lineitem"))
+
+
+@register(
+    "sql_scripting_control_flow",
+    oracle="""
+        WITH RECURSIVE it AS (
+            SELECT CAST(100000.0 AS DOUBLE) AS cutoff,
+                   (SELECT count(*) FROM orders
+                    WHERE o_totalprice > 100000.0) AS n,
+                   0 AS step
+            UNION ALL
+            SELECT it.cutoff * 1.5,
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_totalprice > it.cutoff * 1.5),
+                   it.step + 1
+            FROM it WHERE it.n > 2000
+        )
+        SELECT round(cutoff, 2) AS final_cutoff,
+               CAST(n AS BIGINT) AS n_above,
+               CAST(step AS INT) AS n_iterations
+        FROM it ORDER BY step DESC LIMIT 1
+    """,
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (SQL/PSM control flow, Spark 4): a BEGIN..END
+    block with DECLAREd variables and a WHILE loop raises a price
+    cutoff by 1.5x until at most 2000 orders exceed it — the
+    "parameter search as a script" shape that otherwise needs driver-
+    side Python around spark.sql. Each loop iteration is one catalyst-
+    planned scalar-subquery count; only two scalars cross iterations.
+    The oracle runs the identical fixpoint as a recursive CTE, proving
+    the script's loop semantics against a declarative equivalent. The
+    geometric cutoff chain is a double multiplication sequence —
+    bit-identical on both engines."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "script_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 100000.0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE steps INT DEFAULT 0;
+          SET n = (SELECT count(*) FROM script_orders
+                   WHERE o_totalprice > cutoff);
+          WHILE n > 2000 DO
+            SET cutoff = cutoff * 1.5;
+            SET n = (SELECT count(*) FROM script_orders
+                     WHERE o_totalprice > cutoff);
+            SET steps = steps + 1;
+          END WHILE;
+          SELECT round(cutoff, 2) AS final_cutoff,
+                 n AS n_above,
+                 steps AS n_iterations;
+        END
+        """
+    )

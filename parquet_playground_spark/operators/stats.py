@@ -764,3 +764,110 @@ def ml_linear_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ppml_lineitem"
     )
     return spark.sql(_NORMAL_EQ_SQL.format(li="ppml_lineitem"))
+
+
+_BOOT_B = 32
+
+
+@register(
+    "stat_bootstrap_ci",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, value FROM events
+            WHERE event_type = 'purchase'
+        ),
+        reps AS (
+            SELECT b.b, e.event_id, e.value,
+                   (CAST(concat('0x', substr(md5(concat(
+                        CAST(e.event_id AS VARCHAR), '_',
+                        CAST(b.b AS VARCHAR))), 1, 8)) AS BIGINT)
+                    % 1000000 + 0.5) / 1000000.0 AS u
+            FROM base e
+            CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+        ),
+        weighted AS (
+            SELECT b, value,
+                   CASE WHEN u < 0.367879 THEN 0
+                        WHEN u < 0.735759 THEN 1
+                        WHEN u < 0.919699 THEN 2
+                        WHEN u < 0.981012 THEN 3
+                        ELSE 4 END AS w
+            FROM reps
+        ),
+        boot AS (
+            SELECT b, sum(w * value) / sum(w) AS m
+            FROM weighted GROUP BY b
+        )
+        SELECT (SELECT count(*) FROM base) AS n_rows,
+               (SELECT round(avg(value), 4) FROM base) AS point_mean,
+               round(avg(m), 4) AS boot_mean,
+               round(stddev_samp(m), 4) AS boot_se,
+               round(quantile_cont(m, 0.025), 4) AS ci_lo,
+               round(quantile_cont(m, 0.975), 4) AS ci_hi
+        FROM boot
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for a mean WITHOUT an RNG: the
+    Poisson bootstrap (each row enters replicate b with weight ~
+    Poisson(1), here drawn through the inverse CDF from a deterministic
+    md5(u) per (row, replicate)) — the form that streams: no resample
+    materialization, no sequential draw, every row scored independently
+    so the whole thing is one explode + one groupBy(replicate). The
+    same rows land in the same replicates on every engine, run, and
+    retry. Output: point mean, bootstrap mean/SE, and the 2.5/97.5
+    percentile CI over B={_BOOT_B} replicate means. At 100 TB the
+    B-fold row expansion is the only cost knob; replicate means are a
+    B-row aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = e.select("event_id", "value")
+    reps = base.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    w = (
+        F.when(u < 0.367879, 0)
+        .when(u < 0.735759, 1)
+        .when(u < 0.919699, 2)
+        .when(u < 0.981012, 3)
+        .otherwise(4)
+    )
+    boot = (
+        reps.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 4).alias("point_mean"),
+    )
+    return boot.agg(
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    ).crossJoin(F.broadcast(point)).select(
+        "n_rows", "point_mean", "boot_mean", "boot_se", "ci_lo", "ci_hi"
+    )

@@ -281,6 +281,8 @@ ORACLE_QUERIES = [
     "dq_freshness_sla",        # L: feed-lag SLA monitor
     "sample_weighted_reservoir",  # scale: fixed-size weighted sample
     "graph_link_prediction_cn",  # scale: bounded 2-hop wedge join
+    "sql_scripting_control_flow",  # H: SQL/PSM BEGIN..END loop
+    "stat_bootstrap_ci",       # scale: Poisson bootstrap, RNG-free
 ]
 
 # rows-only queries: assert they run and return sane row counts
