@@ -1261,3 +1261,110 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy(F.desc("n_docs"), "prefix")
     )
+
+
+_WIN_K, _WIN_W = 8, 4
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(concat('0x', substr(md5(substr(lower(text),
+                        CAST(i AS INTEGER), {_WIN_K})), 1, 8)) AS BIGINT) AS h
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1,
+                     greatest(length(text) - {_WIN_K} + 2, 2))) AS i)
+        ),
+        winmin AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_WIN_W - 1} FOLLOWING) AS wmin,
+                   count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM grams
+        ),
+        fps AS (
+            SELECT doc_id, n_grams, wmin
+            FROM winmin
+            WHERE pos <= n_grams - {_WIN_W} + 1
+            GROUP BY doc_id, n_grams, wmin
+        )
+        SELECT doc_id,
+               CAST(max(n_grams) AS BIGINT) AS n_grams,
+               count(*) AS n_fingerprints,
+               round(count(*) / CAST(max(n_grams) AS DOUBLE), 6) AS density
+        FROM fps
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    char {_WIN_K}-gram, slide a window of {_WIN_W} consecutive hashes,
+    and keep each window's minimum — guaranteeing any shared substring
+    of length >= k + w - 1 contributes a shared fingerprint, at ~2/(w+1)
+    the density of full k-gram hashing. The per-doc fingerprint count
+    and density are the audit output; the fingerprint set itself is the
+    join key for plagiarism/near-dup detection at a fraction of
+    MinHash's compute. Shape: one posexplode (narrow), a per-doc
+    position-ordered min window (bounded frame, one doc_id shuffle),
+    then distinct-per-doc — the hash is the portable md5 bucket, so
+    both engines select identical minima with no float involved."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            F.lower("text").alias("lt"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length("text") - (_WIN_K - 1), F.lit(1)
+                    ),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substr(lt, pos, {_WIN_K})")), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    cnt_w = Window.partitionBy("doc_id")
+    winmin = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(cnt_w).alias("n_grams"),
+    )
+    fps = (
+        winmin.filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
+        .select("doc_id", "n_grams", "wmin")
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.round(
+                F.count(F.lit(1)) / F.max("n_grams").cast("double"), 6
+            ).alias("density"),
+        )
+        .orderBy("doc_id")
+    )

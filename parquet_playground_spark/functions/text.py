@@ -1254,3 +1254,199 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BPE_ORACLE = """
+        WITH vocab AS (
+            SELECT tok AS word, count(*) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        words0 AS (
+            SELECT ' ' || array_to_string(string_split(word, ''), ' ')
+                   || ' ' AS w,
+                   freq
+            FROM vocab
+        ),
+        pairs0 AS (
+            SELECT p.pair, CAST(sum(v.freq) AS BIGINT) AS cnt
+            FROM words0 v,
+                 LATERAL (SELECT unnest([
+                     s[CAST(i AS INTEGER)] || ' ' || s[CAST(i + 1 AS INTEGER)]
+                     FOR i IN range(1, len(s))
+                 ]) AS pair
+                 FROM (SELECT string_split(trim(v.w), ' ') AS s)) p
+            GROUP BY p.pair
+        ),
+        best0 AS (
+            SELECT pair, cnt FROM pairs0
+            ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        words1 AS (
+            SELECT replace(v.w, ' ' || b.pair || ' ',
+                           ' ' || replace(b.pair, ' ', '') || ' ') AS w,
+                   v.freq
+            FROM words0 v CROSS JOIN best0 b
+        ),
+        pairs1 AS (
+            SELECT p.pair, CAST(sum(v.freq) AS BIGINT) AS cnt
+            FROM words1 v,
+                 LATERAL (SELECT unnest([
+                     s[CAST(i AS INTEGER)] || ' ' || s[CAST(i + 1 AS INTEGER)]
+                     FOR i IN range(1, len(s))
+                 ]) AS pair
+                 FROM (SELECT string_split(trim(v.w), ' ') AS s)) p
+            GROUP BY p.pair
+        ),
+        best1 AS (
+            SELECT pair, cnt FROM pairs1
+            ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        words2 AS (
+            SELECT replace(v.w, ' ' || b.pair || ' ',
+                           ' ' || replace(b.pair, ' ', '') || ' ') AS w,
+                   v.freq
+            FROM words1 v CROSS JOIN best1 b
+        ),
+        pairs2 AS (
+            SELECT p.pair, CAST(sum(v.freq) AS BIGINT) AS cnt
+            FROM words2 v,
+                 LATERAL (SELECT unnest([
+                     s[CAST(i AS INTEGER)] || ' ' || s[CAST(i + 1 AS INTEGER)]
+                     FOR i IN range(1, len(s))
+                 ]) AS pair
+                 FROM (SELECT string_split(trim(v.w), ' ') AS s)) p
+            GROUP BY p.pair
+        ),
+        best2 AS (
+            SELECT pair, cnt FROM pairs2
+            ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        words3 AS (
+            SELECT replace(v.w, ' ' || b.pair || ' ',
+                           ' ' || replace(b.pair, ' ', '') || ' ') AS w,
+                   v.freq
+            FROM words2 v CROSS JOIN best2 b
+        )
+        SELECT * FROM (
+            SELECT 1 AS merge_rank, pair, cnt FROM best0
+            UNION ALL SELECT 2, pair, cnt FROM best1
+            UNION ALL SELECT 3, pair, cnt FROM best2
+        ) ORDER BY merge_rank
+"""
+
+_BPE_SPARK = """
+        WITH vocab AS (
+            SELECT tok AS word, count(*) AS freq
+            FROM (SELECT explode(split(lower(text), '\\\\s+')) AS tok
+                  FROM bpe_documents)
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        words0 AS (
+            SELECT concat(' ', array_join(
+                       filter(split(word, ''), x -> x <> ''), ' '), ' ') AS w,
+                   freq
+            FROM vocab
+        ),
+        pairs0 AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq, explode(transform(
+                    sequence(1, size(split(trim(w), ' ')) - 1),
+                    i -> concat(element_at(split(trim(w), ' '), i), ' ',
+                                element_at(split(trim(w), ' '), i + 1))
+                )) AS pair
+                FROM words0
+                WHERE size(split(trim(w), ' ')) >= 2
+            )
+            GROUP BY pair
+        ),
+        best0 AS (
+            SELECT pair, cnt FROM pairs0
+            ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        words1 AS (
+            SELECT replace(v.w, concat(' ', b.pair, ' '),
+                           concat(' ', replace(b.pair, ' ', ''), ' ')) AS w,
+                   v.freq
+            FROM words0 v CROSS JOIN best0 b
+        ),
+        pairs1 AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq, explode(transform(
+                    sequence(1, size(split(trim(w), ' ')) - 1),
+                    i -> concat(element_at(split(trim(w), ' '), i), ' ',
+                                element_at(split(trim(w), ' '), i + 1))
+                )) AS pair
+                FROM words1
+                WHERE size(split(trim(w), ' ')) >= 2
+            )
+            GROUP BY pair
+        ),
+        best1 AS (
+            SELECT pair, cnt FROM pairs1
+            ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        words2 AS (
+            SELECT replace(v.w, concat(' ', b.pair, ' '),
+                           concat(' ', replace(b.pair, ' ', ''), ' ')) AS w,
+                   v.freq
+            FROM words1 v CROSS JOIN best1 b
+        ),
+        pairs2 AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq, explode(transform(
+                    sequence(1, size(split(trim(w), ' ')) - 1),
+                    i -> concat(element_at(split(trim(w), ' '), i), ' ',
+                                element_at(split(trim(w), ' '), i + 1))
+                )) AS pair
+                FROM words2
+                WHERE size(split(trim(w), ' ')) >= 2
+            )
+            GROUP BY pair
+        ),
+        best2 AS (
+            SELECT pair, cnt FROM pairs2
+            ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        words3 AS (
+            SELECT replace(v.w, concat(' ', b.pair, ' '),
+                           concat(' ', replace(b.pair, ' ', ''), ' ')) AS w,
+                   v.freq
+            FROM words2 v CROSS JOIN best2 b
+        )
+        SELECT * FROM (
+            SELECT 1 AS merge_rank, pair, cnt FROM best0
+            UNION ALL SELECT 2, pair, cnt FROM best1
+            UNION ALL SELECT 3, pair, cnt FROM best2
+        ) ORDER BY merge_rank
+"""
+
+
+@register("tokenizer_bpe_merges", oracle=_BPE_ORACLE)
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTUAL BPE merge training, 3 unrolled iterations: count adjacent
+    symbol pairs over the frequency-weighted word-type table, take the
+    most frequent pair (count desc, pair asc tie-break), merge it
+    corpus-wide via boundary-guarded string replace (symbols joined by
+    single spaces, pattern padded with spaces, leftmost-non-overlapping
+    on both engines — the textbook algorithm), repeat. Output: the
+    learned merge table (rank, pair, weighted count) — what an actual
+    tokenizer trainer persists.
+
+    Scale shape: this is how production BPE trainers work too — one
+    corpus pass builds the word-type frequency table
+    (text_tokenize_counts), and every merge iteration then runs on the
+    TYPE table (vocab-sized, ~1M rows at web scale, agg-sized forever),
+    never rescanning the corpus. Each iteration is one explode +
+    map-combinable count + 1-row broadcast of the winning pair.
+    Integer counts end-to-end: zero float exposure."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bpe_documents"
+    )
+    return spark.sql(_BPE_SPARK)

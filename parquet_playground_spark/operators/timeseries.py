@@ -957,3 +957,68 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(st, 1) + _HOLT_H * F.element_at(st, 2), 4
         ).alias("forecast_h7"),
     ).orderBy("event_type")
+
+
+_DFT_SQL = """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS DOUBLE) AS x
+            FROM {ev} GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS DOUBLE) AS t,
+                   avg(x) OVER (PARTITION BY event_type) AS mu
+            FROM daily
+        ),
+        periods AS (
+            SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (2), (3), (7), (14))
+                AS v(p)
+        ),
+        power_tbl AS (
+            SELECT i.event_type, pr.p,
+                   pow(sum((i.x - i.mu)
+                           * cos(2.0 * 3.141592653589793 * i.t / pr.p)), 2)
+                   + pow(sum((i.x - i.mu)
+                             * sin(2.0 * 3.141592653589793 * i.t / pr.p)), 2)
+                       AS pw
+            FROM idx i CROSS JOIN periods pr
+            GROUP BY i.event_type, pr.p
+        ),
+        ranked AS (
+            -- single-pass rank, NOT a float-equality self-join: Spark
+            -- would recompute the sums on both sides of such a join and
+            -- partition-order drift can break pw = max(pw) equality.
+            SELECT event_type, p, pw,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY pw DESC, p) AS rk
+            FROM power_tbl
+        )
+        SELECT event_type, CAST(p AS INT) AS period,
+               round(pw, 2) AS power,
+               rk = 1 AS is_dominant
+        FROM ranked
+        ORDER BY event_type, period
+"""
+
+
+@register(
+    "ts_periodogram_dft",
+    oracle=_DFT_SQL.format(ev="events"),
+)
+def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency DFT periodogram: spectral power of each daily
+    count series at candidate periods (2/3/7/14 days) via the two
+    projection sums Σx·cos(2πt/p) and Σx·sin(2πt/p) on the centered
+    series — how a pipeline detects weekly seasonality without an FFT
+    library, since each candidate frequency is just two map-combinable
+    weighted sums. The dominant flag marks the argmax period per
+    series. Day indexing is a per-series row_number (deterministic: day
+    is unique within series); the trig factors are computed from the
+    same pi literal on both engines and the 2-dp rounding absorbs
+    sub-ulp libm drift. One daily groupBy + a |periods|-fold expansion
+    of the |days|-row aggregate — scan-bound at any scale."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("dft_events")
+    return spark.sql(_DFT_SQL.format(ev="dft_events"))

@@ -136,6 +136,8 @@ _CHECK_ORDER = [
     "text_bigram_lm_perplexity", "dq_freshness_sla",
     "sample_weighted_reservoir", "graph_link_prediction_cn",
     "sql_scripting_control_flow", "stat_bootstrap_ci",
+    "dedup_winnowing_fingerprints", "ts_periodogram_dft",
+    "tokenizer_bpe_merges",
     "corpus_token_budget_pack", "api_pandas_on_spark",
     "text_repetition_rep_n", "join_shuffle_hash_hint",
     "sketch_kll_quantiles", "fn_mask_redact", "agg_unpivot",

@@ -283,6 +283,9 @@ ORACLE_QUERIES = [
     "graph_link_prediction_cn",  # scale: bounded 2-hop wedge join
     "sql_scripting_control_flow",  # H: SQL/PSM BEGIN..END loop
     "stat_bootstrap_ci",       # scale: Poisson bootstrap, RNG-free
+    "dedup_winnowing_fingerprints",  # K: MOSS winnowing
+    "ts_periodogram_dft",      # TS: candidate-period spectral power
+    "tokenizer_bpe_merges",    # K: real BPE merge training
 ]
 
 # rows-only queries: assert they run and return sane row counts
