@@ -883,3 +883,119 @@ def embedding_product_quantization(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("subspace", "code")
     )
+
+
+_JL_OUT = 16
+
+
+@register(
+    "embedding_random_projection_jl",
+    oracle=f"""
+        WITH dims AS (
+            SELECT CAST(unnest(range(0, {_JL_OUT})) AS INTEGER) AS j
+        ),
+        flat AS (
+            SELECT e.vec_id, ii.i,
+                   CAST(e.embedding[CAST(ii.i AS INTEGER)] AS DOUBLE) AS x
+            FROM embeddings e,
+                 LATERAL (SELECT unnest(range(1, 65)) AS i) ii
+        ),
+        signs AS (
+            SELECT f.i, d.j,
+                   CASE WHEN CAST(concat('0x', substr(md5(
+                            CAST(f.i AS VARCHAR) || '_' ||
+                            CAST(d.j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM (SELECT DISTINCT i FROM flat) f CROSS JOIN dims d
+        ),
+        proj AS (
+            SELECT fl.vec_id, sg.j,
+                   round(sum(sg.s * fl.x) / sqrt({_JL_OUT}.0), 6) AS y
+            FROM flat fl JOIN signs sg ON sg.i = fl.i
+            GROUP BY fl.vec_id, sg.j
+        ),
+        norms AS (
+            SELECT p.vec_id,
+                   round(sqrt(sum(p.y * p.y)), 4) AS norm_proj
+            FROM proj p GROUP BY p.vec_id
+        ),
+        orig AS (
+            SELECT vec_id, round(sqrt(sum(x * x)), 4) AS norm_orig
+            FROM flat GROUP BY vec_id
+        )
+        SELECT n.vec_id, o.norm_orig, n.norm_proj,
+               round(n.norm_proj / o.norm_orig, 4) AS norm_ratio
+        FROM norms n JOIN orig o USING (vec_id)
+        ORDER BY vec_id
+    """,
+)
+def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> {_JL_OUT} dims
+    with a DETERMINISTIC ±1 sign matrix (sign(i,j) from the portable
+    md5 bucket of \"i_j\") — the cheap dimensionality reduction used
+    before LSH/clustering when PCA is too expensive: no training, one
+    matrix multiply, distances preserved within ~1/sqrt(k). Shape: the
+    1024-entry sign matrix is built once and BROADCAST; the projection
+    is posexplode + equi-join + map-combinable groupBy — identical
+    plan skeleton to embedding_centroids, so it scales with the corpus
+    scan. Output pins each vector's original vs projected norm and
+    their ratio (the distortion JL bounds)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    dims = spark.range(_JL_OUT).select(F.col("id").cast("int").alias("j"))
+    idx = spark.range(1, 65).select(F.col("id").alias("i"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit("_"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        1.0,
+    ).otherwise(-1.0)
+    signs = idx.crossJoin(dims).select("i", "j", sign.alias("s"))
+    proj = (
+        flat.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.round(
+                F.sum(F.col("s") * F.col("x")) / float(_JL_OUT) ** 0.5, 6
+            ).alias("y")
+        )
+    )
+    norms = proj.groupBy("vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("y") * F.col("y"))), 4).alias("norm_proj")
+    )
+    orig = flat.groupBy("vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("x") * F.col("x"))), 4).alias("norm_orig")
+    )
+    return (
+        norms.join(orig, "vec_id")
+        .select(
+            "vec_id",
+            "norm_orig",
+            "norm_proj",
+            F.round(F.col("norm_proj") / F.col("norm_orig"), 4).alias(
+                "norm_ratio"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -2704,3 +2704,62 @@ def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+_FUNNEL_TB_SQL = """
+        WITH e AS (
+            SELECT user_id, event_type, sec FROM {ev}
+        ),
+        v AS (
+            SELECT user_id, min(sec) AS t_view
+            FROM e WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(sec) AS t_click
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click'
+              AND sec > t_view AND sec <= t_view + 7200
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(sec) AS t_purchase
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase'
+              AND sec > t_click AND sec <= t_click + 7200
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_2h,
+               (SELECT count(*) FROM p) AS n_purchased_2h,
+               (SELECT CAST(coalesce(floor(avg(p.t_purchase - v.t_view)), 0)
+                            AS BIGINT)
+                FROM p JOIN v USING (user_id)) AS avg_funnel_secs
+"""
+
+
+@register(
+    "events_funnel_time_bounded",
+    oracle="""
+        WITH src AS (
+            SELECT user_id, event_type,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+            FROM events
+        )"""
+    + _FUNNEL_TB_SQL.format(ev="src").replace("WITH e AS", ", e AS", 1),
+)
+def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED conversion funnel: view -> click within 2h ->
+    purchase within a further 2h — the attribution-window form product
+    analytics actually ships (an unbounded funnel overcounts users who
+    \"converted\" a week later for unrelated reasons; compare
+    events_funnel). Same user-keyed chain of per-stage first-event
+    aggregates, so the whole funnel remains user-partitioned pipeline
+    work with tiny broadcast stage tables, plus the end-to-end mean
+    latency of completed funnels (integer seconds — exact)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+    )
+    e.createOrReplaceTempView("ftb_events")
+    return spark.sql(_FUNNEL_TB_SQL.format(ev="ftb_events"))

@@ -286,6 +286,8 @@ ORACLE_QUERIES = [
     "dedup_winnowing_fingerprints",  # K: MOSS winnowing
     "ts_periodogram_dft",      # TS: candidate-period spectral power
     "tokenizer_bpe_merges",    # K: real BPE merge training
+    "events_funnel_time_bounded",  # scale: attribution-window funnel
+    "embedding_random_projection_jl",  # K: JL sign projection
 ]
 
 # rows-only queries: assert they run and return sane row counts
