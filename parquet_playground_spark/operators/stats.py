@@ -871,3 +871,101 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(point)).select(
         "n_rows", "point_mean", "boot_mean", "boot_se", "ci_lo", "ci_hi"
     )
+
+
+_KM_SQL = """
+        WITH life AS (
+            SELECT user_id, horizon, lifetime FROM {src}
+        ),
+        obs AS (
+            -- a user "dies" at their last purchase day unless still
+            -- purchasing in the corpus's final day (right-censored)
+            SELECT user_id, lifetime,
+                   CASE WHEN horizon - lifetime <= 1 THEN 0 ELSE 1 END
+                       AS event_observed
+            FROM life
+        ),
+        counts AS (
+            SELECT lifetime AS t,
+                   count(*) AS all_c,
+                   CAST(sum(event_observed) AS BIGINT) AS d
+            FROM obs GROUP BY lifetime
+        ),
+        risk AS (
+            -- at-risk at t = users whose lifetime >= t: suffix-cumulative
+            -- count over descending t (declarative; Spark rejects the
+            -- correlated count inside the grouped select)
+            SELECT t, CAST(d AS DOUBLE) AS d,
+                   CAST(sum(all_c) OVER (
+                       ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS n
+            FROM counts
+        ),
+        km AS (
+            SELECT t, d, n,
+                   exp(sum(ln(1.0 - d / n)) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )) AS s
+            FROM risk
+            WHERE d > 0
+        )
+        SELECT CAST(t AS BIGINT) AS day,
+               CAST(d AS BIGINT) AS n_churned,
+               CAST(n AS BIGINT) AS n_at_risk,
+               round(s, 4) AS survival
+        FROM km
+        ORDER BY day
+"""
+
+
+@register(
+    "stat_cohort_survival_km",
+    oracle="""
+        WITH agg AS (
+            SELECT user_id,
+                   min(CAST(date_trunc('day', ts) AS DATE)) AS first_d,
+                   max(CAST(date_trunc('day', ts) AS DATE)) AS last_d,
+                   (SELECT max(CAST(date_trunc('day', ts) AS DATE))
+                    FROM events) AS max_all
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        src AS (
+            SELECT user_id,
+                   CAST(max_all - first_d AS BIGINT) AS horizon,
+                   CAST(last_d - first_d AS BIGINT) AS lifetime
+            FROM agg
+        )"""
+    + _KM_SQL.format(src="src").replace("WITH life AS", ", life AS", 1),
+)
+def stat_cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over purchasing lifetimes: lifetime
+    = days between a user's first and last purchase; users still
+    purchasing within a day of corpus end are right-CENSORED (the
+    estimator's whole point — a naive churn rate throws them away or
+    miscounts them). S(t) is the
+    product over churn days of (1 - d/n), computed as exp of an
+    ORDERED cumulative sum of logs — the sequential window makes the
+    float fold deterministic. The at-risk counts are integers from a
+    user-level aggregate; the curve table is |distinct lifetimes| rows.
+    One user_id groupBy is the only fact shuffle at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("day", "ts").cast("date")).alias("first_d"),
+            F.max(F.date_trunc("day", "ts").cast("date")).alias("last_d"),
+        )
+    )
+    max_all = e.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("max_all")
+    )
+    per_user.crossJoin(F.broadcast(max_all)).select(
+        "user_id",
+        F.datediff("max_all", "first_d").cast("bigint").alias("horizon"),
+        F.datediff("last_d", "first_d").cast("bigint").alias("lifetime"),
+    ).createOrReplaceTempView("km_src")
+    return spark.sql(_KM_SQL.format(src="km_src"))

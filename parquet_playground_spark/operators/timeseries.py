@@ -1022,3 +1022,75 @@ def ts_periodogram_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the |days|-row aggregate — scan-bound at any scale."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("dft_events")
     return spark.sql(_DFT_SQL.format(ev="dft_events"))
+
+
+_COVER_SQL = """
+        WITH ivals AS (
+            SELECT user_id,
+                   sec - 900 AS s,
+                   sec + 900 AS e
+            FROM {ev}
+        ),
+        marked AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+                        OR max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) IS NULL
+                        THEN 1 ELSE 0 END AS new_island
+            FROM ivals
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+            FROM marked
+        ),
+        merged AS (
+            SELECT user_id, island,
+                   min(s) AS island_s, max(e) AS island_e
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               count(*) AS n_islands,
+               CAST(sum(island_e - island_s) AS BIGINT) AS covered_secs,
+               CAST(max(island_e - island_s) AS BIGINT) AS longest_secs
+        FROM merged
+        GROUP BY user_id
+        ORDER BY user_id
+"""
+
+
+@register(
+    "ts_interval_union_coverage",
+    oracle="""
+        WITH src AS (
+            SELECT user_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+            FROM events
+        )"""
+    + _COVER_SQL.format(ev="src").replace("WITH ivals AS", ", ivals AS", 1),
+)
+def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (gaps-and-islands): each event claims a
+    ±15-minute activity interval; overlapping intervals merge into
+    islands via the classic running-max-of-end trick (a new island
+    starts when this interval's start exceeds every previous end), and
+    the per-user output is island count, total covered seconds, and the
+    longest contiguous stretch — the dedup-aware "time actually
+    active" metric billing and engagement systems need (naively
+    summing interval lengths double-counts overlaps). One user_id
+    shuffle; both windows and the island aggregate reuse it. Integer
+    seconds end-to-end — zero float exposure."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("sec"),
+    )
+    e.createOrReplaceTempView("cover_events")
+    return spark.sql(_COVER_SQL.format(ev="cover_events"))

@@ -288,6 +288,8 @@ ORACLE_QUERIES = [
     "tokenizer_bpe_merges",    # K: real BPE merge training
     "events_funnel_time_bounded",  # scale: attribution-window funnel
     "embedding_random_projection_jl",  # K: JL sign projection
+    "ts_interval_union_coverage",  # TS: island-merged active time
+    "stat_cohort_survival_km", # scale: censored survival estimate
 ]
 
 # rows-only queries: assert they run and return sane row counts
