@@ -969,3 +969,116 @@ def stat_cohort_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("last_d", "first_d").cast("bigint").alias("lifetime"),
     ).createOrReplaceTempView("km_src")
     return spark.sql(_KM_SQL.format(src="km_src"))
+
+
+_KFOLD_SQL = """
+        WITH folded AS (
+            SELECT l_quantity AS x1, l_discount AS x2,
+                   l_extendedprice AS y,
+                   {fold_expr} AS fold
+            FROM {li}
+        ),
+        fold_stats AS (
+            SELECT fold,
+                   count(*) AS n,
+                   sum(CAST(floor(x1 * 100.0 + 0.5) AS BIGINT)) AS sx1,
+                   sum(CAST(floor(x2 * 100000.0 + 0.5) AS BIGINT)) AS sx2,
+                   sum(CAST(floor(y * 100.0 + 0.5) AS BIGINT)) AS sy,
+                   sum(CAST(floor(x1 * x1 * 100.0 + 0.5) AS BIGINT)) AS sx11,
+                   sum(CAST(floor(x1 * x2 * 100000.0 + 0.5) AS BIGINT))
+                       AS sx12,
+                   sum(CAST(floor(x2 * x2 * 1000000.0 + 0.5) AS BIGINT))
+                       AS sx22,
+                   sum(CAST(floor(x1 * y * 100.0 + 0.5) AS BIGINT)) AS sx1y,
+                   sum(CAST(floor(x2 * y * 10000.0 + 0.5) AS BIGINT)) AS sx2y
+            FROM folded GROUP BY fold
+        ),
+        total AS (
+            SELECT sum(n) AS n, sum(sx1) AS sx1, sum(sx2) AS sx2,
+                   sum(sy) AS sy, sum(sx11) AS sx11, sum(sx12) AS sx12,
+                   sum(sx22) AS sx22, sum(sx1y) AS sx1y, sum(sx2y) AS sx2y
+            FROM fold_stats
+        ),
+        train AS (
+            -- train stats for fold f = total - fold_f: sufficient
+            -- statistics SUBTRACT, so k models cost one scan, not k
+            SELECT f.fold,
+                   CAST(t.n - f.n AS DOUBLE) AS n,
+                   CAST(t.sx1 - f.sx1 AS DOUBLE) / 100.0 AS sx1,
+                   CAST(t.sx2 - f.sx2 AS DOUBLE) / 100000.0 AS sx2,
+                   CAST(t.sy - f.sy AS DOUBLE) / 100.0 AS sy,
+                   CAST(t.sx11 - f.sx11 AS DOUBLE) / 100.0 AS sx11,
+                   CAST(t.sx12 - f.sx12 AS DOUBLE) / 100000.0 AS sx12,
+                   CAST(t.sx22 - f.sx22 AS DOUBLE) / 1000000.0 AS sx22,
+                   CAST(t.sx1y - f.sx1y AS DOUBLE) / 100.0 AS sx1y,
+                   CAST(t.sx2y - f.sx2y AS DOUBLE) / 10000.0 AS sx2y
+            FROM fold_stats f CROSS JOIN total t
+        ),
+        coef AS (
+            SELECT fold,
+                   (sy * (sx11 * sx22 - sx12 * sx12)
+                    - sx1 * (sx1y * sx22 - sx12 * sx2y)
+                    + sx2 * (sx1y * sx12 - sx11 * sx2y))
+                   / (n * (sx11 * sx22 - sx12 * sx12)
+                      - sx1 * (sx1 * sx22 - sx12 * sx2)
+                      + sx2 * (sx1 * sx12 - sx11 * sx2)) AS b,
+                   (n * (sx1y * sx22 - sx12 * sx2y)
+                    - sy * (sx1 * sx22 - sx12 * sx2)
+                    + sx2 * (sx1 * sx2y - sx1y * sx2))
+                   / (n * (sx11 * sx22 - sx12 * sx12)
+                      - sx1 * (sx1 * sx22 - sx12 * sx2)
+                      + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w1,
+                   (n * (sx11 * sx2y - sx1y * sx12)
+                    - sx1 * (sx1 * sx2y - sx1y * sx2)
+                    + sy * (sx1 * sx12 - sx11 * sx2))
+                   / (n * (sx11 * sx22 - sx12 * sx12)
+                      - sx1 * (sx1 * sx22 - sx12 * sx2)
+                      + sx2 * (sx1 * sx12 - sx11 * sx2)) AS w2
+            FROM train
+        )
+        SELECT fo.fold,
+               count(*) AS n_test,
+               round(c.b, 6) AS bias,
+               round(c.w1, 6) AS w_quantity,
+               round(c.w2, 6) AS w_discount,
+               round(sqrt(sum(
+                   (fo.y - (c.b + c.w1 * fo.x1 + c.w2 * fo.x2))
+                   * (fo.y - (c.b + c.w1 * fo.x1 + c.w2 * fo.x2)))
+                   / count(*)), 4) AS rmse
+        FROM folded fo JOIN coef c ON c.fold = fo.fold
+        GROUP BY fo.fold, c.b, c.w1, c.w2
+        ORDER BY fo.fold
+"""
+
+_KFOLD_DUCK_HASH = (
+    "CAST(concat('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber "
+    "AS VARCHAR)), 1, 8)) AS BIGINT) % 4"
+)
+_KFOLD_SPARK_HASH = (
+    "CAST(conv(substr(md5(CAST(l_orderkey * 10 + l_linenumber "
+    "AS STRING)), 1, 8), 16, 10) AS BIGINT) % 4"
+)
+
+
+@register(
+    "ml_kfold_cross_validation",
+    oracle=_KFOLD_SQL.format(li="lineitem", fold_expr=_KFOLD_DUCK_HASH),
+)
+def ml_kfold_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 4-fold cross-validation of the normal-equation
+    linear model in ONE training scan: rows get a deterministic md5
+    fold, per-fold Gram statistics are aggregated once, and each fold's
+    training stats are the TOTAL minus its own — sufficient statistics
+    subtract, so k leave-fold-out models cost one map-combinable
+    groupBy instead of k scans (the trick that makes CV viable at
+    100 TB). Each fold's 3x3 system solves inline via Cramer; a second
+    scan scores held-out RMSE per fold through a 4-row broadcast of
+    coefficients. Statistics accumulate as scaled integers (exact,
+    order-independent — see ml_linear_normal_equation), so fold
+    subtraction and the solves are bit-identical cross-engine."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "kfold_lineitem"
+    )
+    return spark.sql(
+        _KFOLD_SQL.format(li="kfold_lineitem", fold_expr=_KFOLD_SPARK_HASH)
+    )

@@ -290,6 +290,7 @@ ORACLE_QUERIES = [
     "embedding_random_projection_jl",  # K: JL sign projection
     "ts_interval_union_coverage",  # TS: island-merged active time
     "stat_cohort_survival_km", # scale: censored survival estimate
+    "ml_kfold_cross_validation",  # scale: CV via stat subtraction
 ]
 
 # rows-only queries: assert they run and return sane row counts
