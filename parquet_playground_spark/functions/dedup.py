@@ -1312,7 +1312,7 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-ordered min window (bounded frame, one doc_id shuffle),
     then distinct-per-doc — the hash is the portable md5 bucket, so
     both engines select identical minima with no float involved."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _fanout(load_table(spark, sf_dir, "documents"))
     grams = (
         d.select(
             "doc_id",
