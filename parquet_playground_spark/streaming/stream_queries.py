@@ -255,14 +255,36 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark_late")  # rows-only: watermark semantics
+@register(
+    "stream_watermark_late",
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        w AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                       AS window_start,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT w.window_start, w.n_events,
+               FALSE AS late_event_included
+        FROM w CROSS JOIN mx
+        WHERE w.window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 15 MINUTE
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark drops late rows: batch 1 advances the watermark past a
     straggler that batch 2 replays; append-mode output must exclude it.
 
-    Output: one row per (window_start, n_events) for finalized windows,
+    Output: one row per (window_start, n_events) for FINALIZED windows,
     plus a marker column late_event_included that must be false.
-    """
+
+    Oracle (upgraded from rows-only in r4): with the staged file order
+    pinned, the append-mode emit set is deterministic — exactly the
+    hourly windows whose end <= final watermark (global max ts - 15
+    min), with original counts (the straggler clone is dropped, so no
+    count moves). The batch SQL states that set directly; a watermark
+    regression (late row merged, wrong finalize boundary) flips the
+    hash. Replayed 3x on a vanilla session before shipping."""
     staged = _stage_events(spark, sf_dir, kind="late")
     s = _read_stream(spark, staged).withWatermark("ts", "15 minutes")
     agg = s.groupBy(F.window("ts", "1 hour").alias("w")).agg(
