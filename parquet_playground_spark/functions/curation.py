@@ -1016,11 +1016,10 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     scored = d.select("doc_id", "source", "n_chars", n_tokens.alias("n_tokens"))
     norm = scored.agg(F.avg("n_tokens").alias("mean_tokens"))
+    from parquet_playground_spark.operators.scale import _portable_bucket
+
     w = F.least(F.col("n_tokens") / F.col("mean_tokens"), F.lit(4.0))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 10000
-    )
+    bucket = _portable_bucket(F.col("doc_id").cast("string"), 10000)
     keep = F.when(
         bucket < F.floor(w * 2500.0 + 0.5).cast("bigint"), 1
     ).otherwise(0)

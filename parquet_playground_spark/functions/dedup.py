@@ -1329,15 +1329,7 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "pos",
-            F.conv(
-                F.substring(
-                    F.md5(F.expr(f"substr(lt, pos, {_WIN_K})")), 1, 8
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
+            _portable_hash(F.expr(f"substr(lt, pos, {_WIN_K})")).alias("h"),
         )
     )
     w = (

@@ -2419,33 +2419,45 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q20_part_promotion",
-    oracle="""
+_Q20_SQL = """
         WITH ps AS (
             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                    CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
-            FROM lineitem
+            FROM lineitem_v
             GROUP BY l_partkey, l_suppkey
         )
         SELECT s.s_name, s.s_acctbal
-        FROM supplier s
-        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        FROM supplier_v s
+        JOIN nation_v n ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name = 'NATION_3'
           AND s.s_suppkey IN (
               SELECT ps.ps_suppkey
               FROM ps
-              JOIN part p ON p.p_partkey = ps.ps_partkey
+              JOIN part_v p ON p.p_partkey = ps.ps_partkey
               WHERE p.p_name LIKE 'small%'
                 AND ps.ps_availqty > (
                     SELECT 2 * sum(l.l_quantity)
-                    FROM lineitem l
+                    FROM lineitem_v l
                     WHERE l.l_partkey = ps.ps_partkey
                       AND l.l_suppkey = ps.ps_suppkey
                       AND l.l_shipdate >= TIMESTAMP '1999-01-01'
                       AND l.l_shipdate < TIMESTAMP '2000-01-01'))
         ORDER BY s.s_name
-    """,
+"""
+
+
+def _q20_sql(li: str, part: str, supplier: str, nation: str) -> str:
+    return (
+        _Q20_SQL.replace("lineitem_v", li)
+        .replace("part_v", part)
+        .replace("supplier_v", supplier)
+        .replace("nation_v", nation)
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle=_q20_sql("lineitem", "part", "supplier", "nation"),
 )
 def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q20-shaped: suppliers in one nation holding excess derived
@@ -2454,35 +2466,14 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates into a date-pruned per-(part,supplier) aggregate
     joined on the composite key, then the IN collapses to a left-semi
     join against the small supplier dim. Quantity sums are integral in
-    double, so the 2x threshold compare is exact on both engines."""
-    for t in ["lineitem", "part", "supplier", "nation"]:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q20_{t}")
+    double, so the 2x threshold compare is exact on both engines. The
+    SQL text is shared verbatim with the oracle via _q20_sql (the
+    alias-drift defense the other derived-partsupp queries use)."""
+    v = _tpch_views(
+        spark, sf_dir, "q20", ["lineitem", "part", "supplier", "nation"]
+    )
     return spark.sql(
-        """
-        WITH ps AS (
-            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-                   CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
-            FROM q20_lineitem
-            GROUP BY l_partkey, l_suppkey
-        )
-        SELECT s.s_name, s.s_acctbal
-        FROM q20_supplier s
-        JOIN q20_nation n ON n.n_nationkey = s.s_nationkey
-        WHERE n.n_name = 'NATION_3'
-          AND s.s_suppkey IN (
-              SELECT ps.ps_suppkey
-              FROM ps
-              JOIN q20_part p ON p.p_partkey = ps.ps_partkey
-              WHERE p.p_name LIKE 'small%'
-                AND ps.ps_availqty > (
-                    SELECT 2 * sum(l.l_quantity)
-                    FROM q20_lineitem l
-                    WHERE l.l_partkey = ps.ps_partkey
-                      AND l.l_suppkey = ps.ps_suppkey
-                      AND l.l_shipdate >= TIMESTAMP '1999-01-01'
-                      AND l.l_shipdate < TIMESTAMP '2000-01-01'))
-        ORDER BY s.s_name
-        """
+        _q20_sql(v["lineitem"], v["part"], v["supplier"], v["nation"])
     )
 
 
@@ -2535,13 +2526,10 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (θ, pre-mean), then a variant-sized readout. Per-user sums are
     rounded at 4 dp before the covariance sums, so θ is engine-stable
     to ~1e-15 and every output survives its rounding."""
+    from parquet_playground_spark.operators.scale import _portable_bucket
+
     e = load_table(spark, sf_dir, "events")
-    variant = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 2
-    )
+    variant = _portable_bucket(F.col("user_id").cast("string"), 2)
     is_purchase = F.col("event_type") == "purchase"
     pre_cut = F.col("ts") < "2024-01-16"
     per_user = e.groupBy("user_id").agg(

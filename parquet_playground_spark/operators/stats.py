@@ -828,23 +828,17 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
+    from parquet_playground_spark.operators.scale import _portable_bucket
+
     u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("event_id").cast("string"),
-                        F.lit("_"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
+        _portable_bucket(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit("_"),
+                F.col("b").cast("string"),
             ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1000000
+            1000000,
+        )
         + 0.5
     ) / 1000000.0
     w = (
@@ -903,11 +897,22 @@ _KM_SQL = """
             FROM counts
         ),
         km AS (
+            -- d = n (everyone at risk churns) would be ln(0): DuckDB
+            -- raises, Spark NULLs and silently skips the term. Guard
+            -- the log at 1 and force S = 0 from that day on instead.
             SELECT t, d, n,
-                   exp(sum(ln(1.0 - d / n)) OVER (
-                       ORDER BY t
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   )) AS s
+                   CASE WHEN min(1.0 - d / n) OVER (
+                            ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) <= 0.0
+                        THEN 0.0
+                        ELSE exp(sum(ln(CASE WHEN 1.0 - d / n <= 0.0
+                                             THEN 1.0
+                                             ELSE 1.0 - d / n END)) OVER (
+                            ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+                   END AS s
             FROM risk
             WHERE d > 0
         )

@@ -991,9 +991,12 @@ _DFT_SQL = """
             -- single-pass rank, NOT a float-equality self-join: Spark
             -- would recompute the sums on both sides of such a join and
             -- partition-order drift can break pw = max(pw) equality.
+            -- rank by the ROUNDED power actually emitted: sub-ulp
+            -- libm/summation drift on the raw pw could flip the
+            -- argmax between engines
             SELECT event_type, p, pw,
                    row_number() OVER (PARTITION BY event_type
-                                      ORDER BY pw DESC, p) AS rk
+                                      ORDER BY round(pw, 2) DESC, p) AS rk
             FROM power_tbl
         )
         SELECT event_type, CAST(p AS INT) AS period,

@@ -8,10 +8,28 @@ nothing here changes at scale.
 
 from __future__ import annotations
 
+import atexit
+import glob as _glob
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@atexit.register
+def _cleanup_process_staging() -> None:
+    """Remove this process's pid-suffixed staging dirs on exit.
+
+    Staging paths carry os.getpid() so concurrent harness sessions
+    can't clobber each other (sources/writes.py _tmp et al.); the
+    flip side is that every process would otherwise leak its own tree
+    in /tmp. Scoped strictly to this pid's dirs — other live sessions
+    are untouched."""
+    pat = os.path.join(tempfile.gettempdir(), f"ppspark_*_{os.getpid()}")
+    for d in _glob.glob(pat):
+        shutil.rmtree(d, ignore_errors=True)
 
 TABLES = (
     "region",

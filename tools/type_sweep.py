@@ -51,14 +51,6 @@ INT_FAMILY = {
 FLOAT_FAMILY = {"FLOAT", "DOUBLE"}
 
 
-def _canon_spark(dt) -> str:
-    """Spark DataType -> canonical type token (upper, recursive)."""
-    s = dt.simpleString().upper()
-    return (
-        s.replace("INT", "INTEGER", 1) if s == "INT" else s
-    )
-
-
 def _spark_token(dt) -> str:
     from pyspark.sql import types as T
 
@@ -96,9 +88,15 @@ def _duck_token(t) -> str:
     s = s.replace("TIMESTAMP_NS", "TIMESTAMP").replace(
         "TIMESTAMP_MS", "TIMESTAMP"
     ).replace("TIMESTAMP_S", "TIMESTAMP")
-    # normalize list syntax X[] -> LIST<X>
+    # normalize list syntax X[][]... -> LIST<LIST<X>> (strip all
+    # trailing [] first, then wrap — wrapping inside the loop would
+    # leave inner [] unconverted)
+    depth = 0
     while s.endswith("[]"):
-        s = f"LIST<{s[:-2]}>"
+        s = s[:-2]
+        depth += 1
+    for _ in range(depth):
+        s = f"LIST<{s}>"
     s = re.sub(r"^MAP\((.+), (.+)\)$", r"MAP<\1,\2>", s)
     return s
 
@@ -106,7 +104,7 @@ def _duck_token(t) -> str:
 def _flag(spark_tok: str, duck_tok: str) -> str | None:
     """Return severity string for a (spark, duck) token pair, or None."""
     if spark_tok == duck_tok:
-        if spark_tok.startswith("DECIMAL"):
+        if "DECIMAL" in spark_tok:  # incl. inside LIST<DECIMAL(p,s)>
             # DECIMAL-on-both-sides STILL skews through pandas:
             # DuckDB .df() -> float64, Spark toPandas -> Decimal objects
             # (fn_cast_decimal failed r2+r3 with matching DECIMAL(p,s)).
@@ -128,8 +126,6 @@ def _flag(spark_tok: str, duck_tok: str) -> str | None:
         return "MISMATCH float32-vs-float64"
     if duck_tok.startswith("DECIMAL") or spark_tok.startswith("DECIMAL"):
         return "MISMATCH decimal-vs-other"
-    if duck_tok == spark_tok.replace("TIMESTAMP", "TIMESTAMP"):
-        return None
     return f"MISMATCH other ({spark_tok} vs {duck_tok})"
 
 

@@ -109,6 +109,12 @@ def canon_value_strict(v) -> str:
         # (fn_date is driver-green), not a result-type skew.
         if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
             return v.strftime("%Y-%m-%d")
+        # Sub-second fields render when present: truncating here would
+        # hide micros-level divergence the driver's hash sees (a query
+        # skipping the date_trunc('second') discipline must fail HERE,
+        # not officially).
+        if v.microsecond:
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, date):
         return v.strftime("%Y-%m-%d")
