@@ -1450,3 +1450,70 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe_documents"
     )
     return spark.sql(_BPE_SPARK)
+
+
+_JSD_SQL = """
+        WITH tok AS (
+            SELECT source, tok, count(*) AS c
+            FROM (SELECT source, {unnest} AS tok FROM {docs})
+            WHERE tok <> ''
+              AND source IN ('src0', 'src1')
+            GROUP BY source, tok
+        ),
+        tot AS (
+            SELECT source, sum(c) AS t FROM tok GROUP BY source
+        ),
+        dist AS (
+            SELECT k.tok,
+                   coalesce(max(CASE WHEN k.source = 'src0'
+                                     THEN CAST(k.c AS DOUBLE) / t.t END),
+                            0.0) AS p,
+                   coalesce(max(CASE WHEN k.source = 'src1'
+                                     THEN CAST(k.c AS DOUBLE) / t.t END),
+                            0.0) AS q
+            FROM tok k JOIN tot t ON t.source = k.source
+            GROUP BY k.tok
+        ),
+        terms AS (
+            SELECT tok, p, q, (p + q) / 2.0 AS m,
+                   CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) / ln(2.0)
+                        ELSE 0.0 END
+                   + CASE WHEN q > 0
+                          THEN q * ln(q / ((p + q) / 2.0)) / ln(2.0)
+                          ELSE 0.0 END AS contrib
+            FROM dist
+        )
+        SELECT count(*) AS n_vocab,
+               CAST(sum(CASE WHEN p > 0 AND q > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               round(sum(contrib) / 2.0, 6) AS jsd_bits
+        FROM terms
+"""
+
+
+@register(
+    "corpus_source_divergence_jsd",
+    oracle=_JSD_SQL.format(
+        docs="documents",
+        unnest="unnest(string_split_regex(lower(text), '\\s+'))",
+    ),
+)
+def corpus_source_divergence_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between two sources' unigram
+    distributions — the symmetric, bounded [0,1] mixture-audit metric
+    pipelines use to decide whether corpora are near-duplicates,
+    complementary, or drifting (KL alone blows up on vocabulary
+    mismatches; JSD's mixture midpoint keeps absent words finite,
+    handled here by the p>0/q>0 guards). Shape: one explode + (source,
+    term) count, 2-row totals, vocab-sized pivot, scalar readout —
+    scan-bound. 6-dp rounding absorbs ln/summation drift on these
+    O(1) magnitudes."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "jsd_documents"
+    )
+    return spark.sql(
+        _JSD_SQL.format(
+            docs="jsd_documents",
+            unnest="explode(split(lower(text), '\\\\s+'))",
+        )
+    )

@@ -893,3 +893,53 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_PSI_SQL = """
+        WITH bucketed AS (
+            SELECT event_type,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 'expected' ELSE 'actual' END AS period,
+                   count(*) AS c
+            FROM {ev}
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT period, sum(c) AS t FROM bucketed GROUP BY period
+        ),
+        shares AS (
+            SELECT b.event_type,
+                   max(CASE WHEN b.period = 'expected'
+                            THEN CAST(b.c AS DOUBLE) / t.t END) AS pe,
+                   max(CASE WHEN b.period = 'actual'
+                            THEN CAST(b.c AS DOUBLE) / t.t END) AS pa
+            FROM bucketed b JOIN tot t ON t.period = b.period
+            GROUP BY b.event_type
+        )
+        SELECT event_type,
+               round(pe, 6) AS share_expected,
+               round(pa, 6) AS share_actual,
+               round((pa - pe) * ln(pa / pe), 6) AS psi_term,
+               round(sum((pa - pe) * ln(pa / pe)) OVER (), 6) AS psi_total
+        FROM shares
+        ORDER BY event_type
+"""
+
+
+@register(
+    "dq_distribution_drift_psi",
+    oracle=_PSI_SQL.format(ev="events"),
+)
+def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream — the standard ML-monitoring drift gate (PSI <
+    0.1 stable, 0.1-0.25 watch, > 0.25 retrain). Per category: both
+    period shares, the signed PSI term (pa-pe)·ln(pa/pe), and the
+    total. Shape: one map-combinable (category, period) count, 2-row
+    totals joined back, |categories|-row assembly — scan-bound. Every
+    category here appears in both halves; a category missing from one
+    side would need the usual epsilon floor, which the bucketed CASE
+    would add at the shares step. 6-dp rounding absorbs ln/division
+    ulp drift on these O(1) magnitudes."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("psi_events")
+    return spark.sql(_PSI_SQL.format(ev="psi_events"))

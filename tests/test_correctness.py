@@ -291,6 +291,8 @@ ORACLE_QUERIES = [
     "ts_interval_union_coverage",  # TS: island-merged active time
     "stat_cohort_survival_km", # scale: censored survival estimate
     "ml_kfold_cross_validation",  # scale: CV via stat subtraction
+    "dq_distribution_drift_psi",  # L: PSI drift gate
+    "corpus_source_divergence_jsd",  # K: source mixture audit
 ]
 
 # rows-only queries: assert they run and return sane row counts
