@@ -1517,3 +1517,66 @@ def corpus_source_divergence_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             unnest="explode(split(lower(text), '\\\\s+'))",
         )
     )
+
+
+_NOVELTY_SQL = """
+        WITH big AS (
+            SELECT doc_id, bg, count(*) AS n_occ
+            FROM ({biggen})
+            GROUP BY doc_id, bg
+        ),
+        firsts AS (
+            SELECT doc_id, bg, n_occ,
+                   min(doc_id) OVER (PARTITION BY bg) AS first_doc
+            FROM big
+        )
+        SELECT doc_id,
+               CAST(sum(n_occ) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN doc_id = first_doc THEN n_occ ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN doc_id = first_doc THEN n_occ ELSE 0 END)
+                     / CAST(sum(n_occ) AS DOUBLE), 6) AS novelty_rate
+        FROM firsts
+        GROUP BY doc_id
+        ORDER BY doc_id
+"""
+
+_NOVELTY_DUCK_BIGGEN = """
+            SELECT doc_id,
+                   unnest([ t[CAST(i AS INTEGER)] || ' ' ||
+                            t[CAST(i + 1 AS INTEGER)]
+                            FOR i IN range(1, len(t)) ]) AS bg
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\\s+') AS t
+                  FROM documents)
+            WHERE len(t) >= 2
+"""
+
+_NOVELTY_SPARK_BIGGEN = """
+            SELECT doc_id, explode(transform(
+                sequence(1, size(t) - 1),
+                i -> concat(element_at(t, i), ' ', element_at(t, i + 1))
+            )) AS bg
+            FROM (SELECT doc_id, split(lower(text), '\\\\s+') AS t
+                  FROM novelty_documents)
+            WHERE size(t) >= 2
+"""
+
+
+@register(
+    "text_ngram_novelty_rate",
+    oracle=_NOVELTY_SQL.format(biggen=_NOVELTY_DUCK_BIGGEN),
+)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in ingestion order: the share of a
+    doc's bigram occurrences whose bigram has never appeared in any
+    earlier doc (min doc_id owns first sight) — the marginal-value
+    curve dataset builders watch while growing a corpus: when novelty
+    collapses, additional crawl is rehash. Shape: one bigram explode +
+    (doc, bigram) count, a per-bigram min-doc window (the one
+    bigram-keyed shuffle), then a per-doc readout. Integer counts +
+    one final ratio at 6 dp."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "novelty_documents"
+    )
+    return spark.sql(_NOVELTY_SQL.format(biggen=_NOVELTY_SPARK_BIGGEN))

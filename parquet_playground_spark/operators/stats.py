@@ -1087,3 +1087,63 @@ def ml_kfold_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _KFOLD_SQL.format(li="kfold_lineitem", fold_expr=_KFOLD_SPARK_HASH)
     )
+
+
+_MWU_SQL = """
+        WITH samples AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 'a' ELSE 'b' END
+                       AS grp,
+                   value
+            FROM {ev}
+            WHERE event_type IN ('purchase', 'click')
+        ),
+        ranked AS (
+            -- average ranks (ties share the mean of their rank span):
+            -- rank() gives the span start; count within value closes it
+            SELECT grp, value,
+                   rank() OVER (ORDER BY value) AS r_lo,
+                   count(*) OVER (PARTITION BY value) AS n_tied
+            FROM samples
+        ),
+        avg_ranked AS (
+            SELECT grp,
+                   r_lo + (n_tied - 1) / 2.0 AS r_avg
+            FROM ranked
+        ),
+        sums AS (
+            SELECT
+                sum(CASE WHEN grp = 'a' THEN r_avg END) AS ra,
+                sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS na,
+                sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS nb
+            FROM avg_ranked
+        )
+        SELECT CAST(na AS BIGINT) AS n_a,
+               CAST(nb AS BIGINT) AS n_b,
+               round(CAST(na AS DOUBLE) * nb
+                     + na * (na + 1.0) / 2.0 - ra, 4) AS u_stat,
+               round((CAST(na AS DOUBLE) * nb
+                      + na * (na + 1.0) / 2.0 - ra
+                      - CAST(na AS DOUBLE) * nb / 2.0)
+                     / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1.0)
+                            / 12.0), 4) AS z_approx
+        FROM sums
+"""
+
+
+@register(
+    "stat_mann_whitney_u",
+    oracle=_MWU_SQL.format(ev="events"),
+)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between purchase and click value
+    distributions — the nonparametric two-sample test used when
+    revenue-like metrics are too heavy-tailed for a t-test (rank-based,
+    so one whale cannot move it; complements stat_ks_test's
+    distribution-shape D). Average ranks for ties come from rank() (the
+    tie span's start) plus half the span — deterministic halves, no
+    float ranking. One global sort window (the value column is one
+    partition at test scale; a production run pre-buckets values and
+    computes ranks by prefix-sums per bucket), then a 1-row readout
+    with the normal approximation z."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("mwu_events")
+    return spark.sql(_MWU_SQL.format(ev="mwu_events"))

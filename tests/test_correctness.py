@@ -293,6 +293,8 @@ ORACLE_QUERIES = [
     "ml_kfold_cross_validation",  # scale: CV via stat subtraction
     "dq_distribution_drift_psi",  # L: PSI drift gate
     "corpus_source_divergence_jsd",  # K: source mixture audit
+    "text_ngram_novelty_rate", # K: marginal-value curve
+    "stat_mann_whitney_u",     # scale: rank-sum two-sample test
 ]
 
 # rows-only queries: assert they run and return sane row counts
