@@ -1097,3 +1097,187 @@ def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.createOrReplaceTempView("cover_events")
     return spark.sql(_COVER_SQL.format(ev="cover_events"))
+
+
+_HYST_SQL = """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 4) AS v
+            FROM {ev} GROUP BY 1, 2
+        ),
+        stats AS (
+            -- explicit moment arithmetic (not stddev_samp): both
+            -- engines then compute IDENTICAL doubles for the bands
+            SELECT event_type,
+                   sum(v) / count(*) AS mu,
+                   sqrt((sum(v * v) - sum(v) * sum(v) / count(*))
+                        / (count(*) - 1)) AS sigma
+            FROM daily GROUP BY event_type
+        ),
+        series AS (
+            SELECT d.event_type,
+                   list(d.v ORDER BY d.day) AS vals,
+                   max(s.mu + 2.0 * s.sigma) AS hi,
+                   max(s.mu + 1.0 * s.sigma) AS lo
+            FROM daily d JOIN stats s ON s.event_type = d.event_type
+            GROUP BY d.event_type
+        ),
+        folded AS (
+            SELECT event_type, hi, lo,
+                   list_reduce(
+                       list_transform(vals, v -> [
+                           CASE WHEN v > hi THEN 1.0 ELSE 0.0 END,
+                           CASE WHEN v > hi THEN 1.0 ELSE 0.0 END,
+                           CASE WHEN v > hi THEN 1.0 ELSE 0.0 END,
+                           v]),
+                       (a, b) -> [
+                           CASE WHEN b[4] > hi THEN 1.0
+                                WHEN b[4] < lo THEN 0.0
+                                ELSE a[1] END,
+                           a[2] + CASE WHEN b[4] > hi THEN 1.0
+                                       WHEN b[4] < lo THEN 0.0
+                                       ELSE a[1] END,
+                           a[3] + CASE WHEN (CASE WHEN b[4] > hi THEN 1.0
+                                                  WHEN b[4] < lo THEN 0.0
+                                                  ELSE a[1] END) <> a[1]
+                                       THEN 1.0 ELSE 0.0 END,
+                           b[4]]) AS st
+            FROM series
+        )
+        SELECT event_type,
+               round(hi, 4) AS hi_band,
+               round(lo, 4) AS lo_band,
+               CAST(st[2] AS BIGINT) AS n_alert_days,
+               CAST(st[3] AS BIGINT) AS n_transitions,
+               st[1] = 1.0 AS alert_at_end
+        FROM folded
+        ORDER BY event_type
+"""
+
+
+@register(
+    "ts_alert_hysteresis",
+    oracle=_HYST_SQL.format(ev="events"),
+)
+def ts_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting with HYSTERESIS: a series enters alert when its daily
+    value crosses mu + 2sigma and leaves only below mu + sigma — the
+    two-band state machine monitoring systems use so a metric hovering
+    at one threshold doesn't flap pages. The state is a recurrence no
+    window frame expresses, so it runs as the same engine-portable
+    ordered array-state fold as ts_holt_linear_forecast (state =
+    [in_alert, alert_days, transitions, value]); bands come from
+    explicit moment arithmetic so both engines fold identical doubles.
+    Output per series: bands, days in alert, flap count, final state.
+    One daily groupBy + a bounded per-series collect."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("v") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("v") * F.col("v"))
+                - F.sum("v") * F.sum("v") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("sigma"),
+    )
+    series = (
+        daily.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "v"))).alias("dv"),
+            F.max(F.col("mu") + 2.0 * F.col("sigma")).alias("hi"),
+            F.max(F.col("mu") + 1.0 * F.col("sigma")).alias("lo"),
+        )
+    )
+    vals = F.transform(F.col("dv"), lambda x: x["v"])
+    hi, lo = F.col("hi"), F.col("lo")
+
+    def seed(v):
+        on = F.when(v > hi, 1.0).otherwise(0.0)
+        return F.array(on, on, on, v)
+
+    def step(a, b):
+        v = F.element_at(b, 4)
+        prev = F.element_at(a, 1)
+        nxt = F.when(v > hi, 1.0).when(v < lo, 0.0).otherwise(prev)
+        return F.array(
+            nxt,
+            F.element_at(a, 2) + nxt,
+            F.element_at(a, 3)
+            + F.when(nxt != prev, 1.0).otherwise(0.0),
+            v,
+        )
+
+    as_state = F.transform(vals, seed)
+    st = F.aggregate(
+        F.slice(as_state, 2, F.greatest(F.size(as_state) - 1, F.lit(0))),
+        F.element_at(as_state, 1),
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.round(hi, 4).alias("hi_band"),
+        F.round(lo, 4).alias("lo_band"),
+        F.element_at(st, 2).cast("bigint").alias("n_alert_days"),
+        F.element_at(st, 3).cast("bigint").alias("n_transitions"),
+        (F.element_at(st, 1) == 1.0).alias("alert_at_end"),
+    ).orderBy("event_type")
+
+
+_THEILSEN_SQL = """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 4) AS v
+            FROM {ev} GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, v,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS DOUBLE) AS t
+            FROM daily
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   (b.v - a.v) / (b.t - a.t) AS slope
+            FROM idx a JOIN idx b
+              ON b.event_type = a.event_type AND b.t > a.t
+        )
+        SELECT s.event_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round({median_fn}, 4) AS sen_slope
+        FROM slopes s
+        GROUP BY s.event_type
+        ORDER BY s.event_type
+"""
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle=_THEILSEN_SQL.format(
+        ev="events", median_fn="quantile_cont(s.slope, 0.5)"
+    ),
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes per
+    daily series — insensitive to ~29% outlier contamination where OLS
+    (agg_regression) bends to a single spike day; the estimator
+    monitoring pipelines use on noisy per-segment trends. The pairwise
+    self-join is quadratic in SERIES LENGTH, which is bounded by time
+    (30 days -> 435 pairs per series at any data scale) — the same
+    time-bounded-expansion argument as ts_sliding_windows_batch; the
+    join key is the series, so one shuffle. Slopes are exact divisions
+    of 4-dp dailies and both engines interpolate the median with the
+    same R-7 rule on identical values."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("sen_events")
+    return spark.sql(
+        _THEILSEN_SQL.format(
+            ev="sen_events", median_fn="percentile(s.slope, 0.5)"
+        )
+    )

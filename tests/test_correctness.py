@@ -295,6 +295,8 @@ ORACLE_QUERIES = [
     "corpus_source_divergence_jsd",  # K: source mixture audit
     "text_ngram_novelty_rate", # K: marginal-value curve
     "stat_mann_whitney_u",     # scale: rank-sum two-sample test
+    "ts_alert_hysteresis",     # TS: two-band alert state machine
+    "ts_theil_sen_slope",      # TS: robust pairwise-median trend
 ]
 
 # rows-only queries: assert they run and return sane row counts
