@@ -1360,3 +1360,82 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    oracle=f"""
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        sh AS (
+            SELECT doc_id, shingle FROM sh0
+            WHERE shingle IN (
+                SELECT shingle FROM sh0
+                GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+            )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+            FROM sh x JOIN sh y
+              ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT a AS contained_doc, b AS container_doc,
+               CAST(n_common AS BIGINT) AS n_common,
+               round(CAST(n_common AS DOUBLE) / sa.sz, 4) AS containment,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.sz + sb.sz - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / sa.sz >= 0.2
+          AND CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) < 0.2
+        ORDER BY containment DESC, contained_doc, container_doc
+    """,
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: |A∩B| / |A| >= 0.2 while symmetric
+    jaccard stays BELOW dedup_ngram_jaccard's 0.2 cut — the pairs where one document is partly
+    CONTAINED in another (quoted, wrapped, or excerpted copy) that
+    jaccard-threshold dedup structurally misses whenever the container
+    is much longer. This is the Broder containment measure; production
+    LSH for it hashes only the smaller side's shingles, and the exact
+    form here shares dedup_ngram_jaccard's stop-shingle-filtered
+    shared-shingle join (same hot-key cliff protection), emitting the
+    ordered (contained, container) direction rather than an unordered
+    pair."""
+    d = load_table(spark, sf_dir, "documents")
+    sh0 = _shingles(d)
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    x = sh.select(F.col("doc_id").alias("a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        x.join(y, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    containment = F.col("n_common") / F.col("sza")
+    jac = F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter((containment >= 0.2) & (jac < 0.2))
+        .select(
+            F.col("a").alias("contained_doc"),
+            F.col("b").alias("container_doc"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(containment, 4).alias("containment"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("containment"), "contained_doc", "container_doc")
+    )

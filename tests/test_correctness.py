@@ -297,6 +297,7 @@ ORACLE_QUERIES = [
     "stat_mann_whitney_u",     # scale: rank-sum two-sample test
     "ts_alert_hysteresis",     # TS: two-band alert state machine
     "ts_theil_sen_slope",      # TS: robust pairwise-median trend
+    "dedup_shingle_containment",  # K: asymmetric excerpt detection
 ]
 
 # rows-only queries: assert they run and return sane row counts
