@@ -520,3 +520,62 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("k") * 1000.0, 6).alias("sample_key"),
         )
     )
+
+
+_FEATHASH_D = 16
+
+
+@register(
+    "events_feature_hashing",
+    oracle=f"""
+        WITH feats AS (
+            SELECT user_id, 'type=' || event_type AS f FROM events
+            UNION ALL
+            SELECT user_id, 'k=' || (props ->> 'k') AS f FROM events
+        ),
+        hashed AS (
+            SELECT user_id,
+                   CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+                       % {_FEATHASH_D} AS bucket,
+                   CAST(concat('0x', substr(md5(f || '#s'), 1, 8)) AS BIGINT)
+                       % 2 * 2 - 1 AS sign
+            FROM feats
+        )
+        SELECT user_id, CAST(bucket AS INT) AS bucket,
+               CAST(sum(sign) AS BIGINT) AS feat
+        FROM hashed
+        GROUP BY user_id, bucket
+        ORDER BY user_id, bucket
+    """,
+)
+def events_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing): categorical features
+    ('type=click', 'k=42' from the JSON props) hash into a fixed
+    {_FEATHASH_D}-bucket vector with a second-hash sign correction —
+    how distributed ML featurizes unbounded categorical vocabularies
+    with NO dictionary, no fit step, and a fixed schema (Vowpal
+    Wabbit / sklearn FeatureHasher semantics). Per (user, bucket) the
+    signed count is an exact integer, so the oracle has zero float
+    exposure. Shape: narrow feature explode (2 per event) -> one
+    map-combinable (user, bucket) groupBy; the JSON access is
+    JVM-side get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    feats = e.select(
+        "user_id", F.concat(F.lit("type="), F.col("event_type")).alias("f")
+    ).unionAll(
+        e.select(
+            "user_id",
+            F.concat(
+                F.lit("k="), F.get_json_object("props", "$.k")
+            ).alias("f"),
+        )
+    )
+    bucket = _portable_bucket(F.col("f"), _FEATHASH_D)
+    sign = _portable_bucket(F.concat(F.col("f"), F.lit("#s")), 2) * 2 - 1
+    return (
+        feats.select("user_id", bucket.cast("int").alias("bucket"),
+                     sign.alias("sign"))
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("feat"))
+        .orderBy("user_id", "bucket")
+    )

@@ -143,7 +143,7 @@ _CHECK_ORDER = [
     "dq_distribution_drift_psi", "corpus_source_divergence_jsd",
     "text_ngram_novelty_rate", "stat_mann_whitney_u",
     "ts_alert_hysteresis", "ts_theil_sen_slope",
-    "dedup_shingle_containment",
+    "dedup_shingle_containment", "events_feature_hashing",
     "corpus_token_budget_pack", "api_pandas_on_spark",
     "text_repetition_rep_n", "join_shuffle_hash_hint",
     "sketch_kll_quantiles", "fn_mask_redact", "agg_unpivot",

@@ -298,6 +298,7 @@ ORACLE_QUERIES = [
     "ts_alert_hysteresis",     # TS: two-band alert state machine
     "ts_theil_sen_slope",      # TS: robust pairwise-median trend
     "dedup_shingle_containment",  # K: asymmetric excerpt detection
+    "events_feature_hashing",  # scale: dictionary-free featurization
 ]
 
 # rows-only queries: assert they run and return sane row counts
