@@ -1207,11 +1207,15 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order up from text_perplexity_proxy's unigram model: a doc whose
     own bigrams are globally rare scores high and gets culled or
     down-weighted. Shape: one bigram explode + count (the fact-sized
-    shuffle), a vocab-squared-bounded LM table and a 1-row vocab size
-    that both BROADCAST back onto the per-doc bigram stream, then a
-    per-doc reduce. The per-doc NLL sum has at most |doc| terms of
-    magnitude ~ln|V²|, so 4-dp rounding absorbs summation-order
-    drift."""
+    shuffle), then the bigram/context LM tables join back onto the
+    per-doc bigram stream WITHOUT a forced broadcast — bigram-TYPE
+    counts grow with real vocabulary (|V| can reach 10^8+ types on a
+    web corpus), so the join strategy is left to AQE: it broadcasts
+    when the LM table is genuinely small and falls back to a shuffled
+    hash join when it isn't, instead of OOMing the driver on a forced
+    hint. Only the 1-row vocab size is explicitly broadcast. The
+    per-doc NLL sum has at most |doc| terms of magnitude ~ln|V²|, so
+    4-dp rounding absorbs summation-order drift."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("t")
@@ -1240,9 +1244,9 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c12") + _LM_K) / (F.col("c1") + _LM_K * F.col("v"))
     )
     return (
-        bigrams.join(F.broadcast(bg_counts), "bg")
+        bigrams.join(bg_counts, "bg")
         .join(
-            F.broadcast(ctx_counts),
+            ctx_counts,
             F.split(F.col("bg"), " ")[0] == F.col("w1"),
         )
         .crossJoin(F.broadcast(vocab))

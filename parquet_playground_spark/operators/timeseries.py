@@ -1108,11 +1108,15 @@ _HYST_SQL = """
         ),
         stats AS (
             -- explicit moment arithmetic (not stddev_samp): both
-            -- engines then compute IDENTICAL doubles for the bands
+            -- engines then compute IDENTICAL doubles for the bands.
+            -- nullif on the (n-1) divisor: a single-day series would
+            -- otherwise split the engines (Spark non-ANSI x/0 -> NULL,
+            -- DuckDB ieee default -> inf/NaN); NULL sigma on both sides
+            -- keeps the degenerate case hash-identical.
             SELECT event_type,
                    sum(v) / count(*) AS mu,
                    sqrt((sum(v * v) - sum(v) * sum(v) / count(*))
-                        / (count(*) - 1)) AS sigma
+                        / nullif(count(*) - 1, 0)) AS sigma
             FROM daily GROUP BY event_type
         ),
         series AS (
@@ -1175,6 +1179,8 @@ def ts_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("v"))
+    # nullif guard mirrors the oracle: a 1-day series yields NULL sigma
+    # in BOTH engines instead of Spark-NULL vs DuckDB-inf divergence.
     stats = daily.groupBy("event_type").agg(
         (F.sum("v") / F.count(F.lit(1))).alias("mu"),
         F.sqrt(
@@ -1182,7 +1188,7 @@ def ts_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("v") * F.col("v"))
                 - F.sum("v") * F.sum("v") / F.count(F.lit(1))
             )
-            / (F.count(F.lit(1)) - 1)
+            / F.nullif((F.count(F.lit(1)) - 1).cast("double"), F.lit(0.0))
         ).alias("sigma"),
     )
     series = (

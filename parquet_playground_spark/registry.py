@@ -94,38 +94,17 @@ def load_all() -> None:
 # through the never-driver-checked remainder. Long-green checked
 # queries sort last — the local full-repr sweep still covers them.
 _CHECK_ORDER = [
-    # ---- r4 slots 1-50 (driver checks the first 50 registered) ----
-    # (A) r3 driver-red -> fixed this round (type-aligned oracles,
-    #     session-independent crypto classloader); (B) stale r1-reds
-    #     fixed in r2 but never re-checked; (C) oracles edited this
-    #     round by the type-skew sweep / ADVICE bounds; (D-F) highest
-    #     risk never-driver-checked: K-category dedup/similarity/
-    #     embeddings, multimodal + text analysis, writes.
-    "fn_math", "fn_cast_decimal", "fn_na_handling", "q12_late_lines",
-    "encrypted_corpus_reads", "write_encrypted_roundtrip",
-    "agg_approx_count_distinct", "agg_approx_percentile", "schema_inspect",
-    "corpus_mixture_sampling", "dataset_shard_assignment",
-    "dataset_train_val_test_split", "dq_referential_integrity",
-    "events_user_streaks", "pack_concat_split", "sketch_countmin_heavy",
-    "sql_lateral_column_alias", "sql_udf_scalar", "stat_ks_test",
-    "sketch_theta_setops", "scan_type_widening", "dedup_semantic_clustered",
-    "dedup_cluster_survivors", "dedup_incremental_lsh", "dedup_lsh_eval",
-    "dedup_char_ngram_repeats", "dedup_url_canonical",
-    "sim_search_ann_recall", "sim_search_lsh_rerank", "embedding_mean_pool",
-    "embedding_quantize_int8", "embedding_pca_power_iteration",
-    "embedding_knn_classify", "embedding_matryoshka_truncate",
-    "kmeans_lloyd_iterations", "multimodal_audio_chunks",
-    "multimodal_image_resize_plan", "binary_chunk_store",
-    "text_quality_gopher", "text_pii_redaction", "text_contamination_ngram",
-    "text_tfidf_topterms", "text_bm25_search", "text_perplexity_proxy",
-    "write_orc_roundtrip", "write_partition_overwrite",
-    "write_max_records_per_file", "write_json_gzip_roundtrip",
-    "write_nested_parquet_roundtrip", "source_corrupt_records",
-    # ---- slots 51+: remaining never-driver-checked queries (r5
-    # window candidates; stream_* kept adjacent so the staged stream
-    # dir builds once). Driver-green queries are unlisted and register
-    # last in module order. r4's new queries (TPC-H completions over
-    # derived partsupp + corpus additions) lead the r5 candidates.
+    # ---- r5 slots 1-50 (driver checks the first 50 registered) ----
+    # r4's window came back 50/50 green (CORRECTNESS_r04), so those 50
+    # rotate off the list entirely (driver-green queries are unlisted
+    # and register last in module order). The 183 never-driver-checked
+    # queries promote, in the r4-set priority order: r4-new queries
+    # (TPC-H completions over derived partsupp + corpus additions)
+    # first — least soak time — then the remaining backlog. Queries
+    # whose code/oracle changed this round (ADVICE fixes:
+    # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
+    # the front block. New r5 operators are prepended here when they
+    # land so they get an official row immediately.
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q16_supplier_part_counts",
     "q20_part_promotion", "dedup_prefix_boilerplate",

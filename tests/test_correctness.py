@@ -405,6 +405,14 @@ def test_every_oracle_key_is_registered():
     reg = _registry()
     assert set(reg.ORACLES) <= set(reg.QUERIES)
     assert len(reg.QUERIES) >= 160
+    # r4 closed the last rows-only query; every registered query now
+    # carries a DuckDB oracle and this must stay true — a new query
+    # landing without one silently downgrades the driver check to
+    # rows-only (VERDICT r4 item 5).
+    assert len(reg.ORACLES) == len(reg.QUERIES), (
+        f"rows-only queries crept back in: "
+        f"{sorted(set(reg.QUERIES) - set(reg.ORACLES))}"
+    )
 
 
 def test_every_oracle_parses_in_duckdb(oracle_con):
@@ -429,3 +437,50 @@ def test_check_order_names_are_registered():
     registry.load_all()
     missing = [n for n in registry._CHECK_ORDER if n not in registry.QUERIES]
     assert missing == []
+
+
+def test_watermark_boundary_not_exercised(oracle_con):
+    """stream_watermark_late's oracle pins window_end <= watermark
+    (inclusive). Whether Spark finalizes a window whose end lands
+    EXACTLY on the watermark is an eviction convention the oracle must
+    never depend on — so assert the fixed testdata keeps every hourly
+    window end strictly away from max(ts) - 15min (ADVICE r4 #3)."""
+    gap = oracle_con.sql(
+        """
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        ends AS (
+            SELECT DISTINCT date_trunc('hour', ts) + INTERVAL 1 HOUR
+                       AS window_end
+            FROM events
+        )
+        SELECT min(abs(epoch(window_end) - epoch(m - INTERVAL 15 MINUTE)))
+        FROM ends CROSS JOIN mx
+        """
+    ).fetchone()[0]
+    assert gap is not None and gap > 0, (
+        "an hourly window end coincides with the final watermark; the "
+        "append-mode emit-set oracle would start depending on Spark's "
+        "exact-equality eviction convention"
+    )
+
+
+def test_stream_partition_derivation():
+    """Pin _stream_shuffle_partitions: env var wins; local mode stays
+    at the measured-fast 2; cluster mode derives from parallelism and
+    never collapses to a tiny fixed default (VERDICT r4 item 6)."""
+    from parquet_playground_spark.streaming.stream_queries import (
+        _stream_shuffle_partitions,
+    )
+
+    f = _stream_shuffle_partitions
+    assert f(None, env="16", master="local[8]") == "16"
+    assert f(None, env=None, master="local[32]") == "2"
+    assert f(None, env=None, master="local[*]") == "2"
+    assert (
+        f(None, env=None, master="spark://host:7077", default_parallelism=4000)
+        == "4000"
+    )
+    # small cluster: floor of 8, never the local 2
+    assert (
+        f(None, env=None, master="yarn", default_parallelism=4) == "8"
+    )
