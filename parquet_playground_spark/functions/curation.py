@@ -1038,3 +1038,138 @@ def corpus_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_ensemble — weighted multi-signal quality gate
+
+_ENS_TOP_TOKENS = 5
+
+
+@register(
+    "corpus_quality_ensemble",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        top5 AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS c
+                FROM (SELECT unnest(t) AS tok FROM toks)
+                GROUP BY tok
+                ORDER BY c DESC, tok LIMIT {_ENS_TOP_TOKENS}
+            )
+        ),
+        sig AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   floor(CAST(len(array_to_string(t, '')) AS DOUBLE)
+                         / len(t) * 10000.0 + 0.5) / 10000.0 AS mean_wlen,
+                   floor((1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                                / len(t)) * 10000.0 + 0.5) / 10000.0
+                       AS dup_frac,
+                   CAST((SELECT count(*) FROM top5
+                         WHERE list_contains(t, tok)) AS BIGINT) AS n_top5
+            FROM toks WHERE len(t) > 0
+        )
+        SELECT doc_id, n_words, mean_wlen, dup_frac, n_top5,
+               CAST(4 * (CASE WHEN n_words BETWEEN 20 AND 100000
+                              THEN 1 ELSE 0 END)
+                    + 3 * (CASE WHEN mean_wlen BETWEEN 3.0 AND 10.0
+                                THEN 1 ELSE 0 END)
+                    + 2 * (CASE WHEN dup_frac <= 0.7 THEN 1 ELSE 0 END)
+                    + 1 * (CASE WHEN n_top5 >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ensemble_score,
+               (4 * (CASE WHEN n_words BETWEEN 20 AND 100000
+                          THEN 1 ELSE 0 END)
+                + 3 * (CASE WHEN mean_wlen BETWEEN 3.0 AND 10.0
+                            THEN 1 ELSE 0 END)
+                + 2 * (CASE WHEN dup_frac <= 0.7 THEN 1 ELSE 0 END)
+                + 1 * (CASE WHEN n_top5 >= 2 THEN 1 ELSE 0 END)) >= 8
+                   AS keep
+        FROM sig
+        ORDER BY doc_id
+    """,
+)
+def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality gate: four independent signals — word count in
+    a Gopher-style band, mean word length band, duplicate-token
+    fraction cap, and presence of common-vocabulary tokens (the
+    stopword-carrier signal: real prose contains frequent function
+    words; keyword-stuffed spam does not) — combined with fixed integer
+    weights 4/3/2/1 into a 0-10 score; keep = score >= 8 (must pass
+    the two heavy gates plus at least the rep gate). This is the
+    C4/Gopher/FineWeb pattern of layering cheap heuristics into one
+    auditable decision column instead of N sequential filters whose
+    interaction nobody can replay.
+
+    Scale shape: the top-{_ENS_TOP_TOKENS} common-token list is one
+    map-combinable corpus aggregate broadcast to every executor (a
+    fixed-size array membership test per doc, no join fan-out); every
+    other signal is per-row arithmetic on the token array. One corpus
+    pass + one 5-row broadcast: the same plan at 100 TB. Integer
+    weights and floor-rounded 4-dp floats keep both engines
+    hash-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    tokd = _fanout(d).select("doc_id", toks.alias("t")).filter(
+        F.size("t") > 0
+    )
+    top5 = (
+        tokd.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_ENS_TOP_TOKENS)
+        .agg(F.collect_list("tok").alias("top_toks"))
+    )
+    n_words = F.size("t").cast("bigint")
+    mean_wlen = (
+        F.floor(
+            F.length(F.array_join("t", "")).cast("double")
+            / F.size("t")
+            * 10000.0
+            + 0.5
+        )
+        / 10000.0
+    )
+    dup_frac = (
+        F.floor(
+            (1.0 - F.size(F.array_distinct("t")).cast("double") / F.size("t"))
+            * 10000.0
+            + 0.5
+        )
+        / 10000.0
+    )
+    n_top5 = F.size(
+        F.filter(
+            F.col("top_toks"), lambda tok: F.array_contains(F.col("t"), tok)
+        )
+    ).cast("bigint")
+    sig = tokd.crossJoin(F.broadcast(top5)).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        dup_frac.alias("dup_frac"),
+        n_top5.alias("n_top5"),
+    )
+    score = (
+        4 * F.when(F.col("n_words").between(20, 100000), 1).otherwise(0)
+        + 3 * F.when(F.col("mean_wlen").between(3.0, 10.0), 1).otherwise(0)
+        + 2 * F.when(F.col("dup_frac") <= 0.7, 1).otherwise(0)
+        + 1 * F.when(F.col("n_top5") >= 2, 1).otherwise(0)
+    )
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "mean_wlen",
+        "dup_frac",
+        "n_top5",
+        score.cast("bigint").alias("ensemble_score"),
+        (score >= 8).alias("keep"),
+    ).orderBy("doc_id")

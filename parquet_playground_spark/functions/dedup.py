@@ -1439,3 +1439,227 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("containment"), "contained_doc", "container_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_index_merge — cross-snapshot band-index maintenance
+
+_IDX_ENTRIES_SQL = f"""
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, concat_ws('|', "
+                + ", ".join(
+                    f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)"
+                    for r in range(BAND_ROWS)
+                )
+                + ") AS bucket FROM sigs"
+                for b in range(N_HASHES // BAND_ROWS)
+            )}
+"""
+
+
+@register(
+    "dedup_minhash_index_merge",
+    oracle=f"""
+        WITH sigs AS ({_MINHASH_ORACLE}),
+        entries AS ({_IDX_ENTRIES_SQL}),
+        merged AS (
+            SELECT band, bucket,
+                   sum(CASE WHEN doc_id < 400 THEN 1 ELSE 0 END) AS cd,
+                   sum(CASE WHEN doc_id >= 400 THEN 1 ELSE 0 END) AS bd
+            FROM entries GROUP BY band, bucket
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(sum(CASE WHEN cd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS buckets_before,
+               CAST(sum(CASE WHEN cd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_buckets,
+               CAST(sum(CASE WHEN cd > 0 AND bd > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS collision_buckets,
+               CAST(count(*) AS BIGINT) AS buckets_after,
+               CAST(max(cd + bd) AS BIGINT) AS max_depth_after,
+               CAST(sum(bd) AS BIGINT) AS batch_entries
+        FROM merged GROUP BY band ORDER BY band
+    """,
+)
+def dedup_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-dedup index maintenance: merge a new ingest batch
+    (doc_id >= 400) into the persisted MinHash band index (doc_id <
+    400) and report, per band, how the index changed — buckets before,
+    brand-new buckets, collision buckets (a new doc landed in an
+    existing bucket = a near-dup candidate that must be adjudicated
+    before admission), bucket count after, and the deepest post-merge
+    bucket (the skew indicator that decides when a bucket needs the
+    stop-shingle cap).
+
+    Scale shape: production keeps the band index as a table BUCKETED on
+    (band, bucket) — this merge is then a co-partitioned groupBy where
+    ONLY the new batch shuffles (|batch| x n_bands rows); the corpus
+    index is never rescanned, and the per-band stats come from the same
+    single aggregation pass that writes the updated index. The
+    max_depth_after output is what a production job alerts on: a hot
+    bucket (stop-shingle, boilerplate) grows superlinearly and must be
+    capped before the candidate join fans out quadratically."""
+    sigs = _minhash_signatures(spark, sf_dir)
+    n_bands = N_HASHES // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * BAND_ROWS + r}").cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    entries = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    is_corpus = F.col("doc_id") < 400
+    merged = entries.groupBy("band", "bucket").agg(
+        F.sum(F.when(is_corpus, 1).otherwise(0)).alias("cd"),
+        F.sum(F.when(~is_corpus, 1).otherwise(0)).alias("bd"),
+    )
+    return (
+        merged.groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.sum(F.when(F.col("cd") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("buckets_before"),
+            F.sum(F.when(F.col("cd") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_buckets"),
+            F.sum(
+                F.when((F.col("cd") > 0) & (F.col("bd") > 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("collision_buckets"),
+            F.count(F.lit(1)).cast("bigint").alias("buckets_after"),
+            F.max(F.col("cd") + F.col("bd")).cast("bigint").alias(
+                "max_depth_after"
+            ),
+            F.sum("bd").cast("bigint").alias("batch_entries"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraph_exact — Dolma-style span-level exact dedup
+
+_SPAN_TOKS = 10  # non-overlapping span width (the "paragraph" unit)
+
+
+@register(
+    "dedup_paragraph_exact",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, len(t) AS n_tok,
+                   array_to_string(
+                       t[CAST(s * {_SPAN_TOKS} + 1 AS INTEGER):
+                         CAST(s * {_SPAN_TOKS} + {_SPAN_TOKS} AS INTEGER)],
+                       ' ') AS span_text,
+                   len(t[CAST(s * {_SPAN_TOKS} + 1 AS INTEGER):
+                         CAST(s * {_SPAN_TOKS} + {_SPAN_TOKS} AS INTEGER)])
+                       AS span_len
+            FROM (
+                SELECT doc_id, t,
+                       unnest(range(0, CAST(ceil(len(t) / {_SPAN_TOKS}.0)
+                                             AS BIGINT))) AS s
+                FROM toks WHERE len(t) > 0
+            )
+        ),
+        freq AS (
+            SELECT span_text, count(DISTINCT doc_id) AS ndocs
+            FROM spans GROUP BY span_text
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_spans,
+               floor(CAST(sum(CASE WHEN f.ndocs >= 2 THEN s.span_len
+                                   ELSE 0 END) AS DOUBLE)
+                     / max(s.n_tok) * 10000.0 + 0.5) / 10000.0
+                   AS dup_token_frac,
+               (floor(CAST(sum(CASE WHEN f.ndocs >= 2 THEN s.span_len
+                                    ELSE 0 END) AS DOUBLE)
+                      / max(s.n_tok) * 10000.0 + 0.5) / 10000.0) <= 0.3
+                   AS keep
+        FROM spans s JOIN freq f ON f.span_text = s.span_text
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """,
+)
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup, the Dolma/CCNet sub-document pass:
+    documents are cut into non-overlapping {_SPAN_TOKS}-token spans
+    (the synthetic corpus has no newlines, so a fixed token span stands
+    in for the paragraph boundary — the plumbing is identical), each
+    span is counted across the corpus, and a doc is scored by the
+    fraction of its tokens living in spans that appear in >= 2 distinct
+    documents. Docs above 30% duplicated mass are flagged for removal
+    while UNIQUE content in partially-copied docs survives — the whole
+    point of sub-document dedup vs whole-doc hashing.
+
+    Scale shape: explode to spans (fact-sized), one map-side-combinable
+    count per distinct span text (at 100 TB: hash the span to 128 bits
+    first so only digests shuffle — same trick as dedup_exact), one
+    hash-join back on span text, one per-doc reduce. No pairwise
+    comparisons anywhere; skew-safe because span frequency is counted,
+    not enumerated per pair."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_spans = F.ceil(F.size("t") / float(_SPAN_TOKS)).cast("int")
+    spans = (
+        _fanout(d)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tok"),
+            F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("s"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.array_join(
+                F.slice("t", F.col("s") * _SPAN_TOKS + 1, _SPAN_TOKS), " "
+            ).alias("span_text"),
+            F.size(
+                F.slice("t", F.col("s") * _SPAN_TOKS + 1, _SPAN_TOKS)
+            ).alias("span_len"),
+        )
+    )
+    freq = spans.groupBy("span_text").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    dup_mass = F.sum(
+        F.when(F.col("ndocs") >= 2, F.col("span_len")).otherwise(0)
+    ).cast("double")
+    frac = F.floor(dup_mass / F.max("n_tok") * 10000.0 + 0.5) / 10000.0
+    return (
+        spans.join(freq, "span_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            frac.alias("dup_token_frac"),
+            (frac <= 0.3).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

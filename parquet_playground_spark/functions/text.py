@@ -1584,3 +1584,266 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "novelty_documents"
     )
     return spark.sql(_NOVELTY_SQL.format(biggen=_NOVELTY_SPARK_BIGGEN))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_unigram_em — SentencePiece-style unigram-LM hard-EM step
+
+_UEM_MAX_WLEN = 12   # word-type cap for the segmentation DP
+_UEM_MAX_PIECE = 4   # max candidate piece length
+_UEM_TOP_MULTI = 40  # multi-char candidate pieces kept from seeding
+
+
+def _uem_dp(map_col: str) -> str:
+    """Spark SQL Viterbi fold: per word, the segmentation minimizing
+    (n_pieces, total piece rank, seg-string) lexicographically.
+
+    The accumulator is the growing dp table (list index p+1 = best
+    state covering the first p chars); step i extends the states at
+    i-1..i-{_UEM_MAX_PIECE} by any vocabulary piece ending at i and
+    keeps the struct-ordering minimum. Lexicographic order on additive
+    (np, cost) vectors is translation-invariant, and among equal-cost
+    states the seg strings cover identical characters (space < any
+    piece char), so prefix-optimality holds and the fold is an EXACT
+    argmin over all segmentations — the same result the oracle gets by
+    recursive-CTE enumeration. A +100000 sentinel keeps positions
+    unreachable under a pruned vocabulary ordered last; it can never
+    win while any feasible segmentation exists (iteration 2's
+    vocabulary retains every piece used in iteration 1, so every word
+    stays feasible)."""
+    cands = []
+    for j in range(1, _UEM_MAX_PIECE + 1):
+        guard = f"i >= {j} AND " if j > 1 else ""
+        piece = f"substr(word, i - {j - 1}, {j})"
+        prev = f"element_at(acc, i - {j - 1})"
+        cands.append(
+            f"CASE WHEN {guard}try_element_at({map_col}, {piece}) IS NOT NULL THEN "
+            f"named_struct('np', {prev}.np + 1, "
+            f"'cost', {prev}.cost + try_element_at({map_col}, {piece}), "
+            f"'seg', concat({prev}.seg, ' ', {piece})) END"
+        )
+    cands.append(
+        "named_struct('np', element_at(acc, i).np + 100000, 'cost', 100000, "
+        "'seg', concat(element_at(acc, i).seg, ' ', substr(word, i, 1)))"
+    )
+    return (
+        "aggregate(sequence(1, length(word)), "
+        "array(named_struct('np', 0, 'cost', 0, 'seg', '')), "
+        "(acc, i) -> array_append(acc, element_at(array_sort(filter(array("
+        + ", ".join(cands)
+        + "), x -> x IS NOT NULL)), 1)), acc -> element_at(acc, -1))"
+    )
+
+
+_UEM_ORACLE = f"""
+        WITH RECURSIVE words AS (
+            SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                      AS tok
+                  FROM documents)
+            WHERE regexp_matches(tok, '^[a-z]+$')
+              AND length(tok) <= {_UEM_MAX_WLEN}
+            GROUP BY tok
+        ),
+        subs AS (
+            SELECT substr(word, CAST(p AS INTEGER), CAST(j AS INTEGER))
+                       AS piece,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM words,
+                 range(1, {_UEM_MAX_WLEN + 1}) rp(p),
+                 range(1, {_UEM_MAX_PIECE + 1}) rj(j)
+            WHERE p <= length(word) AND p + j - 1 <= length(word)
+            GROUP BY 1
+        ),
+        kept AS (
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM subs WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece LIMIT {_UEM_TOP_MULTI})
+            UNION ALL
+            SELECT piece, cnt FROM subs WHERE length(piece) = 1
+        ),
+        ranked AS (
+            SELECT piece, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+                        AS INTEGER) AS r
+            FROM kept
+        ),
+        st1 AS (
+            SELECT word, 0 AS pos, 0 AS np, 0 AS cost, '' AS seg FROM words
+            UNION ALL
+            SELECT s.word, s.pos + length(k.piece), s.np + 1, s.cost + k.r,
+                   s.seg || ' ' || k.piece
+            FROM st1 s JOIN ranked k
+              ON k.piece = substr(s.word, s.pos + 1, length(k.piece))
+            WHERE s.pos < length(s.word)
+        ),
+        seg1 AS (
+            SELECT word, seg FROM (
+                SELECT word, seg,
+                       row_number() OVER (PARTITION BY word
+                                          ORDER BY np, cost, seg) AS rn
+                FROM st1 WHERE pos = length(word)) WHERE rn = 1
+        ),
+        used1 AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+            FROM (SELECT w.freq,
+                         unnest(string_split(trim(s.seg), ' ')) AS piece
+                  FROM seg1 s JOIN words w ON w.word = s.word)
+            GROUP BY piece
+        ),
+        rank2 AS (
+            SELECT piece, used,
+                   CAST(row_number() OVER (ORDER BY used DESC, piece)
+                        AS INTEGER) AS r
+            FROM used1 WHERE used > 0
+        ),
+        st2 AS (
+            SELECT word, 0 AS pos, 0 AS np, 0 AS cost, '' AS seg FROM words
+            UNION ALL
+            SELECT s.word, s.pos + length(k.piece), s.np + 1, s.cost + k.r,
+                   s.seg || ' ' || k.piece
+            FROM st2 s JOIN rank2 k
+              ON k.piece = substr(s.word, s.pos + 1, length(k.piece))
+            WHERE s.pos < length(s.word)
+        ),
+        seg2 AS (
+            SELECT word, seg FROM (
+                SELECT word, seg,
+                       row_number() OVER (PARTITION BY word
+                                          ORDER BY np, cost, seg) AS rn
+                FROM st2 WHERE pos = length(word)) WHERE rn = 1
+        ),
+        used2 AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+            FROM (SELECT w.freq,
+                         unnest(string_split(trim(s.seg), ' ')) AS piece
+                  FROM seg2 s JOIN words w ON w.word = s.word)
+            GROUP BY piece
+        )
+        SELECT u2.piece,
+               CAST(r1.r AS BIGINT) AS seed_rank,
+               u1.used AS used_iter1,
+               CAST(r2.r AS BIGINT) AS refit_rank,
+               u2.used AS used_iter2,
+               u1.used = u2.used AS piece_converged
+        FROM used2 u2
+        JOIN rank2 r2 ON r2.piece = u2.piece
+        JOIN ranked r1 ON r1.piece = u2.piece
+        JOIN used1 u1 ON u1.piece = u2.piece
+        ORDER BY u2.used DESC, u2.piece
+        LIMIT 15
+"""
+
+
+@register("tokenizer_unigram_em", oracle=_UEM_ORACLE)
+def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training, one hard-EM
+    round — the sibling of tokenizer_bpe_merges: seed a candidate
+    vocabulary (all substrings up to {_UEM_MAX_PIECE} chars of the
+    word-type table, top {_UEM_TOP_MULTI} multi-char pieces by
+    frequency-weighted count plus every single char for feasibility),
+    E-step = per-word Viterbi segmentation under the current piece
+    ordering, M-step = re-estimate piece scores from frequency-weighted
+    usage and re-rank, then a second E-step under the refit ranks.
+    Output: the final top pieces with seed vs refit rank and per-
+    iteration usage, plus piece_converged showing the EM fixed point
+    (on this corpus hard-EM converges after one round — the refit
+    RANKS are the visible payoff: substring-count seeding badly
+    misranks pieces that Viterbi never actually uses).
+
+    Instead of float log-probs the DP minimizes (n_pieces, total rank,
+    seg) with INTEGER ranks as the -log p surrogate — argmax-stable
+    across engines (no ulp-sensitive ln in any compare), same
+    tie-break on both sides. The Spark E-step is a linear-time
+    aggregate() fold per word (see _uem_dp); the oracle enumerates all
+    segmentations by recursive CTE and takes the same argmin, so the
+    two independently-derived optima must agree exactly.
+
+    Scale shape: like production unigram trainers, every EM structure
+    is VOCAB-sized, never corpus-sized — one corpus pass builds the
+    word-type frequency table, candidate seeding and both E-steps run
+    on word TYPES (~1M rows at web scale) with the piece->rank map
+    broadcast (bounded: top-K pieces + alphabet), and each M-step is
+    one map-combinable usage count. The per-word DP is O(len x
+    max_piece) inside whole-stage codegen. Integer counts and ranks
+    end-to-end: zero float exposure."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "uem_documents"
+    )
+    return spark.sql(f"""
+        WITH words AS (
+            SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT explode(split(lower(text), '\\\\s+')) AS tok
+                  FROM uem_documents)
+            WHERE tok RLIKE '^[a-z]+$' AND length(tok) <= {_UEM_MAX_WLEN}
+            GROUP BY tok
+        ),
+        subs AS (
+            SELECT substr(word, p, j) AS piece,
+                   CAST(sum(freq) AS BIGINT) AS cnt
+            FROM words
+            LATERAL VIEW explode(sequence(1, length(word))) pt AS p
+            LATERAL VIEW explode(sequence(1, {_UEM_MAX_PIECE})) jt AS j
+            WHERE p + j - 1 <= length(word)
+            GROUP BY substr(word, p, j)
+        ),
+        kept AS (
+            SELECT piece, cnt FROM (
+                SELECT piece, cnt FROM subs WHERE length(piece) > 1
+                ORDER BY cnt DESC, piece LIMIT {_UEM_TOP_MULTI})
+            UNION ALL
+            SELECT piece, cnt FROM subs WHERE length(piece) = 1
+        ),
+        ranked AS (
+            SELECT piece, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, piece)
+                        AS INT) AS r
+            FROM kept
+        ),
+        vmap AS (
+            SELECT map_from_entries(collect_list(struct(piece, r))) AS m
+            FROM ranked
+        ),
+        seg1 AS (
+            SELECT word, freq, {_uem_dp('m')}.seg AS seg
+            FROM words CROSS JOIN vmap
+        ),
+        used1 AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+            FROM (SELECT freq, explode(split(trim(seg), ' ')) AS piece
+                  FROM seg1)
+            GROUP BY piece
+        ),
+        rank2 AS (
+            SELECT piece, used,
+                   CAST(row_number() OVER (ORDER BY used DESC, piece)
+                        AS INT) AS r
+            FROM used1 WHERE used > 0
+        ),
+        vmap2 AS (
+            SELECT map_from_entries(collect_list(struct(piece, r))) AS m
+            FROM rank2
+        ),
+        seg2 AS (
+            SELECT word, freq, {_uem_dp('m')}.seg AS seg
+            FROM words CROSS JOIN vmap2
+        ),
+        used2 AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS used
+            FROM (SELECT freq, explode(split(trim(seg), ' ')) AS piece
+                  FROM seg2)
+            GROUP BY piece
+        )
+        SELECT u2.piece,
+               CAST(r1.r AS BIGINT) AS seed_rank,
+               u1.used AS used_iter1,
+               CAST(r2.r AS BIGINT) AS refit_rank,
+               u2.used AS used_iter2,
+               u1.used = u2.used AS piece_converged
+        FROM used2 u2
+        JOIN rank2 r2 ON r2.piece = u2.piece
+        JOIN ranked r1 ON r1.piece = u2.piece
+        JOIN used1 u1 ON u1.piece = u2.piece
+        ORDER BY u2.used DESC, u2.piece
+        LIMIT 15
+    """)

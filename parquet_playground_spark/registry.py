@@ -105,6 +105,8 @@ _CHECK_ORDER = [
     # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
     # the front block. New r5 operators are prepended here when they
     # land so they get an official row immediately.
+    "tokenizer_unigram_em", "dedup_minhash_index_merge",
+    "dedup_paragraph_exact", "corpus_quality_ensemble",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q16_supplier_part_counts",
     "q20_part_promotion", "dedup_prefix_boilerplate",
