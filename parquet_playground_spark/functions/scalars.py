@@ -1321,3 +1321,85 @@ def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("masked_digits"),
         F.length("c_name").cast("bigint").alias("orig_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_interval_arithmetic — calendar interval math with portable duals
+
+_IVAL_CUTOFF = "1998-12-01"
+
+
+@register(
+    "fn_interval_arithmetic",
+    oracle=f"""
+        SELECT o_orderkey, o_orderdate,
+               CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_90d,
+               last_day(o_orderdate) AS eom,
+               -- month-add spelled as explicit make_date arithmetic
+               -- (= add_months clamp semantics): DuckDB 1.0.0 wrongly
+               -- common-subexpression-folds two `col + INTERVAL`
+               -- additions over a parquet scan into one, so
+               -- `o_orderdate + INTERVAL 3 MONTH` here returns the
+               -- +90-day result (verified: literal inputs are fine,
+               -- view columns are not)
+               make_date(
+                   year(o_orderdate)
+                   + CAST(floor((month(o_orderdate) + 2) / 12.0) AS INT),
+                   ((month(o_orderdate) + 2) % 12) + 1,
+                   least(day(o_orderdate),
+                         day(last_day(make_date(
+                             year(o_orderdate)
+                             + CAST(floor((month(o_orderdate) + 2) / 12.0)
+                                    AS INT),
+                             ((month(o_orderdate) + 2) % 12) + 1,
+                             1))))
+               ) AS plus3m,
+               CAST(o_orderdate
+                    + CAST((7 - (isodow(o_orderdate) - 1)) || ' days'
+                           AS INTERVAL) AS DATE) AS next_monday,
+               CAST(datediff('day', o_orderdate, DATE '{_IVAL_CUTOFF}')
+                    AS BIGINT) AS age_days,
+               CAST(floor(datediff('day', o_orderdate,
+                                   DATE '{_IVAL_CUTOFF}') / 7.0)
+                    AS BIGINT) AS age_weeks,
+               CAST((1998 - year(o_orderdate)) * 12
+                    + (12 - month(o_orderdate)) AS BIGINT)
+                   AS months_to_cutoff
+        FROM orders
+        WHERE o_orderkey % 100 = 0
+        ORDER BY o_orderkey
+    """,
+)
+def fn_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar interval arithmetic surface: day/month interval
+    addition (with the end-of-month clamp add_months defines),
+    last-day-of-month, next-weekday alignment, day/week/month distance
+    to a cutoff. Each expression is chosen to have an EXACT cross-
+    engine dual: weekday alignment goes through Monday-0 weekday
+    numbers (Spark weekday == DuckDB isodow-1) rather than the
+    engines' incompatible dayofweek conventions, and month distance is
+    explicit year/month arithmetic rather than months_between (whose
+    fractional semantics differ). Narrow per-row projection — scales
+    as a scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    cutoff = F.lit(_IVAL_CUTOFF).cast("date")
+    wd = F.weekday("o_orderdate")  # Monday = 0
+    age_days = F.datediff(cutoff, F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.date_add("o_orderdate", 90).alias("due_90d"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.date_add("o_orderdate", 7 - wd).alias("next_monday"),
+        age_days.cast("bigint").alias("age_days"),
+        F.floor(age_days / 7.0).cast("bigint").alias("age_weeks"),
+        (
+            (1998 - F.year("o_orderdate")) * 12
+            + (12 - F.month("o_orderdate"))
+        )
+        .cast("bigint")
+        .alias("months_to_cutoff"),
+    ).orderBy("o_orderkey")

@@ -999,3 +999,275 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_search_ivf_pq — the full IVF+PQ index search (FAISS IVFPQ shape)
+
+_IVFPQ_NC = 8       # coarse centroids (vec_id < 8, as sim_search_ann_ivf)
+_IVFPQ_M = 8        # PQ subspaces
+_IVFPQ_D = 8        # dims per subspace
+_IVFPQ_CB = (8, 12)  # residuals of these vecs seed the PQ codebook
+_IVFPQ_Q = (12, 15)  # query set
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPK = 5
+
+
+@register(
+    "sim_search_ivf_pq",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        adist AS (
+            SELECT e.vec_id, c.cid,
+                   list_reduce(
+                       [ (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+                         * (e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)])
+                         FOR i IN range(1, 65) ], (a, b) -> a + b) AS d
+            FROM e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, cid AS coarse_id FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM adist) WHERE rn = 1
+        ),
+        resid AS (
+            SELECT e.vec_id, a.coarse_id,
+                   [ e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]
+                     FOR i IN range(1, 65) ] AS r
+            FROM e JOIN assigned a ON a.vec_id = e.vec_id
+            JOIN cent c ON c.cid = a.coarse_id
+        ),
+        subs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS m),
+        cb AS (
+            SELECT s.m, CAST(r.vec_id - 8 AS INTEGER) AS k,
+                   r.r[s.m * 8 + 1 : s.m * 8 + 8] AS c
+            FROM resid r CROSS JOIN subs s
+            WHERE r.vec_id >= 8 AND r.vec_id < 12
+        ),
+        enc AS (
+            SELECT vec_id, coarse_id, m, code FROM (
+                SELECT r.vec_id, r.coarse_id, s.m, cb.k AS code,
+                       row_number() OVER (
+                           PARTITION BY r.vec_id, s.m
+                           ORDER BY list_reduce(
+                               [ (r.r[s.m * 8 + CAST(i AS INTEGER)]
+                                  - cb.c[CAST(i AS INTEGER)])
+                                 * (r.r[s.m * 8 + CAST(i AS INTEGER)]
+                                    - cb.c[CAST(i AS INTEGER)])
+                                 FOR i IN range(1, 9) ],
+                               (a, b) -> a + b), cb.k
+                       ) AS rn
+                FROM resid r CROSS JOIN subs s
+                JOIN cb ON cb.m = s.m) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM adist WHERE vec_id >= 12 AND vec_id < 15)
+            WHERE rn <= 2
+        ),
+        qresid AS (
+            SELECT p.qid, p.cid,
+                   [ e.v[CAST(i AS INTEGER)] - c.cv[CAST(i AS INTEGER)]
+                     FOR i IN range(1, 65) ] AS qr
+            FROM probes p JOIN e ON e.vec_id = p.qid
+            JOIN cent c ON c.cid = p.cid
+        ),
+        adc AS (
+            SELECT q.qid, q.cid, s.m, cb.k,
+                   list_reduce(
+                       [ (q.qr[s.m * 8 + CAST(i AS INTEGER)]
+                          - cb.c[CAST(i AS INTEGER)])
+                         * (q.qr[s.m * 8 + CAST(i AS INTEGER)]
+                            - cb.c[CAST(i AS INTEGER)])
+                         FOR i IN range(1, 9) ], (a, b) -> a + b) AS d
+            FROM qresid q CROSS JOIN subs s JOIN cb ON cb.m = s.m
+        ),
+        cand AS (
+            SELECT a.qid, en.vec_id AS candidate_id,
+                   list_reduce(list(a.d ORDER BY a.m), (x, y) -> x + y)
+                       AS approx
+            FROM enc en
+            JOIN adc a ON a.cid = en.coarse_id AND a.m = en.m
+                      AND a.k = en.code
+            WHERE en.vec_id <> a.qid
+            GROUP BY a.qid, en.vec_id
+        )
+        SELECT qid AS query_id, candidate_id,
+               floor(approx * 10000.0 + 0.5) / 10000.0 AS approx_dist, rnk
+        FROM (
+            SELECT qid, candidate_id, approx,
+                   CAST(row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY floor(approx * 10000.0 + 0.5) / 10000.0,
+                                candidate_id) AS BIGINT) AS rnk
+            FROM cand)
+        WHERE rnk <= 5
+        ORDER BY query_id, rnk
+    """,
+)
+def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search end-to-end — the FAISS IVFPQ shape that
+    sim_search_ann_ivf (coarse lists) and embedding_product_quantization
+    (codebook) are building blocks of. Index build: every vector is
+    assigned to its nearest coarse centroid; its RESIDUAL (vector minus
+    centroid) is PQ-encoded into M={_IVFPQ_M} one-byte codes against a
+    deterministic residual codebook. Query: probe the
+    {_IVFPQ_NPROBE} nearest coarse lists, build the per-probe ADC
+    lookup table (query-residual subvector vs every codeword), and
+    score candidates by summing M table entries keyed by their stored
+    codes — candidates' raw vectors are NEVER touched at query time,
+    which is the entire point of PQ at 100 TB: the scan reads M bytes
+    per vector instead of 4*dim.
+
+    Determinism: only +,-,* on doubles in fixed fold order everywhere
+    (per-subspace comprehension folds; the M-term ADC sum folds over an
+    m-ordered collected list, not an unordered SUM), so both engines
+    produce bit-identical doubles; ranking uses the floor-rounded
+    distance with candidate_id tie-break.
+
+    Scale shape: centroids and codebook broadcast (K*M tiny arrays);
+    assignment + encoding are narrow per-row argmins; the query join
+    fans out only over probed lists (|corpus| * nprobe / nlists
+    candidates); the ADC table is |queries| * nprobe * M * K rows —
+    broadcast-sized. One shuffle on (coarse list) co-locates candidates
+    with their inverted list, exactly how a distributed IVF index
+    partitions."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nc, m_sub, d_sub = _IVFPQ_NC, _IVFPQ_M, _IVFPQ_D
+    cb_lo, cb_hi = _IVFPQ_CB
+    q_lo, q_hi = _IVFPQ_Q
+
+    cent = e.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    adist = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", "v", "cv", l2(F.col("v"), F.col("cv")).alias("d")
+    )
+    assigned = (
+        adist.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("coarse_id"))
+    )
+    resid = (
+        e.join(assigned, "vec_id")
+        .join(
+            F.broadcast(cent.withColumnRenamed("cid", "coarse_id")),
+            "coarse_id",
+        )
+        .select(
+            "vec_id",
+            "coarse_id",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
+    )
+
+    def explode_subs(df, arr_col, out_col):
+        return df.select(
+            *[c for c in df.columns if c != arr_col],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(arr_col, m * d_sub + 1, d_sub).alias(
+                                out_col
+                            ),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("s"),
+        ).select(
+            *[c for c in df.columns if c != arr_col],
+            F.col("s.m").alias("m"),
+            F.col(f"s.{out_col}").alias(out_col),
+        )
+
+    cb = explode_subs(
+        resid.filter(
+            (F.col("vec_id") >= cb_lo) & (F.col("vec_id") < cb_hi)
+        ).select((F.col("vec_id") - cb_lo).cast("int").alias("k"), "r"),
+        "r",
+        "c",
+    )
+    enc = (
+        explode_subs(resid.select("vec_id", "coarse_id", "r"), "r", "x")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "vec_id",
+            "coarse_id",
+            "m",
+            F.struct(
+                l2(F.col("x"), F.col("c")).alias("sd"), F.col("k")
+            ).alias("dk"),
+        )
+        .groupBy("vec_id", "coarse_id", "m")
+        .agg(F.min("dk").alias("best"))
+        .select("vec_id", "coarse_id", "m", F.col("best.k").alias("code"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy("d", "cid")
+    probes = (
+        adist.filter((F.col("vec_id") >= q_lo) & (F.col("vec_id") < q_hi))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select(
+            F.col("vec_id").alias("qid"),
+            "cid",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    adc = (
+        explode_subs(probes, "qr", "qx")
+        .join(F.broadcast(cb), "m")
+        .select("qid", "cid", "m", "k", l2(F.col("qx"), F.col("c")).alias("d"))
+    )
+    cand = (
+        enc.join(
+            adc,
+            (enc.coarse_id == adc.cid)
+            & (enc.m == adc.m)
+            & (enc.code == adc.k),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(enc.m, F.col("d")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["d"],
+            ).alias("approx")
+        )
+    )
+    r4 = F.floor(F.col("approx") * 10000.0 + 0.5) / 10000.0
+    wr = Window.partitionBy("qid").orderBy(r4.asc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= _IVFPQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("candidate_id"),
+            r4.alias("approx_dist"),
+            "rnk",
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -1287,3 +1287,265 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev="sen_events", median_fn="percentile(s.slope, 0.5)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb — Largest-Triangle-Three-Buckets downsampling
+
+_LTTB_NB = 6  # interior buckets; output = NB + 2 points per series
+
+
+def _lttb_sql(ev: str) -> str:
+    """Engine-portable LTTB SQL (identical text runs in Spark SQL and
+    DuckDB). The per-bucket argmax is INTEGER-exact: v is pre-scaled to
+    a BIGINT at 4 dp and the triangle area against the next bucket's
+    MEAN point is multiplied through by the bucket count, so the
+    comparison is |(p.t*cnt - sum_t)*(c.v - p.v) - (p.t - c.t)*(sum_v -
+    p.v*cnt)| over BIGINTs — no float enters any argmax, hence no
+    cross-engine ulp risk. The {_LTTB_NB} sequential bucket selections
+    unroll as CTE levels (same pattern as tokenizer_bpe_merges), each a
+    bucket-local window argmax joined to the previous selection."""
+    parts = [f"""
+        daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(floor(sum(value) * 10000.0 + 0.5) AS BIGINT) AS v4
+            FROM {ev}
+            GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ),
+        pts AS (
+            SELECT event_type, day, v4,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day) AS BIGINT) AS idx,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM daily
+        ),
+        pe AS (SELECT * FROM pts WHERE n >= {_LTTB_NB + 2}),
+        interior AS (
+            SELECT event_type, day, v4, idx, n,
+                   CAST(floor(CAST((idx - 2) * {_LTTB_NB} AS DOUBLE)
+                              / (n - 2)) AS INTEGER) AS b
+            FROM pe WHERE idx >= 2 AND idx <= n - 1
+        ),
+        bsum AS (
+            SELECT event_type, b, count(*) AS cnt,
+                   sum(idx) AS st, sum(v4) AS sv
+            FROM interior GROUP BY event_type, b
+        ),
+        lastpt AS (
+            SELECT event_type, idx, day, v4 FROM pe WHERE idx = n
+        ),
+        sel0 AS (
+            SELECT event_type, idx, day, v4 FROM pe WHERE idx = 1
+        )"""]
+    for i in range(_LTTB_NB):
+        prev = f"sel{i}"
+        if i < _LTTB_NB - 1:
+            nxt = f"""(SELECT event_type, cnt, st, sv FROM bsum
+                        WHERE b = {i + 1})"""
+        else:
+            nxt = """(SELECT event_type, CAST(1 AS BIGINT) AS cnt,
+                              idx AS st, v4 AS sv FROM lastpt)"""
+        parts.append(f"""
+        sel{i + 1} AS (
+            SELECT event_type, idx, day, v4 FROM (
+                SELECT c.event_type, c.idx, c.day, c.v4,
+                       row_number() OVER (
+                           PARTITION BY c.event_type
+                           ORDER BY abs(
+                               (p.idx * a.cnt - a.st) * (c.v4 - p.v4)
+                               - (p.idx - c.idx) * (a.sv - p.v4 * a.cnt)
+                           ) DESC, c.idx
+                       ) AS rn
+                FROM interior c
+                JOIN {prev} p ON p.event_type = c.event_type
+                JOIN {nxt} a ON a.event_type = c.event_type
+                WHERE c.b = {i}
+            ) x WHERE rn = 1
+        )""")
+    sels = "\n            UNION ALL ".join(
+        [
+            f"SELECT event_type, {r} AS sel_rank, idx, day, v4 FROM sel{r}"
+            for r in range(_LTTB_NB + 1)
+        ]
+        + [f"SELECT event_type, {_LTTB_NB + 1}, idx, day, v4 FROM lastpt"]
+    )
+    return ("WITH " + ",".join(parts) + f""",
+        allsel AS (
+            {sels}
+        )
+        SELECT event_type, CAST(sel_rank AS BIGINT) AS sel_rank,
+               idx AS point_idx, day,
+               CAST(v4 AS DOUBLE) / 10000.0 AS v
+        FROM allsel
+        ORDER BY event_type, sel_rank
+    """)
+
+
+@register("ts_downsample_lttb", oracle=_lttb_sql("events"))
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB (Largest-Triangle-Three-Buckets) downsampling — the
+    dashboard-rendering standard: reduce each daily series to
+    {_LTTB_NB + 2} points (first, last, one per bucket) keeping the
+    visually dominant extremes, where each bucket's pick maximizes the
+    triangle area spanned with the PREVIOUSLY selected point and the
+    next bucket's mean point. Sequential left-to-right dependence makes
+    this a genuine iterative operator; the bucket count is fixed, so it
+    unrolls into {_LTTB_NB} windowed argmax stages.
+
+    Scale shape: one daily rollup (map-combinable), one window pass for
+    indices, then per-stage joins that touch ONE bucket each —
+    bucket-local work co-partitioned by series key; at 100 TB with
+    millions of series every stage is a narrow per-series window, and
+    the unrolled plan is exactly how you'd express fixed-depth
+    sequential selection without a driver loop. Integer-exact area
+    comparisons (see _lttb_sql) keep both engines' argmax identical."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "lttb_events"
+    )
+    return spark.sql(_lttb_sql("lttb_events"))
+
+
+# ---------------------------------------------------------------------------
+# ts_kalman_filter_1d — constant-velocity Kalman filter per series
+
+_KAL_R = 4.0   # measurement noise
+_KAL_Q = 0.01  # process noise per step
+
+
+@register(
+    "ts_kalman_filter_1d",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS day,
+                   round(sum(value), 4) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type, list(v ORDER BY day) AS vals
+            FROM daily GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, len(vals) AS n_obs,
+                   list_reduce(
+                       list_transform(vals, z ->
+                           [z, 0.0, {_KAL_R}, 0.0, 1.0, 0.0, 1.0]),
+                       (a, b) -> [
+                           (a[1] + a[2])
+                           + ((a[3] + 2*a[4] + a[5] + {_KAL_Q})
+                              / (a[3] + 2*a[4] + a[5] + {_KAL_Q} + {_KAL_R}))
+                             * (b[1] - (a[1] + a[2])),
+                           a[2]
+                           + ((a[4] + a[5])
+                              / (a[3] + 2*a[4] + a[5] + {_KAL_Q} + {_KAL_R}))
+                             * (b[1] - (a[1] + a[2])),
+                           (1.0 - (a[3] + 2*a[4] + a[5] + {_KAL_Q})
+                                  / (a[3] + 2*a[4] + a[5] + {_KAL_Q}
+                                     + {_KAL_R}))
+                             * (a[3] + 2*a[4] + a[5] + {_KAL_Q}),
+                           (1.0 - (a[3] + 2*a[4] + a[5] + {_KAL_Q})
+                                  / (a[3] + 2*a[4] + a[5] + {_KAL_Q}
+                                     + {_KAL_R}))
+                             * (a[4] + a[5]),
+                           (a[5] + {_KAL_Q})
+                           - ((a[4] + a[5])
+                              / (a[3] + 2*a[4] + a[5] + {_KAL_Q} + {_KAL_R}))
+                             * (a[4] + a[5]),
+                           a[6] + (b[1] - (a[1] + a[2]))
+                                  * (b[1] - (a[1] + a[2])),
+                           a[7] + 1.0
+                       ]) AS st
+            FROM series
+        )
+        SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+               floor(st[1] * 10000.0 + 0.5) / 10000.0 AS pos_final,
+               floor(st[2] * 10000.0 + 0.5) / 10000.0 AS vel_final,
+               floor(sqrt(st[6] / nullif(st[7] - 1.0, 0.0)) * 10000.0 + 0.5)
+                   / 10000.0 AS innov_rmse
+        FROM folded
+        ORDER BY event_type
+    """,
+)
+def ts_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-velocity Kalman filter over each daily series — the
+    optimal linear state estimator (position + trend) that EWMA and
+    Holt approximate with fixed gains; here the gain adapts each step
+    from the covariance recurrence (predict: A P A^T + Q with
+    A=[[1,1],[0,1]]; update: scalar innovation gate with R={_KAL_R}).
+    Output per series: filtered level and velocity after the last
+    observation plus the innovation RMSE (the model-fit diagnostic a
+    monitoring pipeline alerts on).
+
+    The recurrence is a per-series ordered array fold exactly like
+    ts_alert_hysteresis / ts_holt_linear_forecast: state =
+    [pos, vel, p11, p12, p22, ssq, n], folded with +,-,*,/ and sqrt
+    only — every one of those is IEEE-correctly-rounded, so both
+    engines produce bit-identical doubles in the same fold order (no
+    ln/exp anywhere). nullif guards the single-observation rmse so a
+    degenerate series yields NULL on both engines.
+
+    Scale shape: one map-combinable daily rollup, one groupBy collect
+    per series (bounded: days per series), all filtering inside a
+    single JVM expression — at 100 TB with millions of series this is
+    one shuffle on the series key and zero Python."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("dv")
+    )
+    vals = F.transform(F.col("dv"), lambda x: x["v"])
+    R, Q = _KAL_R, _KAL_Q
+
+    def seed(z):
+        return F.array(
+            z, F.lit(0.0), F.lit(R), F.lit(0.0), F.lit(1.0),
+            F.lit(0.0), F.lit(1.0),
+        )
+
+    def step(a, b):
+        def g(i):
+            return F.element_at(a, i)
+
+        z = F.element_at(b, 1)
+        pred = g(1) + g(2)
+        p11p = g(3) + 2 * g(4) + g(5) + Q
+        p12p = g(4) + g(5)
+        s = p11p + R
+        k1 = p11p / s
+        k2 = p12p / s
+        innov = z - pred
+        return F.array(
+            pred + k1 * innov,
+            g(2) + k2 * innov,
+            (1.0 - k1) * p11p,
+            (1.0 - k1) * p12p,
+            (g(5) + Q) - k2 * p12p,
+            g(6) + innov * innov,
+            g(7) + 1.0,
+        )
+
+    as_state = F.transform(vals, seed)
+    st = F.aggregate(
+        F.slice(as_state, 2, F.greatest(F.size(as_state) - 1, F.lit(0))),
+        F.element_at(as_state, 1),
+        step,
+    )
+
+    def r4(c):
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    return series.select(
+        "event_type",
+        F.size("dv").cast("bigint").alias("n_obs"),
+        r4(F.element_at(st, 1)).alias("pos_final"),
+        r4(F.element_at(st, 2)).alias("vel_final"),
+        r4(
+            F.sqrt(
+                F.element_at(st, 6)
+                / F.nullif(F.element_at(st, 7) - 1.0, F.lit(0.0))
+            )
+        ).alias("innov_rmse"),
+    ).orderBy("event_type")
