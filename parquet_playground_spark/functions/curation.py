@@ -1173,3 +1173,271 @@ def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("ensemble_score"),
         (score >= 8).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# corpus_dedup_funnel — end-to-end curation pipeline attrition audit
+
+_FUNNEL_BANDS_XY = " OR ".join(
+    "("
+    + " AND ".join(
+        f"x.mh{b * BAND_ROWS + r} = y.mh{b * BAND_ROWS + r}"
+        for r in range(BAND_ROWS)
+    )
+    + ")"
+    for b in range(N_HASHES // BAND_ROWS)
+)
+_FUNNEL_MATCHES_XY = " + ".join(
+    f"CAST(x.mh{i} = y.mh{i} AS INT)" for i in range(N_HASHES)
+)
+
+
+@register(
+    "corpus_dedup_funnel",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+        ),
+        sigs AS ({_MINHASH_ORACLE}),
+        neardup AS (
+            SELECT DISTINCT y.doc_id
+            FROM sigs x JOIN sigs y
+              ON x.doc_id < y.doc_id AND ({_FUNNEL_BANDS_XY})
+            WHERE ({_FUNNEL_MATCHES_XY}) >= {N_HASHES // 2}
+              AND x.doc_id IN (SELECT doc_id FROM s1)
+              AND y.doc_id IN (SELECT doc_id FROM s1)
+        ),
+        s2 AS (
+            SELECT doc_id FROM s1
+            WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+        ),
+        qual AS (
+            SELECT doc_id,
+                   len(t) AS n_words,
+                   len(list_filter(t,
+                       w -> w IN ('the', 'a', 'of', 'and'))) AS n_stop
+            FROM (SELECT doc_id,
+                         list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '') AS t
+                  FROM documents)
+        ),
+        s3 AS (
+            SELECT s2.doc_id FROM s2 JOIN qual ON qual.doc_id = s2.doc_id
+            WHERE qual.n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+              AND 20 * qual.n_stop >= qual.n_words
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(
+                           toks[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)],
+                           ' ')
+                       FOR i IN range(1, len(toks) - 2)
+                   ])) AS g
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents)
+        ),
+        contam AS (
+            SELECT DISTINCT t.doc_id
+            FROM grams t JOIN grams b ON t.g = b.g
+            WHERE t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        ),
+        s4 AS (
+            SELECT doc_id FROM s3
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contam)
+        ),
+        n AS (
+            SELECT (SELECT count(*) FROM documents) AS n0,
+                   (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2,
+                   (SELECT count(*) FROM s3) AS n3,
+                   (SELECT count(*) FROM s4) AS n4
+        )
+        SELECT stage, stage_name,
+               CAST(n_in AS BIGINT) AS n_in,
+               CAST(n_in - n_out AS BIGINT) AS n_dropped,
+               CAST(n_out AS BIGINT) AS n_out,
+               floor(CAST(n_in - n_out AS DOUBLE) / n_in * 10000.0 + 0.5)
+                   / 10000.0 AS drop_pct
+        FROM (
+            SELECT CAST(1 AS BIGINT) AS stage, 'exact_dedup' AS stage_name,
+                   n0 AS n_in, n1 AS n_out FROM n
+            UNION ALL
+            SELECT 2, 'near_dedup', n1, n2 FROM n
+            UNION ALL
+            SELECT 3, 'quality_gate', n2, n3 FROM n
+            UNION ALL
+            SELECT 4, 'decontaminate', n3, n4 FROM n
+        ) f
+        ORDER BY stage
+    """,
+)
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE auditable funnel: exact
+    dedup -> MinHash-LSH near-dedup -> Gopher-lite quality gate ->
+    benchmark decontamination, each stage filtering the previous
+    stage's survivors, with per-stage in/dropped/out counts and drop
+    rate. This is the table a data-governance review actually asks
+    for — every individual stage exists as its own query
+    (dedup_exact, dedup_fuzzy_minhash, text_quality_gopher,
+    text_contamination_ngram); the funnel pins their COMPOSITION, so
+    a change in any stage's selectivity is immediately visible as a
+    shifted attrition row.
+
+    Integer-exact gates throughout: the near-dup threshold est >= 0.5
+    is compared as signature matches >= {N_HASHES // 2} (integers),
+    the stop-fraction gate 0.05 as 20*n_stop >= n_words, so no float
+    enters any keep/drop decision; only the output drop_pct is a
+    (floor-rounded) double.
+
+    Scale shape: stage 1 shuffles hashes not text; stage 2 is the
+    banded equi-join on s1 survivors (candidates only within shared
+    buckets); stage 3 is per-row arithmetic; stage 4 broadcasts the
+    tiny eval split's grams. The funnel's readout is five scalar
+    aggregates — one job, no driver-side loops."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        "doc_id"
+    )
+    s1 = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    sigs = _minhash_signatures(spark, sf_dir).join(s1, "doc_id")
+    n_bands = N_HASHES // BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * BAND_ROWS + r}").cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(N_HASHES)],
+        F.explode(bands).alias("bb"),
+    ).select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(N_HASHES)],
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    x = banded.select(
+        F.col("doc_id").alias("a"),
+        "band",
+        "bucket",
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_HASHES)],
+    )
+    y = banded.select(
+        F.col("doc_id").alias("b"),
+        "band",
+        "bucket",
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    neardup = (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", matches.alias("m"))
+        .distinct()
+        .filter(F.col("m") >= N_HASHES // 2)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(neardup, "doc_id", "left_anti")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    qual = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*_STOPWORDS))
+        ).alias("n_stop"),
+    )
+    s3 = (
+        s2.join(qual, "doc_id")
+        .filter(
+            F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+            & (20 * F.col("n_stop") >= F.col("n_words"))
+        )
+        .select("doc_id")
+    )
+    toks3 = F.split(F.lower(F.col("text")), " ")
+    idx3 = F.sequence(F.lit(0), F.size(toks3) - 4)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx3, lambda i: F.array_join(F.slice(toks3, i + 1, 4), " ")
+                )
+            )
+        ).alias("g"),
+    )
+    contam = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(
+            F.broadcast(
+                grams.filter(F.col("doc_id") % 97 == 0).select("g")
+            ).distinct(),
+            "g",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = (
+        s3.filter(F.col("doc_id") % 97 != 0)
+        .join(contam, "doc_id", "left_anti")
+    )
+    counts = (
+        d.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n3")))
+        .crossJoin(s4.agg(F.count(F.lit(1)).alias("n4")))
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(f"n{i}").alias("n_in"),
+                F.col(f"n{i + 1}").alias("n_out"),
+            )
+            for i, nm in enumerate(
+                ["exact_dedup", "near_dedup", "quality_gate", "decontaminate"]
+            )
+        ]
+    )
+    ex = counts.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.stage_name", "s.n_in", "s.n_out"
+    )
+    dropped = F.col("n_in") - F.col("n_out")
+    return ex.select(
+        "stage",
+        "stage_name",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        dropped.cast("bigint").alias("n_dropped"),
+        F.col("n_out").cast("bigint").alias("n_out"),
+        (
+            F.floor(dropped.cast("double") / F.col("n_in") * 10000.0 + 0.5)
+            / 10000.0
+        ).alias("drop_pct"),
+    ).orderBy("stage")

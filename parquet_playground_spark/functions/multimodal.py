@@ -388,3 +388,118 @@ def binary_chunk_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.count_distinct("ch").cast("double") / F.count(F.lit(1)), 4
         ).alias("dedup_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_webdataset_shards — greedy size-budget tar-shard planning
+
+_WDS_BUDGET = 10000  # bytes (n_chars proxy) per shard
+
+
+@register(
+    "multimodal_webdataset_shards",
+    oracle=f"""
+        WITH per_src AS (
+            SELECT source,
+                   list(doc_id ORDER BY doc_id) AS docs,
+                   list(CAST(n_chars AS DOUBLE) ORDER BY doc_id) AS sizes
+            FROM documents GROUP BY source
+        ),
+        packed AS (
+            SELECT source, docs, sizes,
+                   list_reduce(
+                       list_prepend([1.0, 0.0],
+                                    list_transform(sizes, s -> [s])),
+                       (a, b) -> list_concat(
+                           a[1:len(a) - 2],
+                           CASE WHEN a[len(a)] + b[1] > {_WDS_BUDGET}
+                                THEN [a[len(a) - 1] + 1.0,
+                                      a[len(a) - 1] + 1.0, b[1]]
+                                ELSE [a[len(a) - 1], a[len(a) - 1],
+                                      a[len(a)] + b[1]] END)) AS st
+            FROM per_src
+        ),
+        rows_ AS (
+            SELECT source,
+                   unnest(docs) AS doc_id,
+                   unnest(sizes) AS sz,
+                   unnest(st[1:len(st) - 2]) AS shard
+            FROM packed
+        )
+        SELECT source, CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sz) AS BIGINT) AS shard_bytes,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM rows_
+        GROUP BY source, shard
+        ORDER BY source, shard
+    """,
+)
+def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard planning: pack each source's samples
+    IN ORDER into shards, closing a shard when the next sample would
+    push it past the {_WDS_BUDGET}-byte budget (n_chars stands in for
+    payload bytes; with real image/audio blobs the same plan keys on
+    the binary column's length). Order-preserving greedy packing is
+    the WebDataset/tar contract — samples that were adjacent in the
+    source stay adjacent on disk for sequential-read training — which
+    makes it inherently a per-source sequential fold, NOT a
+    floor(cumsum/budget) bucketing (that rule lets a sample span a
+    shard boundary; greedy never does). Output: the shard manifest a
+    packing job would write (per-shard sample count, byte total,
+    first/last doc).
+
+    The fold is the repo's standard ordered array-state recurrence:
+    accumulator = per-sample shard assignments ++ [current shard,
+    current bytes], one list concat per sample. Sizes are integers
+    carried exactly in doubles (< 2^53), so both engines fold
+    identical values; the shard ids are exact small integers.
+
+    Scale shape: groupBy source (the natural pack unit — production
+    packs each source/date partition independently), bounded state per
+    group, one map-combinable manifest readout. No global order, no
+    driver loop."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_chars"))
+        ).alias("ds")
+    )
+    docs = F.transform(F.col("ds"), lambda x: x["doc_id"])
+    sizes = F.transform(F.col("ds"), lambda x: x["n_chars"].cast("double"))
+    budget = float(_WDS_BUDGET)
+
+    def step(a, b):
+        n = F.size(a)
+        assigns = F.slice(a, 1, n - 2)
+        cur_shard = F.element_at(a, -2)
+        cur_bytes = F.element_at(a, -1)
+        overflow = cur_bytes + b > budget
+        tail = F.when(overflow, F.array(cur_shard + 1.0, cur_shard + 1.0, b)).otherwise(
+            F.array(cur_shard, cur_shard, cur_bytes + b)
+        )
+        return F.concat(assigns, tail)
+
+    st = F.aggregate(
+        sizes, F.array(F.lit(1.0), F.lit(0.0)), step
+    )
+    shards = F.slice(st, 1, F.size(st) - 2)
+    rows = per_src.select(
+        "source",
+        F.explode(F.arrays_zip(docs, sizes, shards)).alias("z"),
+    ).select(
+        "source",
+        F.col("z").getField("0").alias("doc_id"),
+        F.col("z").getField("1").alias("sz"),
+        F.col("z").getField("2").alias("shard"),
+    )
+    return (
+        rows.groupBy("source", F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("sz").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )

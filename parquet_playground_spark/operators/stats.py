@@ -1147,3 +1147,91 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the normal approximation z."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("mwu_events")
     return spark.sql(_MWU_SQL.format(ev="mwu_events"))
+
+
+# ---------------------------------------------------------------------------
+# ml_decision_stump — exact 1-split CART stump via cumulative counts
+
+_STUMP_SQL = """
+        WITH feat AS (
+            SELECT 'quantity' AS feature,
+                   CAST(l_quantity AS BIGINT) AS v,
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM {li}
+            UNION ALL
+            SELECT 'discount_pct',
+                   CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT),
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT)
+            FROM {li}
+            UNION ALL
+            SELECT 'price_10k',
+                   CAST(floor(l_extendedprice / 10000.0) AS BIGINT),
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT)
+            FROM {li}
+        ),
+        pv AS (
+            SELECT feature, v, count(*) AS cnt, sum(y) AS pos
+            FROM feat GROUP BY feature, v
+        ),
+        cum AS (
+            SELECT feature, v,
+                   sum(cnt) OVER w AS nl,
+                   sum(pos) OVER w AS posl,
+                   sum(cnt) OVER (PARTITION BY feature) AS n,
+                   sum(pos) OVER (PARTITION BY feature) AS pos_tot
+            FROM pv
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT feature, v AS threshold, nl, posl,
+                   n - nl AS nr, pos_tot - posl AS posr,
+                   CAST(posl * (nl - posl) AS DOUBLE) / nl
+                   + CAST((pos_tot - posl) * ((n - nl) - (pos_tot - posl))
+                          AS DOUBLE) / (n - nl) AS g
+            FROM cum WHERE nl > 0 AND n - nl > 0
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, feature, threshold,
+               CAST(floor(g * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+                   AS weighted_gini_x_n,
+               CAST(nl AS BIGINT) AS n_left, CAST(posl AS BIGINT) AS pos_left,
+               CAST(nr AS BIGINT) AS n_right,
+               CAST(posr AS BIGINT) AS pos_right
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY g, feature, threshold) AS rnk
+            FROM scored)
+        WHERE rnk <= 3
+        ORDER BY rnk
+"""
+
+
+@register("ml_decision_stump", oracle=_STUMP_SQL.format(li="lineitem"))
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CART decision-stump training: find the (feature,
+    threshold) split minimizing weighted Gini impurity for predicting
+    returns (l_returnflag = 'R'), over three integerized features
+    (quantity, discount in pct points, price in 10k buckets). The
+    classic trick makes it one pass per feature: group by distinct
+    value, then a cumulative window turns every candidate threshold's
+    left/right class counts into prefix sums — no per-threshold
+    rescan, which is also exactly how distributed GBDT frameworks
+    (XGBoost/LightGBM histogram mode) evaluate splits at scale.
+
+    Determinism: class counts are integers; the Gini score is
+    assembled from exact-integer products cast to double with one
+    division per side — identical IEEE doubles on both engines — and
+    the argmin tie-breaks on (gini, feature, threshold). Output: the
+    top-3 candidate splits with their full contingency counts.
+
+    Scale shape: one map-combinable groupBy per feature (the
+    'histogram'), a per-feature window over the few-hundred-row
+    histogram table, and a global top-3 — the fact table is scanned
+    once; nothing pairwise, nothing iterative."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "stump_lineitem"
+    )
+    return spark.sql(_STUMP_SQL.format(li="stump_lineitem"))
