@@ -503,3 +503,71 @@ def test_vocab_spectrum_two_stage_agg(spark):
     plan = formatted_plan(_q("text_vocab_freq_spectrum")(spark, SF_DIR))
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+# ---- round 5 additions: plan pins for the new operator batch ----
+
+
+def test_ivf_pq_broadcasts_codebook_no_cartesian(spark):
+    """The IVF-PQ query path must stay index-shaped: codebook and
+    centroids broadcast (tiny), candidates reached via equi-joins on
+    (list, code) keys — a cartesian or nested-loop here means the ADC
+    rewrite regressed to brute force."""
+    plan = formatted_plan(_q("sim_search_ivf_pq")(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_em_runs_on_type_table_no_python(spark):
+    """The EM fold is pure JVM expression work over the word-TYPE
+    table; any BatchEvalPython would mean the DP fell off the codegen
+    path."""
+    plan = formatted_plan(_q("tokenizer_unigram_em")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+
+
+def test_paragraph_dedup_no_pairwise_join(spark):
+    """Span dedup counts span frequencies — there must be no doc-pair
+    expansion (nested loop / cartesian) anywhere in the plan."""
+    plan = formatted_plan(_q("dedup_paragraph_exact")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_stays_hash_joined(spark):
+    """The curation funnel composes four stages; every inter-stage
+    filter must plan as hash/broadcast joins (semi/anti), never a
+    nested loop over documents."""
+    plan = formatted_plan(_q("corpus_dedup_funnel")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_stump_single_fact_scan_per_feature_union(spark):
+    """The stump histograms read lineitem once per feature arm (3
+    scans via the union) and aggregate map-side; no Python, no join."""
+    plan = formatted_plan(_q("ml_decision_stump")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_lttb_bucket_stages_no_python(spark):
+    plan = formatted_plan(_q("ts_downsample_lttb")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kalman_fold_is_single_shuffle(spark):
+    """One groupBy on the series key; the filter itself is expression
+    work — no join, no Python."""
+    plan = formatted_plan(_q("ts_kalman_filter_1d")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_webdataset_pack_no_global_sort(spark):
+    """Packing is per-source: the plan may sort WITHIN groups for the
+    collect_list but must not plan a global Exchange-to-one-partition
+    (rangepartitioning over a single ordering key set is fine; a
+    SinglePartition exchange before the fold is not)."""
+    plan = formatted_plan(_q("multimodal_webdataset_shards")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
