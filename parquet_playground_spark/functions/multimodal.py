@@ -406,24 +406,29 @@ _WDS_BUDGET = 10000  # bytes (n_chars proxy) per shard
             FROM documents GROUP BY source
         ),
         packed AS (
+            -- accumulator layout: [current_shard_bytes, break_idx...]
+            -- (break = 1-based element index that OPENS a new shard);
+            -- state stays #shards-sized, so the fold is O(n * shards),
+            -- never O(n^2)
             SELECT source, docs, sizes,
                    list_reduce(
-                       list_prepend([1.0, 0.0],
-                                    list_transform(sizes, s -> [s])),
-                       (a, b) -> list_concat(
-                           a[1:len(a) - 2],
-                           CASE WHEN a[len(a)] + b[1] > {_WDS_BUDGET}
-                                THEN [a[len(a) - 1] + 1.0,
-                                      a[len(a) - 1] + 1.0, b[1]]
-                                ELSE [a[len(a) - 1], a[len(a) - 1],
-                                      a[len(a)] + b[1]] END)) AS st
+                       list_prepend([0.0],
+                           [ [CAST(i AS DOUBLE), sizes[CAST(i AS INTEGER)]]
+                             FOR i IN range(1, len(sizes) + 1) ]),
+                       (a, b) -> CASE
+                           WHEN a[1] + b[2] > {_WDS_BUDGET}
+                           THEN list_concat(list_concat([b[2]],
+                                    a[2:len(a)]), [b[1]])
+                           ELSE list_concat([a[1] + b[2]], a[2:len(a)])
+                       END) AS st
             FROM per_src
         ),
         rows_ AS (
             SELECT source,
                    unnest(docs) AS doc_id,
                    unnest(sizes) AS sz,
-                   unnest(st[1:len(st) - 2]) AS shard
+                   unnest([ 1 + len(list_filter(st[2:len(st)], x -> x <= i))
+                            FOR i IN range(1, len(sizes) + 1) ]) AS shard
             FROM packed
         )
         SELECT source, CAST(shard AS BIGINT) AS shard,
@@ -449,16 +454,18 @@ def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing job would write (per-shard sample count, byte total,
     first/last doc).
 
-    The fold is the repo's standard ordered array-state recurrence:
-    accumulator = per-sample shard assignments ++ [current shard,
-    current bytes], one list concat per sample. Sizes are integers
-    carried exactly in doubles (< 2^53), so both engines fold
-    identical values; the shard ids are exact small integers.
+    The fold carries ONLY [current shard bytes, break indices...] —
+    state is #shards-sized, so per-element work is O(shards), not
+    O(n): a first version that accumulated the full per-sample
+    assignment array measured 27x at 10x data (sf0.1 0.47 s -> sf1
+    12.9 s, quadratic array copying); this formulation re-measured
+    0.5 s -> ~1 s. Per-sample shard ids are then recovered as
+    1 + |breaks <= idx| — O(n x shards) JVM expression work.
 
     Scale shape: groupBy source (the natural pack unit — production
-    packs each source/date partition independently), bounded state per
-    group, one map-combinable manifest readout. No global order, no
-    driver loop."""
+    packs each source/date partition independently, which also bounds
+    the break list), bounded state per group, one map-combinable
+    manifest readout. No global order, no driver loop."""
     d = load_table(spark, sf_dir, "documents")
     per_src = d.groupBy("source").agg(
         F.array_sort(
@@ -469,29 +476,47 @@ def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = F.transform(F.col("ds"), lambda x: x["n_chars"].cast("double"))
     budget = float(_WDS_BUDGET)
 
-    def step(a, b):
-        n = F.size(a)
-        assigns = F.slice(a, 1, n - 2)
-        cur_shard = F.element_at(a, -2)
-        cur_bytes = F.element_at(a, -1)
-        overflow = cur_bytes + b > budget
-        tail = F.when(overflow, F.array(cur_shard + 1.0, cur_shard + 1.0, b)).otherwise(
-            F.array(cur_shard, cur_shard, cur_bytes + b)
-        )
-        return F.concat(assigns, tail)
+    n = F.size(F.col("ds"))
 
-    st = F.aggregate(
-        sizes, F.array(F.lit(1.0), F.lit(0.0)), step
+    def step(a, i):
+        sz = F.element_at(F.col("szs"), i.cast("int"))
+        cur = F.element_at(a, 1)
+        breaks = F.slice(a, 2, F.size(a) - 1)
+        return (
+            F.when(
+                cur + sz > budget,
+                F.concat(
+                    F.array(sz), breaks, F.array(i.cast("double"))
+                ),
+            ).otherwise(F.concat(F.array(cur + sz), breaks))
+        )
+
+    with_st = per_src.withColumn("szs", sizes).withColumn(
+        "st",
+        F.aggregate(
+            F.sequence(F.lit(1), n), F.array(F.lit(0.0)), step
+        ),
     )
-    shards = F.slice(st, 1, F.size(st) - 2)
-    rows = per_src.select(
+    breaks = F.slice(F.col("st"), 2, F.size(F.col("st")) - 1)
+    shards = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: 1
+        + F.size(F.filter(breaks, lambda b: b <= i.cast("double"))),
+    )
+    rows = with_st.select(
         "source",
-        F.explode(F.arrays_zip(docs, sizes, shards)).alias("z"),
+        F.explode(
+            F.arrays_zip(
+                docs.alias("doc_id"),
+                F.col("szs").alias("sz"),
+                shards.alias("shard"),
+            )
+        ).alias("z"),
     ).select(
         "source",
-        F.col("z").getField("0").alias("doc_id"),
-        F.col("z").getField("1").alias("sz"),
-        F.col("z").getField("2").alias("shard"),
+        F.col("z.doc_id").alias("doc_id"),
+        F.col("z.sz").alias("sz"),
+        F.col("z.shard").alias("shard"),
     )
     return (
         rows.groupBy("source", F.col("shard").cast("bigint").alias("shard"))
