@@ -110,7 +110,7 @@ _CHECK_ORDER = [
     "sim_search_ivf_pq", "ts_downsample_lttb",
     "ts_kalman_filter_1d", "fn_interval_arithmetic",
     "corpus_dedup_funnel", "ml_decision_stump",
-    "multimodal_webdataset_shards",
+    "multimodal_webdataset_shards", "stream_windowed_topk",
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_stock", "q16_supplier_part_counts",
     "q20_part_promotion", "dedup_prefix_boilerplate",

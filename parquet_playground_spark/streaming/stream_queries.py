@@ -935,3 +935,57 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id").isNotNull()
         | (F.col("v_sec") + _SSLO_WINDOW_SEC < F.lit(cutoff))
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+        WITH wc AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events,
+               CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY window_start
+                ORDER BY n_events DESC, event_type) AS rnk
+            FROM wc)
+        WHERE rnk <= 3
+        ORDER BY window_start, rnk
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour over the stream: the
+    streaming half maintains the windowed counts (the only state that
+    must live in the state store — bounded at |windows x types|); the
+    per-window rank runs as a BATCH window over the streaming sink's
+    complete-mode table, because rank-over-aggregate is not an
+    incrementally-maintainable streaming operator (Spark rejects
+    multiple stateful ops in update/complete chains) — the standard
+    production split: stream maintains the additive aggregate,
+    the serving layer ranks. Deterministic tie-break on event_type;
+    availableNow replay makes the composition equal the batch SQL.
+
+    Scale shape: state = one row per (window, type); the rank pass
+    reads |windows| x |types| rows from the sink, never the stream."""
+    staged = _stage_events(spark, sf_dir)
+    s = _read_stream(spark, staged)
+    agg = s.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_table(agg, "complete")
+    from pyspark.sql import Window
+
+    wc = out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events"
+    )
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        wc.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )

@@ -62,6 +62,7 @@ _HEAVY = {
     "stream_transform_with_state",
     "stream_tumbling_count",
     "stream_python_source",
+    "stream_windowed_topk",
 }
 
 
