@@ -1847,3 +1847,149 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY u2.used DESC, u2.piece
         LIMIT 15
     """)
+
+
+@register(
+    "text_keyword_rake",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+                   generate_subscripts(
+                       string_split_regex(lower(text), '\\s+'), 1) AS pos
+            FROM documents
+        ),
+        marked AS (
+            SELECT doc_id, tok, pos,
+                   CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+            FROM toks WHERE tok <> ''
+        ),
+        runs AS (
+            SELECT doc_id, tok, pos, stop,
+                   sum(stop) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pid
+            FROM marked
+        ),
+        members AS (
+            SELECT doc_id, pid, tok, pos,
+                   count(*) OVER (PARTITION BY doc_id, pid) AS n_words
+            FROM runs WHERE stop = 0
+        ),
+        kept AS (
+            SELECT * FROM members WHERE n_words BETWEEN 1 AND 4
+        ),
+        wstat AS (
+            SELECT tok, count(*) AS freq, sum(n_words) AS deg
+            FROM kept GROUP BY tok
+        ),
+        scored AS (
+            SELECT k.doc_id, k.pid, k.tok, k.pos,
+                   (CAST(w.deg AS BIGINT) * 1000000) // w.freq AS ws_micro
+            FROM kept k JOIN wstat w ON k.tok = w.tok
+        ),
+        phrases AS (
+            SELECT doc_id, pid,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(sum(ws_micro) AS BIGINT) AS score_micro
+            FROM scored GROUP BY doc_id, pid
+        ),
+        agg AS (
+            SELECT phrase, count(*) AS n_occ,
+                   max(score_micro) AS score_micro
+            FROM phrases GROUP BY phrase
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, phrase,
+               CAST(n_occ AS BIGINT) AS n_occ,
+               CAST(score_micro AS DOUBLE) / 1000000.0 AS rake_score
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY score_micro DESC, phrase) AS rnk
+            FROM agg)
+        WHERE rnk <= 50
+        ORDER BY rnk
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (capped at 4 words — longer
+    runs in this low-stopword corpus are passages, not keyphrases),
+    each word is scored degree/frequency over the candidate set
+    (degree = sum of lengths of phrases containing the word — words
+    that appear inside longer collocations outrank isolated frequent
+    words), and a phrase scores the sum of its word scores. Output:
+    the global top-50 keyphrases with occurrence counts.
+
+    Determinism: word scores are integerized by EXACT integer division
+    (deg*1e6 div freq — no float rational), phrase scores are integer
+    sums, and the top-50 tie-breaks on the phrase text.
+
+    Scale shape: tokenization is linear explode; the run segmentation
+    is a per-document window (documents are bounded); word stats and
+    phrase aggregation are map-combinable groupBys; the word-score
+    join keys on the token — vocabulary-sized, broadcastable. Nothing
+    pairwise: RAKE over a trillion tokens is two aggregation passes
+    and a broadcast join."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias(
+                "pos0", "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("pos0") + 1).alias("pos"),
+            F.when(F.col("tok").isin("a", "the"), 1).otherwise(0).alias(
+                "stop"
+            ),
+        )
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.withColumn("pid", F.sum("stop").over(w_run))
+    members = runs.filter(F.col("stop") == 0).withColumn(
+        "n_words", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "pid"))
+    )
+    kept = members.filter(F.col("n_words").between(1, 4))
+    wstat = kept.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("deg")
+    )
+    scored = kept.join(F.broadcast(wstat), "tok").withColumn(
+        "ws_micro", F.expr("deg * 1000000L div freq")
+    )
+    phrases = scored.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum("ws_micro").cast("bigint").alias("score_micro"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.max("score_micro").alias("score_micro"),
+    )
+    w_rank = Window.orderBy(F.col("score_micro").desc(), "phrase")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 50)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "phrase",
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            (F.col("score_micro").cast("double") / 1000000.0).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy("rnk")
+    )

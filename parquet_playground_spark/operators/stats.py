@@ -1235,3 +1235,342 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stump_lineitem"
     )
     return spark.sql(_STUMP_SQL.format(li="stump_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ml_auc_roc — exact ROC AUC via the tie-corrected rank formula
+
+_AUC_SQL = """
+        WITH scored AS (
+            SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) * 100
+                   + CAST(l_quantity AS BIGINT) AS score,
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM {li}
+        ),
+        hist AS (
+            SELECT score, count(*) AS cnt, sum(y) AS pos
+            FROM scored GROUP BY score
+        ),
+        cum AS (
+            SELECT score, cnt, pos, cnt - pos AS neg,
+                   coalesce(sum(cnt - pos) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS neg_below
+            FROM hist
+        ),
+        tot AS (
+            SELECT sum(pos) AS n_pos, sum(neg) AS n_neg,
+                   sum(2 * neg_below * pos + neg * pos) AS num2
+            FROM cum
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST(floor(CAST(num2 AS DOUBLE)
+                          / (2.0 * n_pos * n_neg) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS auc,
+               CAST(floor((CAST(num2 AS DOUBLE)
+                           / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0)
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS gini
+        FROM tot
+"""
+
+
+@register("ml_auc_roc", oracle=_AUC_SQL.format(li="lineitem"))
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (and Gini = 2*AUC-1) of a deterministic linear
+    score (discount pct * 100 + quantity) predicting returns
+    (l_returnflag = 'R'), via the tie-corrected Mann-Whitney rank
+    identity: AUC = P(score_pos > score_neg) + 0.5*P(tie). Grouping by
+    distinct score first turns the pairwise definition into a
+    histogram walk — per score value the contribution is
+    negatives_below*positives_here + ties/2, accumulated with a
+    cumulative window over the (tiny) score histogram.
+
+    Determinism: the doubled numerator (2*neg_below*pos + neg*pos) is
+    an exact integer sum, so the single final division produces the
+    same IEEE double on both engines; outputs round at 6 dp.
+
+    Scale shape: one map-combinable groupBy over the fact table (the
+    histogram carries |distinct scores| rows, ~1.1k here and bounded
+    by score design at any SF), then a window over that aggregate —
+    the classic distributed-AUC evaluation shape used for CTR models,
+    never materializing pos x neg pairs."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "auc_lineitem"
+    )
+    return spark.sql(_AUC_SQL.format(li="auc_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ml_confusion_matrix_metrics — threshold sweep over a histogram
+
+_CONF_SQL = """
+        WITH lab AS (
+            SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                       AS disc_pct,
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM {li}
+        ),
+        hist AS (
+            SELECT disc_pct, count(*) AS cnt, sum(y) AS pos
+            FROM lab GROUP BY disc_pct
+        ),
+        thr AS (SELECT * FROM (VALUES (3), (5), (8)) AS t(thr)),
+        conf AS (
+            SELECT thr,
+                   sum(CASE WHEN disc_pct >= thr THEN pos ELSE 0 END) AS tp,
+                   sum(CASE WHEN disc_pct >= thr THEN cnt - pos ELSE 0 END)
+                       AS fp,
+                   sum(CASE WHEN disc_pct < thr THEN pos ELSE 0 END)
+                       AS fneg,
+                   sum(CASE WHEN disc_pct < thr THEN cnt - pos ELSE 0 END)
+                       AS tneg
+            FROM hist CROSS JOIN thr GROUP BY thr
+        )
+        SELECT CAST(thr AS BIGINT) AS thr,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fneg AS BIGINT) AS fneg, CAST(tneg AS BIGINT) AS tneg,
+               CAST(floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS prec,
+               CAST(floor(CAST(tp AS DOUBLE) / (tp + fneg) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS recall,
+               CAST(floor(2.0 * tp / (2.0 * tp + fp + fneg) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS f1,
+               CAST(floor(CAST(tp + tneg AS DOUBLE)
+                          / (tp + fp + fneg + tneg) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS accuracy
+        FROM conf
+        ORDER BY thr
+"""
+
+
+@register(
+    "ml_confusion_matrix_metrics", oracle=_CONF_SQL.format(li="lineitem")
+)
+def ml_confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrices and threshold metrics (precision / recall /
+    F1 / accuracy) for the discount-threshold classifier predicting
+    returns, swept over three operating points. The fact table is
+    reduced ONCE to an 11-row (disc_pct, cnt, pos) histogram; the
+    threshold sweep is an 11x3 cross join over that aggregate — the
+    standard way to evaluate K thresholds in one pass at scale
+    instead of K scans of the fact table.
+
+    Determinism: all four cells are exact integer sums; each metric is
+    a single integer-ratio division rounded at 6 dp. F1 is computed
+    directly as 2tp/(2tp+fp+fn) — one division, no compounding of
+    pre-rounded precision/recall."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "conf_lineitem"
+    )
+    return spark.sql(_CONF_SQL.format(li="conf_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ml_target_encoding_kfold — leakage-free out-of-fold target encoding
+
+_TE_SQL = """
+        WITH lab AS (
+            SELECT p.p_brand, CAST(l.l_orderkey % 5 AS BIGINT) AS fold,
+                   CAST(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM {li} l JOIN {pt} p ON l.l_partkey = p.p_partkey
+        ),
+        cell AS (
+            SELECT p_brand, fold, count(*) AS cnt, sum(y) AS pos
+            FROM lab GROUP BY p_brand, fold
+        ),
+        tot AS (
+            SELECT p_brand, sum(cnt) AS cnt_tot, sum(pos) AS pos_tot
+            FROM cell GROUP BY p_brand
+        ),
+        gl AS (
+            SELECT CAST(sum(pos) AS DOUBLE) / sum(cnt) AS prior FROM cell
+        )
+        SELECT c.p_brand AS brand, c.fold,
+               CAST(c.cnt AS BIGINT) AS n_in_fold,
+               CAST(t.cnt_tot - c.cnt AS BIGINT) AS n_oof,
+               CAST(floor((CAST(t.pos_tot - c.pos AS DOUBLE) + 20.0 * g.prior)
+                          / (CAST(t.cnt_tot - c.cnt AS DOUBLE) + 20.0)
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS te_oof
+        FROM cell c
+        JOIN tot t ON c.p_brand = t.p_brand
+        CROSS JOIN gl g
+        ORDER BY brand, fold
+"""
+
+
+@register(
+    "ml_target_encoding_kfold",
+    oracle=_TE_SQL.format(li="lineitem", pt="part"),
+)
+def ml_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold out-of-fold target encoding of the part brand against
+    the return label — the leakage-free categorical encoding used in
+    production feature pipelines: each (category, fold) cell is
+    encoded with the smoothed target mean of the OTHER four folds
+    ((pos_tot - pos_fold + m*prior) / (cnt_tot - cnt_fold + m), m=20),
+    so a row never sees its own fold's labels. The complement-sum
+    trick means K folds cost ONE aggregation pass (per-cell counts)
+    plus arithmetic on the |categories| x K cell table — not K
+    training-set scans.
+
+    Determinism: folds hash from l_orderkey (engine-stable), all
+    sums are exact integers, the prior and encoding are single
+    divisions rounded at 6 dp.
+
+    Scale shape: the dimension join is broadcast (part is the small
+    side per-key; at real scale the brand column would be denormalized
+    onto the fact anyway), then one map-combinable groupBy (25 brands
+    x 5 folds = 125 cells at any SF), a 25-row join, a 1-row broadcast
+    prior. The encoded table is broadcast-joinable back onto the fact
+    table for free downstream."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "te_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("te_part")
+    return spark.sql(_TE_SQL.format(li="te_lineitem", pt="te_part"))
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins — reliability diagram + ECE + Brier, integer-exact
+
+_CALIB_SQL = """
+        WITH lab AS (
+            SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS b,
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM {li}
+        ),
+        binned AS (
+            SELECT b, count(*) AS n, sum(y) AS pos,
+                   sum(b * b) AS sbb, sum(b * y) AS sby
+            FROM lab GROUP BY b
+        ),
+        per_bin AS (
+            SELECT b, n, pos,
+                   sbb - 20 * sby + 100 * pos AS sq_err_x100,
+                   CAST(floor(abs(CAST(b AS DOUBLE) / 10.0
+                                  - CAST(pos AS DOUBLE) / n)
+                              * 1000000.0 + 0.5) AS BIGINT) AS gap_micro
+            FROM binned
+        ),
+        tot AS (
+            SELECT sum(n) AS n_tot, sum(n * gap_micro) AS ece_micro_n,
+                   sum(sq_err_x100) AS brier_x100_n
+            FROM per_bin
+        )
+        SELECT p.b AS bin, CAST(p.n AS BIGINT) AS n,
+               CAST(p.b AS DOUBLE) / 10.0 AS mean_pred,
+               CAST(floor(CAST(p.pos AS DOUBLE) / p.n * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS obs_rate,
+               CAST(p.gap_micro AS DOUBLE) / 1000000.0 AS abs_gap,
+               CAST(floor(CAST(t.ece_micro_n AS DOUBLE) / t.n_tot + 0.5)
+                    AS DOUBLE) / 1000000.0 AS ece,
+               CAST(floor(CAST(t.brier_x100_n AS DOUBLE) / t.n_tot
+                          * 10000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS brier
+        FROM per_bin p CROSS JOIN tot t
+        ORDER BY bin
+"""
+
+
+@register("ml_calibration_bins", oracle=_CALIB_SQL.format(li="lineitem"))
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the discount-as-probability predictor
+    (p_hat = disc_pct/10): per-bin predicted vs observed return rate,
+    plus the two standard scalar calibration summaries on every row —
+    ECE (expected calibration error, the n-weighted mean |gap|) and
+    the Brier score. The Brier sum uses the algebraic identity
+    (b/10 - y)^2 = (b - 10y)^2 / 100, so the per-bin contribution
+    (b^2*n - 20*b*pos + 100*pos) is an EXACT integer — no float
+    accumulation anywhere; ECE likewise sums integer micro-units
+    (n * round(|gap|*1e6)) so the cross-bin total is
+    order-independent. Both scalars take exactly one final division.
+
+    Scale shape: one map-combinable groupBy to an 11-row bin table;
+    everything after operates on that aggregate. This is the
+    distributed model-monitoring shape: calibration of a trillion
+    predictions costs one histogram pass."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "calib_lineitem"
+    )
+    return spark.sql(_CALIB_SQL.format(li="calib_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# stat_welch_ttest — Welch's unequal-variance t from integer moments
+
+_WELCH_SQL = """
+        WITH obs AS (
+            SELECT l_returnflag AS grp,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS cents
+            FROM {li} WHERE l_returnflag IN ('R', 'N')
+        ),
+        mom AS (
+            SELECT grp, count(*) AS n, sum(cents) AS s1,
+                   sum(CAST(cents AS DECIMAL(38, 0))
+                       * CAST(cents AS DECIMAL(38, 0))) AS s2
+            FROM obs GROUP BY grp
+        ),
+        stats AS (
+            SELECT grp, n,
+                   CAST(s1 AS DOUBLE) / n / 100.0 AS mean_usd,
+                   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       / (n - 1) / 10000.0 AS var_usd
+            FROM mom
+        ),
+        pair AS (
+            SELECT max(CASE WHEN grp = 'R' THEN n END) AS n_r,
+                   max(CASE WHEN grp = 'N' THEN n END) AS n_n,
+                   max(CASE WHEN grp = 'R' THEN mean_usd END) AS mean_r,
+                   max(CASE WHEN grp = 'N' THEN mean_usd END) AS mean_n,
+                   max(CASE WHEN grp = 'R' THEN var_usd / n END)
+                   + max(CASE WHEN grp = 'N' THEN var_usd / n END) AS se2,
+                   max(CASE WHEN grp = 'R' THEN var_usd / n END) AS ra,
+                   max(CASE WHEN grp = 'N' THEN var_usd / n END) AS rb,
+                   max(CASE WHEN grp = 'R' THEN n END) - 1 AS dfa,
+                   max(CASE WHEN grp = 'N' THEN n END) - 1 AS dfb
+            FROM stats
+        )
+        SELECT CAST(n_r AS BIGINT) AS n_r, CAST(n_n AS BIGINT) AS n_n,
+               CAST(floor(mean_r * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                   AS mean_r,
+               CAST(floor(mean_n * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                   AS mean_n,
+               CAST(floor((mean_r - mean_n) / sqrt(se2) * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS t_stat,
+               CAST(floor(se2 * se2 / (ra * ra / dfa + rb * rb / dfb)
+                          * 100.0 + 0.5)
+                    AS DOUBLE) / 100.0 AS welch_df
+        FROM pair
+"""
+
+
+@register("stat_welch_ttest", oracle=_WELCH_SQL.format(li="lineitem"))
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (returned vs
+    non-returned line price), with the Welch-Satterthwaite effective
+    degrees of freedom. Each group reduces to three exact moments —
+    n (bigint), sum of cents (bigint), sum of squared cents as
+    DECIMAL(38,0) so the ~1e19-magnitude total is exact, not a
+    float accumulation whose value depends on partition merge order.
+    Mean/variance/t/df are then assembled driver-side from the 2-row
+    moment table with a fixed arithmetic sequence, rounded at 4 dp
+    (2 dp for df).
+
+    Scale shape: the entire test is ONE map-combinable aggregation —
+    the canonical distributed A/B readout: any number of groups and
+    any data size costs one pass and a |groups|-row shuffle. The
+    heavy-tail caveat (use stat_mann_whitney_u for revenue-like
+    metrics) is documented there; this is the parametric sibling."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "welch_lineitem"
+    )
+    return spark.sql(_WELCH_SQL.format(li="welch_lineitem"))

@@ -1549,3 +1549,120 @@ def ts_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("innov_rmse"),
     ).orderBy("event_type")
+
+
+@register(
+    "ts_gapfill_interpolate_linear",
+    oracle="""
+        WITH per_min AS (
+            SELECT date_trunc('minute', ts) AS minute,
+                   round(avg(value), 4) AS v
+            FROM events GROUP BY 1
+        ),
+        seq AS (
+            SELECT minute AS t0, v AS v0,
+                   lead(minute) OVER (ORDER BY minute) AS t1,
+                   lead(v) OVER (ORDER BY minute) AS v1
+            FROM per_min
+        ),
+        gaps AS (
+            SELECT t0, v0, v1,
+                   CAST(date_diff('minute', t0, t1) AS BIGINT) AS gap
+            FROM seq WHERE t1 IS NOT NULL
+        ),
+        expanded AS (
+            SELECT t0, v0, v1, gap,
+                   unnest(generate_series(0, gap - 1)) AS i
+            FROM gaps
+        )
+        SELECT t0 + to_minutes(CAST(i AS BIGINT)) AS minute,
+               CAST(floor((v0 + (v1 - v0) * i / gap) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS v_interp,
+               CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_observed
+        FROM expanded
+        UNION ALL
+        SELECT minute,
+               CAST(floor(v * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0,
+               CAST(1 AS BIGINT)
+        FROM per_min
+        WHERE minute = (SELECT max(minute) FROM per_min)
+        ORDER BY minute
+    """,
+)
+def ts_gapfill_interpolate_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dense minute series with LINEAR interpolation across gaps — the
+    sibling of ts_gapfill_locf for metrics where carrying the last
+    value forward biases the fill (gauges, rates). Instead of building
+    a dense spine and searching for neighbors, each consecutive pair
+    of OBSERVED minutes (a lead() over the per-minute aggregate) emits
+    its own gap via sequence()+explode, computing
+    v0 + (v1-v0) * i/gap per emitted minute — so the expensive part is
+    proportional to the OUTPUT spine, and neighbor discovery costs one
+    window over the calendar-bounded observed-minute table (43k rows
+    per month regardless of SF; at production span this window
+    partitions by day with a |days|-row boundary carry, exactly the
+    ts_gapfill_locf two-pass shape).
+
+    Determinism: endpoints are pre-rounded at 4 dp, the interpolation
+    is the same left-to-right IEEE expression on both engines
+    ((v1-v0)*i then /gap), and the result rounds at 6 dp. The final
+    observed minute (no successor) is emitted separately so the spine
+    is exactly [min, max]."""
+    e = load_table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    # Single-partition window over the calendar-bounded aggregate
+    # (8961 observed minutes at any SF for the fixed month; see
+    # docstring for the per-day partitioned production variant).
+    w = Window.orderBy("minute")
+    seq = per_min.select(
+        F.col("minute").alias("t0"),
+        F.col("v").alias("v0"),
+        F.lead("minute").over(w).alias("t1"),
+        F.lead("v").over(w).alias("v1"),
+    )
+    gaps = seq.filter(F.col("t1").isNotNull()).withColumn(
+        "gap",
+        (
+            (F.unix_timestamp("t1") - F.unix_timestamp("t0")) / 60
+        ).cast("bigint"),
+    )
+    expanded = gaps.select(
+        "t0",
+        "v0",
+        "v1",
+        "gap",
+        F.explode(F.sequence(F.lit(0), F.col("gap") - 1)).alias("i"),
+    )
+    interp = expanded.select(
+        F.expr("timestampadd(MINUTE, i, t0)").alias("minute"),
+        (
+            F.floor(
+                (
+                    F.col("v0")
+                    + (F.col("v1") - F.col("v0")) * F.col("i") / F.col("gap")
+                )
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0
+        ).alias("v_interp"),
+        F.when(F.col("i") == 0, 1).otherwise(0).cast("bigint").alias(
+            "is_observed"
+        ),
+    )
+    last = (
+        per_min.orderBy(F.col("minute").desc())
+        .limit(1)
+        .select(
+            "minute",
+            (F.floor(F.col("v") * 1000000.0 + 0.5).cast("double") / 1000000.0)
+            .alias("v_interp"),
+            F.lit(1).cast("bigint").alias("is_observed"),
+        )
+    )
+    return interp.unionAll(last)

@@ -105,6 +105,10 @@ _CHECK_ORDER = [
     # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
     # the front block. New r5 operators are prepended here when they
     # land so they get an official row immediately.
+    "dedup_prefix_filter_allpairs", "text_keyword_rake",
+    "ml_auc_roc", "ml_confusion_matrix_metrics",
+    "ml_target_encoding_kfold", "ml_calibration_bins",
+    "stat_welch_ttest", "ts_gapfill_interpolate_linear",
     "tokenizer_unigram_em", "dedup_minhash_index_merge",
     "dedup_paragraph_exact", "corpus_quality_ensemble",
     "sim_search_ivf_pq", "ts_downsample_lttb",

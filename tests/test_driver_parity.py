@@ -115,3 +115,19 @@ def test_survey_inventory_matches_registry():
         f"survey-only: {sorted(keys - set(registry.QUERIES))}; "
         f"registry-only: {sorted(set(registry.QUERIES) - keys)}"
     )
+
+
+def test_every_query_has_an_oracle():
+    """Every registered query carries a DuckDB oracle (zero rows-only).
+
+    The r4 close reached 100% oracle coverage; a future query landing
+    without an oracle silently downgrades the driver's check for it to
+    rows-only. Keep the regression loud (VERDICT r4 item 5).
+    """
+    from parquet_playground_spark import registry
+
+    registry.load_all()
+    assert set(registry.ORACLES) == set(registry.QUERIES), (
+        f"rows-only queries (no oracle): "
+        f"{sorted(set(registry.QUERIES) - set(registry.ORACLES))}"
+    )

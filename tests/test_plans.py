@@ -571,3 +571,65 @@ def test_webdataset_pack_no_global_sort(spark):
     SinglePartition exchange before the fold is not)."""
     plan = formatted_plan(_q("multimodal_webdataset_shards")(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
+
+
+def test_auc_single_fact_aggregation(spark):
+    """AUC reduces the fact table to a score histogram in one
+    map-combinable aggregate; the window then runs over that tiny
+    aggregate. No join may touch the fact table."""
+    plan = formatted_plan(_q("ml_auc_roc")(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_confusion_sweep_joins_histogram_not_fact(spark):
+    """The threshold sweep must cross-join the 11-row histogram with
+    the 3-row threshold table — the only join inputs are aggregates,
+    so a broadcast nested loop over 33 rows is fine; re-scanning the
+    fact per threshold (3 parquet scans) is not."""
+    # formatted plans list each scan twice (tree node + detail block)
+    plan = formatted_plan(_q("ml_confusion_matrix_metrics")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2
+
+
+def test_target_encoding_broadcasts_dim(spark):
+    """The part-brand dimension join must broadcast; the encoding
+    arithmetic then runs on the 125-cell aggregate."""
+    df = _q("ml_target_encoding_kfold")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_welch_is_one_aggregation_pass(spark):
+    """Welch's t reduces each group to 3 exact moments in ONE
+    map-combinable aggregate — a single fact scan, and the 2-row
+    moment join is broadcast-sized."""
+    # formatted plans list each scan twice (tree node + detail block)
+    plan = formatted_plan(_q("stat_welch_ttest")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2
+
+
+def test_prefix_filter_join_is_hash_not_cartesian(spark):
+    """The AllPairs prefix join must key on the shingle (hash join);
+    a cartesian/nested-loop pair expansion defeats the entire
+    prefix-filtering point."""
+    plan = formatted_plan(_q("dedup_prefix_filter_allpairs")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rake_word_scores_broadcast(spark):
+    """RAKE's word-score join keys on the token (vocabulary-sized) and
+    must broadcast; candidate extraction stays JVM-side."""
+    df = _q("text_keyword_rake")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "BatchEvalPython" not in plan
+
+
+def test_interp_gapfill_no_dense_spine_join(spark):
+    """Linear gapfill emits each gap from its observed-pair row
+    (sequence+explode) — the plan must contain NO join at all: neighbor
+    discovery is a window, expansion is a generator."""
+    plan = formatted_plan(_q("ts_gapfill_interpolate_linear")(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
