@@ -1441,3 +1441,114 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("drop_pct"),
     ).orderBy("stage")
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest([ t[CAST(i AS INTEGER)] || ' ' ||
+                            t[CAST(i + 1 AS INTEGER)]
+                            FOR i IN range(1, len(t)) ]) AS bg
+            FROM toks
+            WHERE len(t) >= 2
+        ),
+        bg_counts AS (
+            SELECT bg, count(*) AS c12 FROM big GROUP BY bg
+        ),
+        ctx_counts AS (
+            SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1
+            FROM bg_counts GROUP BY 1
+        ),
+        vocab AS (
+            SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(t) AS tok FROM toks) WHERE tok <> ''
+        ),
+        per_doc AS (
+            SELECT b.doc_id,
+                   count(*) AS n_bigrams,
+                   round(exp(avg(-ln((bc.c12 + 0.5)
+                                     / (cc.c1 + 0.5 * vocab.v)))), 4) AS ppl
+            FROM big b
+            JOIN bg_counts bc ON bc.bg = b.bg
+            JOIN ctx_counts cc ON cc.w1 = string_split(b.bg, ' ')[1]
+            CROSS JOIN vocab
+            GROUP BY b.doc_id
+        ),
+        bucketed AS (
+            SELECT doc_id, n_bigrams, ppl,
+                   ntile(3) OVER (ORDER BY ppl, doc_id) AS tile
+            FROM per_doc
+        )
+        SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+               CAST(floor(CAST(sum(CAST(floor(ppl * 10000.0 + 0.5)
+                                        AS BIGINT)) AS DOUBLE)
+                          / count(*) + 0.5)
+                    AS DOUBLE) / 10000.0 AS avg_ppl,
+               CAST(min(ppl) AS DOUBLE) AS min_ppl,
+               CAST(max(ppl) AS DOUBLE) AS max_ppl
+        FROM bucketed
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the corpus bigram LM (the registered
+    text_bigram_lm_perplexity signal, reused as-is), rank into
+    head / middle / tail terciles, and report per-bucket volume and
+    perplexity spread — the standard curation readout before choosing
+    'train on head+middle, drop tail'. Bucket assignment is ntile(3)
+    over (ppl, doc_id) — fully deterministic via the unique tie-break.
+
+    Determinism: per-doc ppl is the already-4dp-rounded LM output;
+    the bucket average integerizes those values (x1e4) so the
+    cross-doc sum is exact and the mean is one division.
+
+    Scale shape: the LM stage is the fact-sized work (see
+    text_bigram_lm_perplexity); bucketing adds one rank over the
+    doc-count frame — at corpus scale the ntile becomes two
+    approx-percentile thresholds (33/66) broadcast against the score
+    column instead of a global sort, same downstream contract."""
+    from parquet_playground_spark.functions.text import (
+        text_bigram_lm_perplexity,
+    )
+
+    per_doc = text_bigram_lm_perplexity(spark, sf_dir).select(
+        "doc_id", "n_bigrams", F.col("perplexity").alias("ppl")
+    )
+    w = Window.orderBy("ppl", "doc_id")
+    bucketed = per_doc.withColumn("tile", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy(
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("ppl") * 10000.0 + 0.5).cast("bigint")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    + 0.5
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_ppl"),
+            F.min("ppl").cast("double").alias("min_ppl"),
+            F.max("ppl").cast("double").alias("max_ppl"),
+        )
+        .orderBy("bucket")
+    )

@@ -1271,3 +1271,191 @@ def sim_search_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_search_mmr_rerank — maximal-marginal-relevance diversification
+
+_MMR_CAND = 10  # relevance candidate pool
+_MMR_K = 4  # diversified picks
+# score_int = 7*rel4 - 3*max_sim4 (lambda=0.7 in 1e-5 units) — exact ints
+
+
+def _mmr_step_sql(k: int) -> str:
+    """CTE pair for greedy step k (k >= 2): marginal scores vs the
+    selected set, then the argmax pick."""
+    prev_sel = (
+        "SELECT vec_id FROM s1"
+        if k == 2
+        else f"SELECT vec_id FROM sel{k - 1}"
+    )
+    return f"""
+        sel{k - 1}_v AS ({prev_sel}),
+        m{k} AS (
+            SELECT c.vec_id, c.rel4, max(p.sim4) AS ms
+            FROM cand c
+            JOIN pairs p ON p.ia = c.vec_id
+            JOIN sel{k - 1}_v s ON p.ib = s.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1}_v)
+            GROUP BY c.vec_id, c.rel4
+        ),
+        s{k} AS (
+            SELECT vec_id, rel4, 7 * rel4 - 3 * ms AS score_i,
+                   {k} AS step
+            FROM m{k} ORDER BY score_i DESC, vec_id LIMIT 1
+        ),
+        sel{k} AS ({prev_sel} UNION ALL SELECT vec_id FROM s{k})"""
+
+
+_MMR_ORACLE = (
+    """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        rel AS (
+            SELECT e.vec_id,
+                   CAST(floor(list_cosine_similarity(e.v, q.qv)
+                              * 10000.0 + 0.5) AS BIGINT) AS rel4
+            FROM e CROSS JOIN q WHERE e.vec_id <> 0
+        ),
+        cand AS (
+            SELECT vec_id, rel4 FROM (
+                SELECT vec_id, rel4,
+                       row_number() OVER (ORDER BY rel4 DESC, vec_id) AS r
+                FROM rel) t
+            WHERE r <= """
+    + str(_MMR_CAND)
+    + """
+        ),
+        pairs AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   CAST(floor(list_cosine_similarity(ea.v, eb.v)
+                              * 10000.0 + 0.5) AS BIGINT) AS sim4
+            FROM cand a
+            JOIN cand b ON a.vec_id <> b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+        ),
+        s1 AS (
+            SELECT vec_id, rel4, 7 * rel4 AS score_i, 1 AS step
+            FROM cand ORDER BY rel4 DESC, vec_id LIMIT 1
+        ),"""
+    + ",".join(_mmr_step_sql(k) for k in range(2, _MMR_K + 1))
+    + """
+        SELECT CAST(step AS BIGINT) AS step, vec_id,
+               CAST(rel4 AS DOUBLE) / 10000.0 AS relevance,
+               CAST(score_i AS DOUBLE) / 100000.0 AS mmr_score
+        FROM (SELECT * FROM s1"""
+    + "".join(f" UNION ALL SELECT * FROM s{k}" for k in range(2, _MMR_K + 1))
+    + """) u
+        ORDER BY step
+"""
+)
+
+
+@register("sim_search_mmr_rerank", oracle=_MMR_ORACLE)
+def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversification pass a retrieval pipeline runs AFTER
+    top-k: greedily pick argmax lambda*rel(d) - (1-lambda)*max_{s in
+    S} sim(d, s), so the result set trades raw relevance for novelty
+    against what is already selected. Candidates are the exact
+    cosine top-10 for query vec 0; lambda = 0.7; 4 greedy picks,
+    unrolled as fixed plan stages (the step count is a product
+    constant, not data-dependent — no driver collect, no iteration).
+
+    Determinism: relevance and pairwise similarities integerize at
+    4 dp, so every greedy comparison is on the exact integer
+    7*rel4 - 3*max_sim4 with a vec_id tie-break — both engines walk
+    an identical selection path (the failure mode this guards is a
+    float tie flipping pick 2 and cascading).
+
+    Scale shape: the candidate pool is top-k-bounded (10 rows), so
+    the pairwise stage is K^2 = 100 rows REGARDLESS of corpus size —
+    MMR cost is decoupled from scale by construction; the only
+    corpus-sized work is the relevance scan (shared with
+    sim_search_cosine_topk's plan, IVF-accelerable identically)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    rel = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.floor(_cosine(F.col("v"), F.col("qv")) * 10000.0 + 0.5)
+            .cast("bigint")
+            .alias("rel4"),
+        )
+    )
+    w = Window.orderBy(F.col("rel4").desc(), "vec_id")
+    cand = (
+        rel.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _MMR_CAND)
+        .select("vec_id", "rel4")
+    )
+    ca = cand.join(e, "vec_id").select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    cb = cand.join(e, "vec_id").select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    pairs = (
+        ca.crossJoin(cb)
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(_cosine(F.col("va"), F.col("vb")) * 10000.0 + 0.5)
+            .cast("bigint")
+            .alias("sim4"),
+        )
+    )
+    # Greedy unroll: K is a constant, so this loop builds a fixed plan
+    # over <=10-row frames — no driver-side data access.
+    picked = (
+        cand.orderBy(F.col("rel4").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel4",
+            (7 * F.col("rel4")).alias("score_i"),
+            F.lit(1).alias("step"),
+        )
+    )
+    steps = [picked]
+    selected = picked.select("vec_id")
+    for k in range(2, _MMR_K + 1):
+        marg = (
+            cand.join(selected, "vec_id", "left_anti")
+            .join(pairs, F.col("vec_id") == F.col("ia"))
+            .join(
+                selected.select(F.col("vec_id").alias("ib_sel")),
+                F.col("ib") == F.col("ib_sel"),
+            )
+            .groupBy("vec_id", "rel4")
+            .agg(F.max("sim4").alias("ms"))
+        )
+        pick_k = (
+            marg.select(
+                "vec_id",
+                "rel4",
+                (7 * F.col("rel4") - 3 * F.col("ms")).alias("score_i"),
+                F.lit(k).alias("step"),
+            )
+            .orderBy(F.col("score_i").desc(), "vec_id")
+            .limit(1)
+        )
+        steps.append(pick_k)
+        selected = selected.unionAll(pick_k.select("vec_id"))
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.select(
+        F.col("step").cast("bigint").alias("step"),
+        "vec_id",
+        (F.col("rel4").cast("double") / 10000.0).alias("relevance"),
+        (F.col("score_i").cast("double") / 100000.0).alias("mmr_score"),
+    ).orderBy("step")

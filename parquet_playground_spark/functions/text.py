@@ -1993,3 +1993,121 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+_KN_D = 0.75  # absolute discount
+
+
+@register(
+    "text_lm_kneser_ney",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest([ t[CAST(i AS INTEGER)] || ' ' ||
+                            t[CAST(i + 1 AS INTEGER)]
+                            FOR i IN range(1, len(t)) ]) AS bg
+            FROM toks
+            WHERE len(t) >= 2
+        ),
+        bg_counts AS (
+            SELECT bg, count(*) AS c12 FROM big GROUP BY bg
+        ),
+        ctx AS (
+            SELECT string_split(bg, ' ')[1] AS w1,
+                   sum(c12) AS c1, count(*) AS n1f
+            FROM bg_counts GROUP BY 1
+        ),
+        back AS (
+            SELECT string_split(bg, ' ')[2] AS w2, count(*) AS n1b
+            FROM bg_counts GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS b FROM bg_counts
+        )
+        SELECT g.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(-ln((greatest(bc.c12 - {_KN_D}, 0.0)
+                              + {_KN_D} * cc.n1f * (bk.n1b / tot.b))
+                             / cc.c1)), 4) AS avg_nll,
+               round(exp(avg(-ln((greatest(bc.c12 - {_KN_D}, 0.0)
+                                  + {_KN_D} * cc.n1f * (bk.n1b / tot.b))
+                                 / cc.c1))), 4) AS perplexity
+        FROM big g
+        JOIN bg_counts bc ON bc.bg = g.bg
+        JOIN ctx cc ON cc.w1 = string_split(g.bg, ' ')[1]
+        JOIN back bk ON bk.w2 = string_split(g.bg, ' ')[2]
+        CROSS JOIN tot
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+)
+def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM perplexity per document — the
+    smoothing that actually ships in n-gram LM filtering (the add-k
+    sibling is text_bigram_lm_perplexity): probability mass is
+    absolute-discounted (d=0.75) from seen bigrams and redistributed
+    via the CONTINUATION unigram P_cont(w2) = N1+(.,w2)/|bigram types|
+    — 'how many contexts does w2 complete' — which fixes add-k's
+    overestimate of frequent-but-context-bound words. All model
+    tables are aggregates of the bigram TYPE table: c(w1,w2), context
+    totals c(w1), fan-out N1+(w1,.), fan-in N1+(.,w2), and the global
+    type count; p(w2|w1) = (max(c12-d,0) + d*N1+(w1,.)*P_cont(w2)) /
+    c(w1) evaluated per bigram occurrence with one fixed-order
+    expression.
+
+    Determinism: every model statistic is an exact integer; the only
+    floats are the final per-occurrence ln() and the per-doc average,
+    rounded at 4 dp (house rule: |doc|-term sums of ~ln|V^2|-magnitude
+    values are stable to 4 dp across summation orders).
+
+    Scale shape: identical to the add-k LM — one bigram explode +
+    count (the fact-sized shuffle), then joins of vocabulary-sized
+    model tables back onto the bigram stream, strategy left to AQE
+    (broadcast when genuinely small, shuffled-hash when web-scale).
+    Train==eval corpus here, so no unseen-bigram branch is needed;
+    a held-out split would add the backoff-to-unigram term."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bigrams.groupBy("bg").agg(F.count("*").alias("c12"))
+    ctx = bg_counts.groupBy(F.split("bg", " ")[0].alias("w1")).agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    back = bg_counts.groupBy(F.split("bg", " ")[1].alias("w2")).agg(
+        F.count(F.lit(1)).alias("n1b")
+    )
+    tot = bg_counts.agg(F.count(F.lit(1)).cast("double").alias("b"))
+    p_kn = (
+        F.greatest(F.col("c12") - _KN_D, F.lit(0.0))
+        + _KN_D * F.col("n1f") * (F.col("n1b") / F.col("b"))
+    ) / F.col("c1")
+    nll = -F.log(p_kn)
+    return (
+        bigrams.join(bg_counts, "bg")
+        .join(ctx, F.split(F.col("bg"), " ")[0] == F.col("w1"))
+        .join(back, F.split(F.col("bg"), " ")[1] == F.col("w2"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1574,3 +1574,154 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "welch_lineitem"
     )
     return spark.sql(_WELCH_SQL.format(li="welch_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# stat_anova_oneway — one-way ANOVA F from exact integer moments
+
+_ANOVA_SQL = """
+        WITH mom AS (
+            SELECT l_returnflag AS grp, count(*) AS n,
+                   sum(CAST(l_quantity AS BIGINT)) AS s1,
+                   sum(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS s2
+            FROM {li} GROUP BY l_returnflag
+        ),
+        piv AS (
+            SELECT max(CASE WHEN grp = 'A' THEN n END) AS na,
+                   max(CASE WHEN grp = 'N' THEN n END) AS nn,
+                   max(CASE WHEN grp = 'R' THEN n END) AS nr,
+                   max(CASE WHEN grp = 'A' THEN s1 END) AS s1a,
+                   max(CASE WHEN grp = 'N' THEN s1 END) AS s1n,
+                   max(CASE WHEN grp = 'R' THEN s1 END) AS s1r,
+                   max(CASE WHEN grp = 'A' THEN s2 END) AS s2a,
+                   max(CASE WHEN grp = 'N' THEN s2 END) AS s2n,
+                   max(CASE WHEN grp = 'R' THEN s2 END) AS s2r
+            FROM mom
+        ),
+        terms AS (
+            SELECT CAST(na + nn + nr AS BIGINT) AS n_tot,
+                   CAST(s1a + s1n + s1r AS BIGINT) AS s1_tot,
+                   CAST(s2a + s2n + s2r AS DOUBLE) AS s2_tot,
+                   CAST(s1a AS DOUBLE) * s1a / na
+                   + CAST(s1n AS DOUBLE) * s1n / nn
+                   + CAST(s1r AS DOUBLE) * s1r / nr AS sb_raw
+            FROM piv
+        ),
+        ss AS (
+            SELECT n_tot,
+                   sb_raw - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot AS ssb,
+                   s2_tot - sb_raw AS ssw,
+                   s2_tot - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot AS sst
+            FROM terms
+        )
+        SELECT CAST(3 AS BIGINT) AS n_groups,
+               CAST(n_tot AS BIGINT) AS n_total,
+               CAST(floor(ssb * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS ssb,
+               CAST(floor(ssw * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS ssw,
+               CAST(floor((ssb / 2.0) / (ssw / (n_tot - 3)) * 1000000.0
+                          + 0.5)
+                    AS DOUBLE) / 1000000.0 AS f_stat,
+               CAST(floor(ssb / sst * 1000000.0 + 0.5) AS DOUBLE)
+                   / 1000000.0 AS eta_sq
+        FROM ss
+"""
+
+
+@register("stat_anova_oneway", oracle=_ANOVA_SQL.format(li="lineitem"))
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of line quantity across the three return
+    flags. Each group reduces to exact integer moments (n, sum,
+    sum-of-squares — quantity <= 50, so sums stay well inside bigint);
+    the 3-row moment table is pivoted into ONE row with max(CASE) so
+    every subsequent double operation is a FIXED-ORDER scalar
+    expression — there is no float summation whose result could depend
+    on partition merge order. SSbetween = sum(s1_g^2/n_g) - s1^2/N via
+    the standard computational identity; F = (SSb/(k-1))/(SSw/(N-k));
+    eta^2 = SSb/SStot as the effect size.
+
+    Scale shape: ONE map-combinable aggregation pass over the fact
+    table, then arithmetic on a 1-row frame — the same distributed
+    readout shape as stat_welch_ttest (its 2-group sibling). The
+    s1_g^2 products stay under 2^53 through sf1; above that the
+    moments should accumulate as DECIMAL(38,0) like Welch's sumsq."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "anova_lineitem"
+    )
+    return spark.sql(_ANOVA_SQL.format(li="anova_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# stat_levene_brown_forsythe — equal-variance test via |x - median|
+
+_BF_SQL = """
+        WITH med AS (
+            SELECT l_returnflag AS grp,
+                   CAST(2.0 * median(l_quantity) AS BIGINT) AS med2
+            FROM {li} GROUP BY l_returnflag
+        ),
+        z AS (
+            SELECT m.grp,
+                   abs(2 * CAST(l.l_quantity AS BIGINT) - m.med2) AS w
+            FROM {li} l JOIN med m ON l.l_returnflag = m.grp
+        ),
+        mom AS (
+            SELECT grp, count(*) AS n, sum(w) AS s1, sum(w * w) AS s2
+            FROM z GROUP BY grp
+        ),
+        piv AS (
+            SELECT max(CASE WHEN grp = 'A' THEN n END) AS na,
+                   max(CASE WHEN grp = 'N' THEN n END) AS nn,
+                   max(CASE WHEN grp = 'R' THEN n END) AS nr,
+                   max(CASE WHEN grp = 'A' THEN s1 END) AS s1a,
+                   max(CASE WHEN grp = 'N' THEN s1 END) AS s1n,
+                   max(CASE WHEN grp = 'R' THEN s1 END) AS s1r,
+                   max(CASE WHEN grp = 'A' THEN s2 END) AS s2a,
+                   max(CASE WHEN grp = 'N' THEN s2 END) AS s2n,
+                   max(CASE WHEN grp = 'R' THEN s2 END) AS s2r
+            FROM mom
+        ),
+        terms AS (
+            SELECT CAST(na + nn + nr AS BIGINT) AS n_tot,
+                   CAST(s1a + s1n + s1r AS BIGINT) AS s1_tot,
+                   CAST(s2a + s2n + s2r AS DOUBLE) AS s2_tot,
+                   CAST(s1a AS DOUBLE) * s1a / na
+                   + CAST(s1n AS DOUBLE) * s1n / nn
+                   + CAST(s1r AS DOUBLE) * s1r / nr AS sb_raw
+            FROM piv
+        )
+        SELECT CAST(3 AS BIGINT) AS n_groups,
+               CAST(n_tot AS BIGINT) AS n_total,
+               CAST(floor(((sb_raw - CAST(s1_tot AS DOUBLE) * s1_tot / n_tot)
+                           / 2.0)
+                          / ((s2_tot - sb_raw) / (n_tot - 3))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS bf_stat
+        FROM terms
+"""
+
+
+@register(
+    "stat_levene_brown_forsythe", oracle=_BF_SQL.format(li="lineitem")
+)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test for equality of
+    variances across the three return-flag groups — the
+    heteroscedasticity gate one runs BEFORE trusting a pooled-variance
+    test, and the robust-to-non-normality variant (medians, not
+    means). The spread scores w = |x - median_g| are kept EXACTLY
+    integral by working in half-units: the interpolated median of
+    integers is always k or k+0.5, so 2*median is an exact integer and
+    w = |2x - 2median| is too — the test statistic (a one-way ANOVA F
+    on w, which is scale-invariant, so half-units change nothing) is
+    then assembled from exact integer moments via the same
+    fixed-order pivot as stat_anova_oneway.
+
+    Scale shape: one exact-median aggregation (group-local sort; at
+    100 TB swap to approx_percentile's KLL sketch), a broadcast 3-row
+    join of medians back onto the fact, and one moment aggregation —
+    two fact passes total, both map-combinable."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "bf_lineitem"
+    )
+    return spark.sql(_BF_SQL.format(li="bf_lineitem"))

@@ -1666,3 +1666,169 @@ def ts_gapfill_interpolate_linear(
         )
     )
     return interp.unionAll(last)
+
+
+# ---------------------------------------------------------------------------
+# ts_cross_correlation_lagged — lead/lag cross-correlation of two series
+
+_XCORR_SQL = """
+        WITH x0 AS (
+            SELECT CAST({epoch}(date_trunc('hour', ts)) / 3600000000
+                        AS BIGINT) AS hr,
+                   CAST(floor(sum(value) * 10000.0 + 0.5) AS BIGINT) AS v
+            FROM {ev} WHERE event_type = 'click' GROUP BY 1
+        ),
+        y0 AS (
+            SELECT CAST({epoch}(date_trunc('hour', ts)) / 3600000000
+                        AS BIGINT) AS hr,
+                   CAST(floor(sum(value) * 10000.0 + 0.5) AS BIGINT) AS v
+            FROM {ev} WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        bounds AS (
+            SELECT min(hr) AS mn, max(hr) AS mx
+            FROM (SELECT hr FROM x0 UNION ALL SELECT hr FROM y0) u
+        ),
+        spine AS (
+            SELECT {unnest_series} AS hr FROM bounds
+        ),
+        xs AS (
+            SELECT s.hr, coalesce(x0.v, 0) AS x
+            FROM spine s LEFT JOIN x0 ON s.hr = x0.hr
+        ),
+        ys AS (
+            SELECT s.hr, coalesce(y0.v, 0) AS y
+            FROM spine s LEFT JOIN y0 ON s.hr = y0.hr
+        ),
+        lags AS (SELECT * FROM (VALUES (-3), (-2), (-1), (0), (1), (2), (3))
+                 AS t(lag)),
+        paired AS (
+            SELECT l.lag, xs.x, ys.y
+            FROM lags l
+            JOIN xs ON 1 = 1
+            JOIN ys ON ys.hr = xs.hr + l.lag
+        ),
+        mom AS (
+            SELECT lag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS DECIMAL(38, 0)) * y) AS sxy,
+                   sum(CAST(x AS DECIMAL(38, 0)) * x) AS sxx,
+                   sum(CAST(y AS DECIMAL(38, 0)) * y) AS syy
+            FROM paired GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_hours,
+               CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE)))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS xcorr
+        FROM mom
+        ORDER BY lag
+"""
+
+
+@register(
+    "ts_cross_correlation_lagged",
+    oracle=_XCORR_SQL.format(
+        ev="events",
+        epoch="epoch_us",
+        unnest_series="unnest(generate_series(mn, mx))",
+    ),
+)
+def ts_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click-value and
+    purchase-value series (lags -3..+3 hours) — the lead-indicator
+    probe behind 'do clicks drive purchases N hours later?'. Both
+    series are zero-filled onto a dense hour spine (absence of
+    activity IS a value for activity correlation), integerized at 4 dp
+    so all five Pearson moments per lag accumulate EXACTLY (products
+    as DECIMAL(38,0) — bigint would overflow near sf10); each
+    correlation is then a fixed-order double expression rounded at
+    6 dp. The lag shift is an integer-hour equi-join (hr + lag), never
+    a window self-scan, so the 7 lags cost one hash join over a
+    7x|spine| frame.
+
+    Engine parity: hour indexes derive from epoch microseconds /
+    3.6e9; Spark's session-TZ epoch and DuckDB's naive-UTC epoch
+    differ by a constant whole-hour offset that cancels in the join
+    alignment.
+
+    Scale shape: two map-combinable hourly aggregations (calendar-
+    bounded output), a generated spine, one equi-join, one 7-group
+    aggregate. At production span the spine partitions by month."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "xcorr_events"
+    )
+    return spark.sql(
+        _XCORR_SQL.format(
+            ev="xcorr_events",
+            epoch="unix_micros",
+            unnest_series="explode(sequence(mn, mx))",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_rate_of_change_irregular — derivative of an irregularly-sampled series
+
+_ROC_SQL = """
+        WITH ordered AS (
+            SELECT event_type,
+                   CAST({epoch}(ts) AS BIGINT) AS t_us,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c,
+                   lag(CAST({epoch}(ts) AS BIGINT)) OVER w AS t_prev,
+                   lag(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+                       AS v_prev
+            FROM {ev}
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        rates AS (
+            SELECT event_type,
+                   CAST(floor((CAST(v_c - v_prev AS DOUBLE) / 100.0)
+                              / (CAST(t_us - t_prev AS DOUBLE) / 1000000.0)
+                              * 1000000.0 + 0.5) AS BIGINT) AS rate_micro
+            FROM ordered
+            WHERE t_prev IS NOT NULL AND t_us > t_prev
+        )
+        SELECT event_type, count(*) AS n_intervals,
+               CAST(floor(CAST(sum(rate_micro) AS DOUBLE) / count(*) + 0.5)
+                    AS DOUBLE) / 1000000.0 AS avg_rate,
+               CAST(max(rate_micro) AS DOUBLE) / 1000000.0 AS max_rate,
+               CAST(min(rate_micro) AS DOUBLE) / 1000000.0 AS min_rate
+        FROM rates
+        GROUP BY event_type
+        ORDER BY event_type
+"""
+
+
+@register(
+    "ts_rate_of_change_irregular",
+    oracle=_ROC_SQL.format(ev="events", epoch="epoch_us"),
+)
+def ts_rate_of_change_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First derivative of an IRREGULARLY-sampled series (no resample
+    step): per event-type, consecutive-observation rate
+    (v - v_prev)/(t - t_prev) in value-units per second, summarized to
+    per-series n/avg/max/min. The irregular-delta form is the honest
+    telemetry derivative — resampling first (ts_resample_ohlc's shape)
+    biases rates across quiet gaps. Values integerize at their native
+    2 dp and timestamps at exact microseconds, the per-interval rate
+    is one fixed double expression integerized at 6 dp, and the
+    summary therefore aggregates INTEGERS — order-independent, single
+    division for the mean.
+
+    Determinism: the ordering tie-breaks on event_id (unique) so lag()
+    pairs identically on both engines; zero-delta pairs (same
+    microsecond) are excluded on both sides.
+
+    Scale shape: one window per series partition (keys bound state;
+    at production volume partition by (type, day) with a |days|-row
+    boundary carry like ts_gapfill_locf) and one map-combinable
+    summary aggregate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "roc_events"
+    )
+    return spark.sql(_ROC_SQL.format(ev="roc_events", epoch="unix_micros"))

@@ -105,6 +105,10 @@ _CHECK_ORDER = [
     # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
     # the front block. New r5 operators are prepended here when they
     # land so they get an official row immediately.
+    "stat_anova_oneway", "stat_levene_brown_forsythe",
+    "ts_cross_correlation_lagged", "ts_rate_of_change_irregular",
+    "text_lm_kneser_ney", "corpus_perplexity_buckets",
+    "sim_search_mmr_rerank",
     "dedup_prefix_filter_allpairs", "text_keyword_rake",
     "ml_auc_roc", "ml_confusion_matrix_metrics",
     "ml_target_encoding_kfold", "ml_calibration_bins",

