@@ -2111,3 +2111,103 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_ctfidf_class_terms",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, tok FROM (
+                SELECT lang,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM documents
+            ) t WHERE tok <> ''
+        ),
+        tc AS (
+            SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok
+        ),
+        cls AS (
+            SELECT lang, sum(cnt) AS tok_c FROM tc GROUP BY lang
+        ),
+        ft AS (
+            SELECT tok, sum(cnt) AS f_t FROM tc GROUP BY tok
+        ),
+        avg_sz AS (
+            SELECT CAST(sum(tok_c) AS DOUBLE) / count(*) AS a FROM cls
+        ),
+        scored AS (
+            SELECT tc.lang, tc.tok,
+                   CAST(floor((CAST(tc.cnt AS DOUBLE) / cls.tok_c)
+                              * ln(1.0 + avg_sz.a / ft.f_t)
+                              * 1000000.0 + 0.5)
+                        AS DOUBLE) / 1000000.0 AS ctfidf
+            FROM tc
+            JOIN cls ON tc.lang = cls.lang
+            JOIN ft ON tc.tok = ft.tok
+            CROSS JOIN avg_sz
+        )
+        SELECT lang, CAST(rnk AS BIGINT) AS rnk, tok, ctfidf
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY ctfidf DESC, tok) AS rnk
+            FROM scored) t
+        WHERE rnk <= 5
+        ORDER BY lang, rnk
+    """,
+)
+def text_ctfidf_class_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF formulation): each
+    language is treated as ONE meta-document, and a term's score for a
+    class is its in-class rate times ln(1 + avg_class_tokens /
+    corpus_term_count) — surfacing the terms that CHARACTERIZE a
+    class rather than the globally frequent ones (the per-document
+    sibling is text_tfidf_topterms). Output: top-5 signature terms per
+    language.
+
+    Determinism: all model counts are exact integers; the score is one
+    fixed-order double expression rounded at 6 dp BEFORE ranking, with
+    the term as tie-break.
+
+    Scale shape: one token explode -> (class, term) count (the only
+    fact-sized shuffle), then class totals (|classes| rows), term
+    totals (vocabulary-sized, broadcastable), and a 1-row average —
+    cluster-topic labeling of a billion-doc corpus costs one
+    aggregation pass plus vocabulary-sized joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    tc = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cls = tc.groupBy("lang").agg(F.sum("cnt").alias("tok_c"))
+    ft = tc.groupBy("tok").agg(F.sum("cnt").alias("f_t"))
+    avg_sz = cls.agg(
+        (F.sum("tok_c").cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    scored = (
+        tc.join(F.broadcast(cls), "lang")
+        .join(ft, "tok")
+        .crossJoin(F.broadcast(avg_sz))
+        .select(
+            "lang",
+            "tok",
+            (
+                F.floor(
+                    (F.col("cnt").cast("double") / F.col("tok_c"))
+                    * F.log(1.0 + F.col("a") / F.col("f_t"))
+                    * 1000000.0
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
+            ).alias("ctfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("ctfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", F.col("rnk").cast("bigint").alias("rnk"), "tok", "ctfidf")
+        .orderBy("lang", "rnk")
+    )

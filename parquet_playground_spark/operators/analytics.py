@@ -2751,3 +2751,127 @@ def events_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.createOrReplaceTempView("ftb_events")
     return spark.sql(_FUNNEL_TB_SQL.format(ev="ftb_events"))
+
+
+@register(
+    "graph_label_propagation_communities",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem WHERE l_orderkey <= 20000
+        ),
+        edges AS (
+            SELECT a.p AS src, b.p AS dst
+            FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p
+            GROUP BY a.p, b.p
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        v1 AS (
+            SELECT e.src AS node, l.lbl, count(*) AS c
+            FROM edges e JOIN l0 l ON e.dst = l.node
+            GROUP BY e.src, l.lbl
+        ),
+        l1 AS (
+            SELECT node, lbl FROM (
+                SELECT node, lbl, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, lbl) AS rn
+                FROM v1) t
+            WHERE rn = 1
+        ),
+        v2 AS (
+            SELECT e.src AS node, l.lbl, count(*) AS c
+            FROM edges e JOIN l1 l ON e.dst = l.node
+            GROUP BY e.src, l.lbl
+        ),
+        l2 AS (
+            SELECT node, lbl FROM (
+                SELECT node, lbl, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, lbl) AS rn
+                FROM v2) t
+            WHERE rn = 1
+        ),
+        comm AS (
+            SELECT lbl AS community, count(*) AS n_members
+            FROM l2 GROUP BY lbl
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, community,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY n_members DESC, community) AS rnk
+            FROM comm) t
+        WHERE rnk <= 20
+        ORDER BY rnk
+    """,
+)
+def graph_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), 2 fixed iterations over the part-co-purchase graph
+    (same bounded edge set as graph_pagerank_power / triangle_count):
+    every node starts as its own label and repeatedly adopts the
+    label held by the most neighbors, ties broken on the smaller
+    label — the deterministic variant (classic async LPA is
+    order-dependent; synchronous + total tie-order makes both engines
+    walk identical label states). Output: the 20 largest communities
+    after round 2.
+
+    Determinism: neighbor-label counts are integers; the adoption
+    argmax tie-breaks (count desc, label asc); fixed iteration count
+    (convergence tests would need driver-side state).
+
+    Scale shape: per iteration one equi-join (edges.dst = labels.node)
+    + one (node,label) count + one per-node argmax window — all keyed
+    on the node, so the loop is co-shuffled on one key like PageRank;
+    the edge set is persisted once and reused by both iterations.
+    Labels stay a |nodes|-row frame; nothing grows with iteration."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 20000)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p"))
+        )
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(2):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lbl")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    comm = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    wr = Window.orderBy(F.col("n_members").desc(), "community")
+    return (
+        comm.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "community",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("rnk")
+    )

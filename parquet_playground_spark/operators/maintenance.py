@@ -943,3 +943,83 @@ def dq_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp drift on these O(1) magnitudes."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("psi_events")
     return spark.sql(_PSI_SQL.format(ev="psi_events"))
+
+
+# ---------------------------------------------------------------------------
+# dq_functional_dependency_profile — FD violation profiling
+
+_FD_SQL = """
+        WITH pairs AS (
+            SELECT 'o_custkey->o_orderstatus' AS fd,
+                   CAST(o_custkey AS STRING) AS a, o_orderstatus AS b
+            FROM {orders}
+            UNION ALL
+            SELECT 'o_custkey->o_orderpriority',
+                   CAST(o_custkey AS STRING), o_orderpriority
+            FROM {orders}
+            UNION ALL
+            SELECT 'c_nationkey->c_mktsegment',
+                   CAST(c_nationkey AS STRING), c_mktsegment
+            FROM {customer}
+            UNION ALL
+            SELECT 'p_brand->p_type', p_brand, p_type FROM {part}
+        ),
+        cell AS (
+            SELECT fd, a, b, count(*) AS cnt
+            FROM pairs GROUP BY fd, a, b
+        ),
+        grp AS (
+            SELECT fd, a, sum(cnt) AS n_rows, max(cnt) AS n_majority,
+                   count(*) AS n_b_values
+            FROM cell GROUP BY fd, a
+        )
+        SELECT fd,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_b_values = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clean_groups,
+               CAST(sum(CASE WHEN n_b_values > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_groups,
+               CAST(sum(n_rows - n_majority) AS BIGINT) AS violation_rows,
+               CAST(floor(CAST(sum(n_rows - n_majority) AS DOUBLE)
+                          / sum(n_rows) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS violation_share
+        FROM grp
+        GROUP BY fd
+        ORDER BY fd
+"""
+
+
+@register(
+    "dq_functional_dependency_profile",
+    oracle=_FD_SQL.format(orders="orders", customer="customer", part="part"),
+)
+def dq_functional_dependency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency profiling (the Metanome/data-profiling
+    primitive): for each candidate FD A->B, how many determinant
+    groups exist, how many are clean (a single B value), and the
+    minimum-repair size — rows that would have to change for the FD
+    to hold (sum over groups of group_size - majority_count). This is
+    the audit a pipeline runs before declaring a column derivable or
+    keying a dimension on it.
+
+    Determinism: everything is integer counts; the single share
+    division rounds at 6 dp.
+
+    Scale shape: one union of (fd, A, B) projections, one groupBy
+    (fd, A, B), one groupBy (fd, A), one 4-row readout — all
+    map-combinable, shuffle carries distinct-cell cardinality, never
+    raw rows twice. Profiling additional FDs appends union arms
+    without new passes over any table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    o.createOrReplaceTempView("fd_orders")
+    c.createOrReplaceTempView("fd_customer")
+    p.createOrReplaceTempView("fd_part")
+    return spark.sql(
+        _FD_SQL.format(
+            orders="fd_orders", customer="fd_customer", part="fd_part"
+        )
+    )

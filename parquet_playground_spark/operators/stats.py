@@ -1725,3 +1725,149 @@ def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bf_lineitem"
     )
     return spark.sql(_BF_SQL.format(li="bf_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ml_gbdt_residual_boost — 2 boosting rounds of regression stumps
+
+_GBDT_SQL = """
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc,
+                   CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS pb,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS y_c
+            FROM {li}
+        ),
+        long1 AS (
+            SELECT 'quantity' AS feature, qty AS v, y_c FROM base
+            UNION ALL SELECT 'discount_pct', disc, y_c FROM base
+            UNION ALL SELECT 'price_10k', pb, y_c FROM base
+        ),
+        h1 AS (
+            SELECT feature, v, count(*) AS cnt, sum(y_c) AS sy
+            FROM long1 GROUP BY feature, v
+        ),
+        c1 AS (
+            SELECT feature, v,
+                   sum(cnt) OVER w AS nl, sum(sy) OVER w AS syl,
+                   sum(cnt) OVER (PARTITION BY feature) AS n,
+                   sum(sy) OVER (PARTITION BY feature) AS sy_tot
+            FROM h1
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        g1 AS (
+            SELECT feature, v AS thr,
+                   CAST(nl AS BIGINT) AS nl, CAST(n - nl AS BIGINT) AS nr,
+                   CAST(syl AS BIGINT) AS syl,
+                   CAST(sy_tot - syl AS BIGINT) AS syr,
+                   CAST(syl AS DOUBLE) * syl / nl
+                   + CAST(sy_tot - syl AS DOUBLE) * (sy_tot - syl) / (n - nl)
+                   - CAST(sy_tot AS DOUBLE) * sy_tot / n AS gain
+            FROM c1 WHERE nl > 0 AND n - nl > 0
+        ),
+        best1 AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY gain DESC, feature, thr) AS rn
+                FROM g1) t
+            WHERE rn = 1
+        ),
+        res AS (
+            SELECT b.qty, b.disc, b.pb,
+                   b.y_c
+                   - (CASE WHEN (CASE t.feature
+                                 WHEN 'quantity' THEN b.qty
+                                 WHEN 'discount_pct' THEN b.disc
+                                 ELSE b.pb END) <= t.thr
+                      THEN t.syl {idiv} t.nl
+                      ELSE t.syr {idiv} t.nr END) AS r_c
+            FROM base b CROSS JOIN best1 t
+        ),
+        long2 AS (
+            SELECT 'quantity' AS feature, qty AS v, r_c FROM res
+            UNION ALL SELECT 'discount_pct', disc, r_c FROM res
+            UNION ALL SELECT 'price_10k', pb, r_c FROM res
+        ),
+        h2 AS (
+            SELECT feature, v, count(*) AS cnt, sum(r_c) AS sy
+            FROM long2 GROUP BY feature, v
+        ),
+        c2 AS (
+            SELECT feature, v,
+                   sum(cnt) OVER w AS nl, sum(sy) OVER w AS syl,
+                   sum(cnt) OVER (PARTITION BY feature) AS n,
+                   sum(sy) OVER (PARTITION BY feature) AS sy_tot
+            FROM h2
+            WINDOW w AS (PARTITION BY feature ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        g2 AS (
+            SELECT feature, v AS thr,
+                   CAST(nl AS BIGINT) AS nl, CAST(n - nl AS BIGINT) AS nr,
+                   CAST(syl AS BIGINT) AS syl,
+                   CAST(sy_tot - syl AS BIGINT) AS syr,
+                   CAST(syl AS DOUBLE) * syl / nl
+                   + CAST(sy_tot - syl AS DOUBLE) * (sy_tot - syl) / (n - nl)
+                   - CAST(sy_tot AS DOUBLE) * sy_tot / n AS gain
+            FROM c2 WHERE nl > 0 AND n - nl > 0
+        ),
+        best2 AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY gain DESC, feature, thr) AS rn
+                FROM g2) t
+            WHERE rn = 1
+        )
+        SELECT CAST(1 AS BIGINT) AS boost_round, feature, thr AS threshold,
+               nl AS n_left, nr AS n_right,
+               CAST(syl {idiv} nl AS DOUBLE) / 100.0 AS pred_left_usd,
+               CAST(syr {idiv} nr AS DOUBLE) / 100.0 AS pred_right_usd,
+               CAST(floor(gain / 10000.0 + 0.5) AS DOUBLE) AS gain_usd2
+        FROM best1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), feature, thr, nl, nr,
+               CAST(syl {idiv} nl AS DOUBLE) / 100.0,
+               CAST(syr {idiv} nr AS DOUBLE) / 100.0,
+               CAST(floor(gain / 10000.0 + 0.5) AS DOUBLE)
+        FROM best2
+        ORDER BY boost_round
+"""
+
+
+@register(
+    "ml_gbdt_residual_boost",
+    oracle=_GBDT_SQL.format(li="lineitem", idiv="//"),
+)
+def ml_gbdt_residual_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of gradient boosting with regression stumps
+    (squared loss, learning rate 1) predicting line price from
+    integerized features — the exact histogram-mode split search that
+    distributed GBDT frameworks (XGBoost/LightGBM) run per boosting
+    round, extended from ml_decision_stump's single classification
+    split to the full fit -> residual -> refit loop. Round 1 finds
+    argmax variance-reduction gain (S1l^2/nl + S1r^2/nr - S1^2/N —
+    only first-moment prefix sums needed, the standard identity);
+    residuals subtract the leaf mean computed by exact INTEGER
+    division in cents, so round 2's target is again exactly integral;
+    round 2 repeats the identical search on residual cents.
+
+    Determinism: every histogram moment is an exact integer (cents;
+    residual sums stay under 2^53 beyond sf1); gains are fixed-order
+    double expressions from those integers, ranked with (gain desc,
+    feature, threshold) tie-breaks; leaf predictions use truncating
+    integer division identically on both engines ('//' vs 'div'
+    spelling; both truncate toward zero, verified on negative
+    operands — residual sums can be negative).
+
+    Scale shape: each round is one union-arm scan per feature ->
+    map-combinable (feature, value) histogram -> prefix-sum window
+    over the tiny histogram -> global argmax; the residual pass is
+    one broadcast of the 1-row model against the base table. K
+    boosting rounds cost K+1 linear passes — no per-split rescans,
+    no driver-side data."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gbdt_lineitem"
+    )
+    return spark.sql(_GBDT_SQL.format(li="gbdt_lineitem", idiv="div"))

@@ -673,3 +673,35 @@ def test_mmr_pairwise_stage_is_bounded(spark):
     count stays at the authored 1 query-broadcast + K^2 pair join."""
     plan = formatted_plan(_q("sim_search_mmr_rerank")(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
+
+
+def test_gbdt_residual_pass_broadcasts_model(spark):
+    """The 1-row best-split model must broadcast against the base
+    table for the residual computation; split search stays JVM-side."""
+    df = _q("ml_gbdt_residual_boost")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_fd_profile_single_pass_per_table(spark):
+    """FD profiling reads each profiled table once per FD arm via the
+    union — no joins anywhere (the groupBys do all the work)."""
+    plan = formatted_plan(_q("dq_functional_dependency_profile")(spark, SF_DIR))
+    assert "Join" not in plan
+
+
+def test_lpa_iterations_are_equi_joins(spark):
+    """Label adoption must be the edges.dst = labels.node hash join
+    each round — no nested loop over the label frame."""
+    plan = formatted_plan(
+        _q("graph_label_propagation_communities")(spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_ctfidf_class_stats_broadcast(spark):
+    """Class totals (|classes| rows) and the 1-row average must
+    broadcast onto the (class, term) count table."""
+    df = _q("text_ctfidf_class_terms")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
