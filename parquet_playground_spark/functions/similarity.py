@@ -1459,3 +1459,119 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rel4").cast("double") / 10000.0).alias("relevance"),
         (F.col("score_i").cast("double") / 100000.0).alias("mmr_score"),
     ).orderBy("step")
+
+
+@register(
+    "embedding_norm_outlier_screen",
+    oracle="""
+        WITH nr AS (
+            SELECT vec_id, label,
+                   CAST(floor(sqrt(list_reduce(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+                       (a, b) -> a + b)) * 10000.0 + 0.5) AS BIGINT) AS n4
+            FROM embeddings
+        ),
+        mom AS (
+            SELECT label, count(*) AS n, sum(n4) AS s1, sum(n4 * n4) AS s2
+            FROM nr GROUP BY label
+        ),
+        st AS (
+            SELECT label, n,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                        / (n - 1)) AS sd
+            FROM mom
+        )
+        SELECT st.label, CAST(st.n AS BIGINT) AS n,
+               CAST(floor(st.mu / 10000.0 * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS avg_norm,
+               CAST(floor(st.sd / 10000.0 * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS sd_norm,
+               CAST(sum(CASE WHEN abs(nr.n4 - st.mu) > 3.0 * st.sd
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(floor(CAST(sum(CASE WHEN abs(nr.n4 - st.mu) > 3.0 * st.sd
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                          / st.n * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS outlier_share
+        FROM nr JOIN st ON nr.label = st.label
+        GROUP BY st.label, st.n, st.mu, st.sd
+        ORDER BY st.label
+    """,
+)
+def embedding_norm_outlier_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-quality screen: per-label L2-norm statistics and a
+    3-sigma outlier count — the cheap health check a pipeline runs on
+    a fresh embedding batch (collapsed, zeroed, or exploded vectors
+    show up as norm outliers long before a downstream recall metric
+    moves). Norms come from the ordered left fold over the vector
+    (both engines fold index-order, so the per-vector double is
+    identical), integerized at 4 dp so the per-label moment sums are
+    exact; mean/sd/fences are fixed-order expressions from those
+    integers.
+
+    Scale shape: one norm pass (map-only), one moment aggregate
+    (|labels| rows), a broadcast join of the |labels|-row fence table
+    back onto the norms, one count aggregate — two linear passes, no
+    corpus-sized shuffle beyond the label-keyed moment combine."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    nr = e.select(
+        "label",
+        F.floor(_norm(F.col("v")) * 10000.0 + 0.5).cast("bigint").alias("n4"),
+    )
+    mom = nr.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n4").alias("s1"),
+        F.sum(F.col("n4") * F.col("n4")).alias("s2"),
+    )
+    st = mom.select(
+        "label",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    return (
+        nr.join(F.broadcast(st), "label")
+        .groupBy("label", "n", "mu", "sd")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("n4") - F.col("mu")) > 3.0 * F.col("sd"), 1
+                ).otherwise(0)
+            ).alias("n_out")
+        )
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.floor(F.col("mu") / 10000.0 * 10000.0 + 0.5).cast("double")
+                / 10000.0
+            ).alias("avg_norm"),
+            (
+                F.floor(F.col("sd") / 10000.0 * 10000.0 + 0.5).cast("double")
+                / 10000.0
+            ).alias("sd_norm"),
+            F.col("n_out").cast("bigint").alias("n_outliers"),
+            (
+                F.floor(
+                    F.col("n_out").cast("double")
+                    / F.col("n")
+                    * 1000000.0
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
+            ).alias("outlier_share"),
+        )
+        .orderBy("label")
+    )

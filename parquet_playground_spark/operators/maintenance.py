@@ -1023,3 +1023,100 @@ def dq_functional_dependency_profile(
             orders="fd_orders", customer="fd_customer", part="fd_part"
         )
     )
+
+
+@register(
+    "dq_outlier_iqr_fences",
+    oracle="""
+        WITH fences AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   round(quantile_cont(value, 0.25), 4) AS q1,
+                   round(quantile_cont(value, 0.75), 4) AS q3
+            FROM events GROUP BY event_type
+        ),
+        flagged AS (
+            SELECT e.event_type, f.n, f.q1, f.q3,
+                   CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                          OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                        THEN 1 ELSE 0 END AS is_out
+            FROM events e JOIN fences f ON e.event_type = f.event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n, q1, q3,
+               CAST(floor((q1 - 1.5 * (q3 - q1)) * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS fence_lo,
+               CAST(floor((q3 + 1.5 * (q3 - q1)) * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS fence_hi,
+               CAST(sum(is_out) AS BIGINT) AS n_outliers,
+               CAST(floor(CAST(sum(is_out) AS DOUBLE) / n * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS outlier_share
+        FROM flagged
+        GROUP BY event_type, n, q1, q3
+        ORDER BY event_type
+    """,
+)
+def dq_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per metric segment — the robust,
+    distribution-free screen (1.5*IQR beyond the quartiles) that
+    complements the parametric z-score (ts_anomaly_zscore) and MAD
+    (ts_anomaly_mad) detectors in the DQ suite. Quartiles use
+    linear interpolation (Spark percentile == DuckDB quantile_cont,
+    the agg_median_percentiles parity), rounded at 4 dp BEFORE the
+    fence arithmetic so both engines compare raw values against
+    bit-identical fences.
+
+    Scale shape: one exact-quantile aggregation per segment (swap to
+    approx_percentile's KLL sketch at 100 TB), a broadcast of the
+    |segments|-row fence table back onto the facts, one count — two
+    linear passes, shuffle bounded by segment cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    fences = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 4).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    flagged = e.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        F.when(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_out"),
+    )
+    return (
+        flagged.groupBy("event_type", "n", "q1", "q3")
+        .agg(F.sum("is_out").alias("n_out"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            "q1",
+            "q3",
+            (
+                F.floor((F.col("q1") - 1.5 * iqr) * 10000.0 + 0.5).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("fence_lo"),
+            (
+                F.floor((F.col("q3") + 1.5 * iqr) * 10000.0 + 0.5).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("fence_hi"),
+            F.col("n_out").cast("bigint").alias("n_outliers"),
+            (
+                F.floor(
+                    F.col("n_out").cast("double") / F.col("n") * 1000000.0
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
+            ).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )

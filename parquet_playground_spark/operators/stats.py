@@ -1871,3 +1871,239 @@ def ml_gbdt_residual_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gbdt_lineitem"
     )
     return spark.sql(_GBDT_SQL.format(li="gbdt_lineitem", idiv="div"))
+
+
+# ---------------------------------------------------------------------------
+# stat_permutation_test — RNG-free randomization test for a mean difference
+
+_PERM_B = 32
+
+
+@register(
+    "stat_permutation_test",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        obs AS (
+            SELECT sum(CASE WHEN event_type = 'click' THEN v_c END) AS sa,
+                   sum(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+                   sum(CASE WHEN event_type = 'view' THEN v_c END) AS sb,
+                   sum(CASE WHEN event_type = 'view' THEN 1 END) AS nb
+            FROM base
+        ),
+        reps AS (
+            SELECT b.b, e.v_c,
+                   CAST(concat('0x', substr(md5(concat(
+                        CAST(e.event_id AS VARCHAR), '_',
+                        CAST(b.b AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS g
+            FROM base e
+            CROSS JOIN (SELECT unnest(range(0, {_PERM_B})) AS b) b
+        ),
+        perm AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN g = 0 THEN v_c END) AS DOUBLE)
+                   / sum(CASE WHEN g = 0 THEN 1 END)
+                   - CAST(sum(CASE WHEN g = 1 THEN v_c END) AS DOUBLE)
+                     / sum(CASE WHEN g = 1 THEN 1 END) AS d
+            FROM reps GROUP BY b
+        ),
+        readout AS (
+            SELECT o.na, o.nb,
+                   CAST(o.sa AS DOUBLE) / o.na
+                   - CAST(o.sb AS DOUBLE) / o.nb AS obs_d,
+                   (SELECT count(*) FROM perm p, obs o2
+                    WHERE abs(p.d) >= abs(CAST(o2.sa AS DOUBLE) / o2.na
+                                          - CAST(o2.sb AS DOUBLE) / o2.nb))
+                       AS n_extreme
+            FROM obs o
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(floor(obs_d / 100.0 * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS obs_diff_usd,
+               CAST({_PERM_B} AS BIGINT) AS n_perms,
+               CAST(n_extreme AS BIGINT) AS n_extreme,
+               CAST(floor(CAST(1 + n_extreme AS DOUBLE)
+                          / ({_PERM_B} + 1) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS p_value
+        FROM readout
+    """,
+)
+def stat_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (approximate permutation) test for the
+    click-vs-view mean value difference WITHOUT an RNG: each of B=32
+    relabelings assigns every row a pseudo-group by md5(event_id, b)
+    parity — the same rows flip on every engine, run, and retry (the
+    stat_bootstrap_ci discipline applied to hypothesis testing). The
+    p-value is the standard add-one estimate (1 + #extreme)/(B+1)
+    against |observed|. Random relabeling approximates the exact
+    permutation null (which would fix group sizes); at these n the
+    distinction is far below the B=32 resolution, and exactness of
+    the PROCEDURE across engines is what the oracle pins.
+
+    Determinism: group sums are integer cents; every mean difference
+    is a fixed-order double expression from those integers, so the
+    |d| >= |obs| comparisons resolve identically on both engines.
+
+    Scale shape: one B-fold explode + one groupBy(b) — identical cost
+    envelope to the Poisson bootstrap; the readout is a B-row frame.
+    B scales the resolution, not the shuffle width."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("v_c"),
+        )
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("v_c"))).alias(
+            "sa"
+        ),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("na"),
+        F.sum(F.when(F.col("event_type") == "view", F.col("v_c"))).alias(
+            "sb"
+        ),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("nb"),
+    )
+    reps = base.select(
+        "v_c",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "b",
+        "v_c",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit("_"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("g"),
+    )
+    perm = reps.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("g") == 0, F.col("v_c"))).cast("double")
+            / F.count(F.when(F.col("g") == 0, 1))
+            - F.sum(F.when(F.col("g") == 1, F.col("v_c"))).cast("double")
+            / F.count(F.when(F.col("g") == 1, 1))
+        ).alias("d")
+    )
+    obs_d = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    extreme = (
+        perm.crossJoin(F.broadcast(obs))
+        .filter(F.abs(F.col("d")) >= F.abs(obs_d))
+        .agg(F.count(F.lit(1)).alias("n_extreme"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            (
+                F.floor(obs_d / 100.0 * 10000.0 + 0.5).cast("double")
+                / 10000.0
+            ).alias("obs_diff_usd"),
+            F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+            F.col("n_extreme").cast("bigint").alias("n_extreme"),
+            (
+                F.floor(
+                    (1 + F.col("n_extreme")).cast("double")
+                    / (_PERM_B + 1)
+                    * 1000000.0
+                    + 0.5
+                ).cast("double")
+                / 1000000.0
+            ).alias("p_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_pr_curve_ap — precision-recall curve + average precision
+
+_PR_SQL = """
+        WITH lab AS (
+            SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                       AS score,
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM {li}
+        ),
+        hist AS (
+            SELECT score, count(*) AS cnt, sum(y) AS pos
+            FROM lab GROUP BY score
+        ),
+        cum AS (
+            SELECT score,
+                   sum(pos) OVER w AS tp,
+                   sum(cnt - pos) OVER w AS fp,
+                   sum(pos) OVER w
+                   - coalesce(sum(pos) OVER w2, 0) AS d_tp,
+                   sum(sum(pos)) OVER () AS p_tot
+            FROM hist
+            GROUP BY score, pos, cnt
+            WINDOW w AS (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w2 AS (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        terms AS (
+            SELECT score, tp, fp, p_tot,
+                   (d_tp * tp * 1000000) {idiv} (tp + fp) AS term_micro
+            FROM cum
+        )
+        SELECT CAST(score AS BIGINT) AS thr,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS prec,
+               CAST(floor(CAST(tp AS DOUBLE) / p_tot * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS recall,
+               CAST(floor(CAST(sum(term_micro) OVER () AS DOUBLE)
+                          / p_tot + 0.5)
+                    AS DOUBLE) / 1000000.0 AS avg_precision
+        FROM terms
+        ORDER BY thr DESC
+"""
+
+
+@register("ml_pr_curve_ap", oracle=_PR_SQL.format(li="lineitem", idiv="//"))
+def ml_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full precision-recall curve (one operating point per distinct
+    score, descending — the ranked-retrieval view of the discount
+    classifier) plus step-wise average precision AP = sum over points
+    of delta_recall * precision — the PR-side complement of
+    ml_auc_roc, and the metric that matters under class imbalance.
+    The curve derives from ONE score histogram with a cumulative
+    window (exactly the AUC shape); AP's per-point term
+    (d_tp * tp * 1e6) // (tp+fp) is EXACT integer division, so the
+    cross-point sum is an integer and AP takes one final division —
+    no float accumulation over curve points.
+
+    Determinism: integer counts, integer AP terms, single divisions
+    rounded at 6 dp; the term product stays under 2^63 through sf10.
+
+    Scale shape: one map-combinable aggregation + windows over the
+    |distinct scores| histogram (11 rows here, bounded by score
+    design at any SF)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pr_lineitem"
+    )
+    return spark.sql(_PR_SQL.format(li="pr_lineitem", idiv="div"))

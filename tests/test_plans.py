@@ -705,3 +705,35 @@ def test_ctfidf_class_stats_broadcast(spark):
     broadcast onto the (class, term) count table."""
     df = _q("text_ctfidf_class_terms")(spark, SF_DIR)
     assert uses_broadcast_join(df)
+
+
+def test_permutation_test_is_explode_plus_group(spark):
+    """The relabeling must be the B-fold generator explode + one
+    groupBy(b) — the only joins are 1-row broadcasts of the observed
+    statistic."""
+    plan = formatted_plan(_q("stat_permutation_test")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pr_curve_single_histogram_pass(spark):
+    """The PR curve and AP must derive from one histogram aggregation
+    — a single fact scan, no joins."""
+    plan = formatted_plan(_q("ml_pr_curve_ap")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
+
+
+def test_iqr_fences_broadcast_back(spark):
+    """The |segments|-row fence table must broadcast onto the facts."""
+    df = _q("dq_outlier_iqr_fences")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_norm_screen_moment_join_broadcasts(spark):
+    """The per-label moment/fence table must broadcast; the norm fold
+    stays JVM-side (no Python)."""
+    df = _q("embedding_norm_outlier_screen")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "BatchEvalPython" not in plan
