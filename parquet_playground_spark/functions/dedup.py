@@ -1668,16 +1668,22 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PF_T = 0.5  # jaccard threshold for the prefix-filter join
 
 _PF_SQL = f"""
-        WITH sh AS ({_SHINGLES_SQL}),
-        df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        WITH sh0 AS ({_SHINGLES_SQL}),
+        df AS (
+            SELECT shingle, count(*) AS df FROM sh0
+            GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+        ),
+        sh AS (
+            SELECT s.doc_id, s.shingle, d.df
+            FROM sh0 s JOIN df d ON s.shingle = d.shingle
+        ),
         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         ranked AS (
             SELECT s.doc_id, s.shingle, z.n,
                    row_number() OVER (
-                       PARTITION BY s.doc_id ORDER BY d.df, s.shingle
+                       PARTITION BY s.doc_id ORDER BY s.df, s.shingle
                    ) AS r
             FROM sh s
-            JOIN df d ON s.shingle = d.shingle
             JOIN sz z ON s.doc_id = z.doc_id
         ),
         prefix AS (
@@ -1725,29 +1731,40 @@ def dedup_prefix_filter_allpairs(
     n - ceil(t*n) + 1 prefix shingles — two sets with jaccard >= t
     MUST collide inside their prefixes (pigeonhole on the
     (1-t)-fraction a match may miss), so recall is exactly 100% with
-    no verification of non-colliding pairs. A length filter
-    (min/max >= t) prunes candidates the size bound alone refutes.
-    On this corpus the prefix join yields 977 candidates of 124,750
-    possible pairs (127x pruning) before exact verification.
+    no verification of non-colliding pairs — over the stop-filtered
+    shingle sets: shingles with document frequency > MAX_SHINGLE_DF
+    are dropped on both sides BEFORE ranking (the dedup_ngram_jaccard
+    stop-shingle semantics). The cap is load-bearing at scale, not
+    cosmetic: the sf1 scale screen measured the uncapped form at
+    9.4 s -> 326 s for 10x docs (this synthetic corpus holds the
+    shingle vocabulary FIXED as it grows, so every posting list
+    lengthens linearly and prefix-join candidates grow
+    quadratically); with the cap, posting lists are bounded by
+    construction and the join is linear in corpus size. A length
+    filter (min/max >= t) additionally prunes candidates the size
+    bound alone refutes.
 
     Determinism: candidate generation is set-based (DISTINCT pairs),
     verification counts are integers, jaccard rounds at 6 dp, output
     orders on the pair.
 
-    Scale shape: the prefix index is a fraction (1-t) of the shingle
-    table, the join keys on the rare end of the df distribution (the
-    df-ascending order deliberately throws away hot shingles'
-    quadratic blowup — hot shingles land OUTSIDE most prefixes), and
-    verification touches only surviving candidates. This is the exact
-    complement to LSH at scale: same bucket-join shape, zero false
-    negatives, tunable entirely by t."""
+    Scale shape: the prefix index is a fraction (1-t) of the
+    stop-filtered shingle table, posting lists are <= MAX_SHINGLE_DF
+    by construction, and verification touches only surviving
+    candidates. This is the exact complement to LSH at scale: same
+    bucket-join shape, zero false negatives, tunable by t and the df
+    cap."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh0 = _shingles(d)
+    dfreq = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+    )
+    sh = sh0.join(dfreq, "shingle")
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ranked = (
-        sh.join(dfreq, "shingle")
-        .join(sz, "doc_id")
+        sh.join(sz, "doc_id")
         .withColumn(
             "r",
             F.row_number().over(
