@@ -2107,3 +2107,223 @@ def ml_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pr_lineitem"
     )
     return spark.sql(_PR_SQL.format(li="pr_lineitem", idiv="div"))
+
+
+# ---------------------------------------------------------------------------
+# ml_cumulative_gains_lift — gains/lift chart by score threshold
+
+_LIFT_SQL = """
+        WITH lab AS (
+            SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                       AS score,
+                   CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM {li}
+        ),
+        hist AS (
+            SELECT score, count(*) AS cnt, sum(y) AS pos
+            FROM lab GROUP BY score
+        ),
+        cum AS (
+            SELECT score,
+                   sum(cnt) OVER w AS n_sel, sum(pos) OVER w AS tp,
+                   sum(sum(cnt)) OVER () AS n_tot,
+                   sum(sum(pos)) OVER () AS p_tot
+            FROM hist
+            GROUP BY score, cnt, pos
+            WINDOW w AS (ORDER BY score DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(score AS BIGINT) AS thr,
+               CAST(n_sel AS BIGINT) AS n_selected,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(floor(CAST(n_sel AS DOUBLE) / n_tot * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS support_share,
+               CAST(floor(CAST(tp AS DOUBLE) / p_tot * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS capture_rate,
+               CAST(floor((CAST(tp AS DOUBLE) * n_tot)
+                          / (CAST(n_sel AS DOUBLE) * p_tot)
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS lift
+        FROM cum
+        ORDER BY thr DESC
+"""
+
+
+@register(
+    "ml_cumulative_gains_lift", oracle=_LIFT_SQL.format(li="lineitem")
+)
+def ml_cumulative_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift chart by score threshold — the
+    campaign-targeting readout ('mail the top X% by score, capture Y%
+    of responders at Z-times random') that completes the eval suite
+    beside ROC (ml_auc_roc), PR (ml_pr_curve_ap), calibration, and the
+    confusion sweep. One operating point per distinct score,
+    descending: selected share, positive capture rate, and lift =
+    precision / base-rate, all from the SAME cumulative-histogram
+    shape as the other eval ops.
+
+    Determinism: integer counts from one histogram; each metric is a
+    fixed-order expression with a single rounding at 6 dp.
+
+    Scale shape: one map-combinable aggregation; windows run over the
+    |distinct scores| aggregate (11 rows at any SF)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lift_lineitem"
+    )
+    return spark.sql(_LIFT_SQL.format(li="lift_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# stat_spearman_corr — Spearman rank correlation via tie-averaged ranks
+
+_SPEARMAN_SQL = """
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM {li}
+        ),
+        hx AS (
+            SELECT x, count(*) AS cnt,
+                   coalesce(sum(count(*)) OVER (
+                       ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS below
+            FROM base GROUP BY x
+        ),
+        hy AS (
+            SELECT y, count(*) AS cnt,
+                   coalesce(sum(count(*)) OVER (
+                       ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS below
+            FROM base GROUP BY y
+        ),
+        ranked AS (
+            SELECT 2 * hx.below + hx.cnt + 1 AS rx2,
+                   2 * hy.below + hy.cnt + 1 AS ry2
+            FROM base b
+            JOIN hx ON b.x = hx.x
+            JOIN hy ON b.y = hy.y
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   sum(rx2) AS sx, sum(ry2) AS sy,
+                   sum(CAST(rx2 AS DECIMAL(38, 0)) * ry2) AS sxy,
+                   sum(CAST(rx2 AS DECIMAL(38, 0)) * rx2) AS sxx,
+                   sum(CAST(ry2 AS DECIMAL(38, 0)) * ry2) AS syy
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE)
+                                      * CAST(sy AS DOUBLE)))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS spearman_rho
+        FROM mom
+"""
+
+
+@register("stat_spearman_corr", oracle=_SPEARMAN_SQL.format(li="lineitem"))
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price — the
+    monotonic-association measure that survives outliers and
+    nonlinearity where Pearson (agg_regression's corr) does not.
+    Tie-averaged ranks come from each variable's value HISTOGRAM, not
+    a row sort: rank_avg = rows_below + (ties+1)/2, kept exactly
+    integral in doubled units (2r = 2*below + cnt + 1, the
+    stat_mann_whitney_u halves trick), then joined back by value and
+    fed into the Pearson identity on exact integer moments (products
+    as DECIMAL(38,0) — doubled ranks square past 2^63 by sf1).
+    Doubling both rank vectors leaves the correlation unchanged.
+
+    Scale shape: two histogram aggregates (|distinct values| rows),
+    two value-keyed joins back onto the fact (broadcastable for the
+    bounded-cardinality side; AQE decides for the price side), one
+    moment aggregate — no global row sort, which is what makes
+    Spearman feasible at 100 TB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "spear_lineitem"
+    )
+    return spark.sql(_SPEARMAN_SQL.format(li="spear_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# stat_kendall_tau_b — Kendall's tau-b from the bounded contingency table
+
+_KENDALL_SQL = """
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS y
+            FROM {li}
+        ),
+        cells AS (
+            SELECT x, y, count(*) AS nij FROM base GROUP BY x, y
+        ),
+        pairs AS (
+            SELECT sum(CASE WHEN b.x > a.x AND b.y > a.y
+                            THEN a.nij * b.nij ELSE 0 END) AS conc,
+                   sum(CASE WHEN b.x > a.x AND b.y < a.y
+                            THEN a.nij * b.nij ELSE 0 END) AS disc
+            FROM cells a JOIN cells b
+              ON b.x > a.x OR (b.x = a.x AND b.y > a.y)
+        ),
+        ties AS (
+            SELECT sum(CAST(nij AS DECIMAL(38, 0))
+                       * (nij - 1)) / 2 AS t_cell,
+                   (SELECT sum(CAST(cx AS DECIMAL(38, 0)) * (cx - 1)) / 2
+                    FROM (SELECT sum(nij) AS cx FROM cells GROUP BY x) tx)
+                       AS t_x,
+                   (SELECT sum(CAST(cy AS DECIMAL(38, 0)) * (cy - 1)) / 2
+                    FROM (SELECT sum(nij) AS cy FROM cells GROUP BY y) ty)
+                       AS t_y,
+                   (SELECT CAST(sum(nij) AS DECIMAL(38, 0)) FROM cells)
+                       AS n
+            FROM cells
+        )
+        SELECT CAST(t.n AS BIGINT) AS n,
+               CAST(p.conc AS BIGINT) AS concordant,
+               CAST(p.disc AS BIGINT) AS discordant,
+               CAST(floor((CAST(p.conc AS DOUBLE) - CAST(p.disc AS DOUBLE))
+                          / sqrt((CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+                                                         - 1) / 2.0
+                                  - CAST(t.t_x AS DOUBLE))
+                                 * (CAST(t.n AS DOUBLE)
+                                    * (CAST(t.n AS DOUBLE) - 1) / 2.0
+                                    - CAST(t.t_y AS DOUBLE)))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS kendall_tau_b
+        FROM pairs p CROSS JOIN ties t
+"""
+
+
+@register("stat_kendall_tau_b", oracle=_KENDALL_SQL.format(li="lineitem"))
+def stat_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and price bucket — the
+    concordance-based rank correlation (more robust than Spearman to
+    a few large rank displacements, and the one with the clean
+    probabilistic reading P(concordant) - P(discordant)). The naive
+    definition is O(n^2) row pairs; over DISCRETE variables it
+    collapses to the CONTINGENCY TABLE: concordant/discordant counts
+    are sums of nij * nkl over cell pairs, so the quadratic term is
+    |cells|^2 (50 quantities x ~11 price buckets = bounded at ANY
+    scale), never row pairs. Tie corrections t_x/t_y come from the
+    marginals; tau-b = (C-D)/sqrt((n(n-1)/2 - t_x)(n(n-1)/2 - t_y)).
+
+    Determinism: all pair and tie counts are exact integers (DECIMAL
+    where n(n-1)/2 passes 2^63); one fixed-order final expression
+    rounded at 6 dp.
+
+    Scale shape: one map-combinable cell aggregation, one
+    bounded-size cell self-join, two marginal aggregates — the
+    canonical trick for rank statistics over low-cardinality columns
+    at fleet scale."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "kend_lineitem"
+    )
+    return spark.sql(_KENDALL_SQL.format(li="kend_lineitem"))

@@ -105,6 +105,8 @@ _CHECK_ORDER = [
     # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
     # the front block. New r5 operators are prepended here when they
     # land so they get an official row immediately.
+    "ml_cumulative_gains_lift", "stat_spearman_corr",
+    "stat_kendall_tau_b",
     "stat_permutation_test", "ml_pr_curve_ap",
     "dq_outlier_iqr_fences", "embedding_norm_outlier_screen",
     "ml_gbdt_residual_boost", "dq_functional_dependency_profile",

@@ -737,3 +737,30 @@ def test_norm_screen_moment_join_broadcasts(spark):
     plan = formatted_plan(df)
     assert uses_broadcast_join(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_gains_lift_single_histogram_pass(spark):
+    """Gains/lift must be one histogram aggregation — single fact
+    scan, no joins (same envelope as the PR curve)."""
+    plan = formatted_plan(_q("ml_cumulative_gains_lift")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
+
+
+def test_spearman_has_no_global_sort(spark):
+    """Ranks come from value histograms joined back by value — the
+    plan must contain no global (single-partition) sort of the fact
+    table, which is what makes Spearman feasible at scale."""
+    plan = formatted_plan(_q("stat_spearman_corr")(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "rangepartitioning" not in tree.lower()
+    assert "BatchEvalPython" not in plan
+
+
+def test_kendall_pair_join_is_cell_bounded(spark):
+    """The quadratic term must be the |cells|^2 self-join of the
+    contingency aggregate (a nested-loop over ~550 aggregated rows is
+    the DESIGN), with the fact table scanned for the cell counts —
+    never row-pair expansion (no fact-to-fact join)."""
+    plan = formatted_plan(_q("stat_kendall_tau_b")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
