@@ -2327,3 +2327,221 @@ def stat_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kend_lineitem"
     )
     return spark.sql(_KENDALL_SQL.format(li="kend_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# stat_power_analysis_mde — experiment sizing from pilot moments
+
+_MDE_SQL = """
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM {ev} WHERE event_type IN ('click', 'view')
+        ),
+        mom AS (
+            SELECT event_type AS grp, count(*) AS n, sum(cents) AS s1,
+                   sum(CAST(cents AS DECIMAL(38, 0))
+                       * CAST(cents AS DECIMAL(38, 0))) AS s2
+            FROM obs GROUP BY event_type
+        ),
+        piv AS (
+            SELECT max(CASE WHEN grp = 'click' THEN n END) AS na,
+                   max(CASE WHEN grp = 'view' THEN n END) AS nb,
+                   max(CASE WHEN grp = 'click' THEN
+                       CAST(s1 AS DOUBLE) / n END) AS ma,
+                   max(CASE WHEN grp = 'click' THEN
+                       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       / (n - 1) END) AS va,
+                   max(CASE WHEN grp = 'view' THEN
+                       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                       / (n - 1) END) AS vb
+            FROM mom
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(floor(ma / 100.0 * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS mean_a_usd,
+               CAST(floor((2.801585 * sqrt(va / na + vb / nb)) / 100.0
+                          * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS mde_abs_usd,
+               CAST(floor((2.801585 * sqrt(va / na + vb / nb)) / ma
+                          * 100.0 * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS mde_rel_pct,
+               CAST(ceil(2.801585 * 2.801585 * (va + vb)
+                         / ((0.01 * ma) * (0.01 * ma)))
+                    AS BIGINT) AS n_per_group_for_1pct
+        FROM piv
+"""
+
+
+@register("stat_power_analysis_mde", oracle=_MDE_SQL.format(ev="events"))
+def stat_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis from pilot data: the minimum
+    detectable effect at the CURRENT sample sizes and the required
+    per-group n to detect a 1% relative lift, for a two-sample test at
+    alpha=.05 (two-sided) and 80% power — z_{.975} + z_{.80} =
+    1.959964 + 0.841621 = 2.801585, folded into one literal so both
+    engines evaluate the same constant. Variances come from the same
+    exact integer-cents moments as stat_welch_ttest (sumsq as
+    DECIMAL(38,0)); every output is a fixed-order expression rounded
+    at 4 dp. This is the sizing readout an experimentation platform
+    computes BEFORE launching what events_ab_test_lift later reads
+    out, closing the A/B loop (size -> run -> test -> CUPED adjust).
+
+    Scale shape: one map-combinable moment aggregation, a 1-row
+    pivot, scalar arithmetic — the cheapest query in the stats suite
+    regardless of data volume."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "mde_events"
+    )
+    return spark.sql(_MDE_SQL.format(ev="mde_events"))
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_correlation_matrix — all pairwise correlations, one pass
+
+_CORRMAT_SQL = """
+        WITH base AS (
+            SELECT CAST(l_quantity AS BIGINT) AS f1,
+                   CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS f2,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS f3,
+                   CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS f4
+            FROM {li}
+        ),
+        mom AS (
+            SELECT count(*) AS n,
+                   sum(f1) AS s1, sum(f2) AS s2, sum(f3) AS s3,
+                   sum(f4) AS s4,
+                   sum(CAST(f1 AS DECIMAL(38, 0)) * f1) AS s11,
+                   sum(CAST(f2 AS DECIMAL(38, 0)) * f2) AS s22,
+                   sum(CAST(f3 AS DECIMAL(38, 0)) * f3) AS s33,
+                   sum(CAST(f4 AS DECIMAL(38, 0)) * f4) AS s44,
+                   sum(CAST(f1 AS DECIMAL(38, 0)) * f2) AS s12,
+                   sum(CAST(f1 AS DECIMAL(38, 0)) * f3) AS s13,
+                   sum(CAST(f1 AS DECIMAL(38, 0)) * f4) AS s14,
+                   sum(CAST(f2 AS DECIMAL(38, 0)) * f3) AS s23,
+                   sum(CAST(f2 AS DECIMAL(38, 0)) * f4) AS s24,
+                   sum(CAST(f3 AS DECIMAL(38, 0)) * f4) AS s34
+            FROM base
+        ),
+        pairs AS (
+            SELECT 'quantity' AS fa, 'discount_pct' AS fb,
+                   CAST(s12 AS DOUBLE) AS sab, CAST(s1 AS DOUBLE) AS sa,
+                   CAST(s2 AS DOUBLE) AS sb, CAST(s11 AS DOUBLE) AS saa,
+                   CAST(s22 AS DOUBLE) AS sbb, CAST(n AS DOUBLE) AS n
+            FROM mom
+            UNION ALL
+            SELECT 'quantity', 'price_cents', CAST(s13 AS DOUBLE),
+                   CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE),
+                   CAST(s11 AS DOUBLE), CAST(s33 AS DOUBLE),
+                   CAST(n AS DOUBLE)
+            FROM mom
+            UNION ALL
+            SELECT 'quantity', 'tax_pct', CAST(s14 AS DOUBLE),
+                   CAST(s1 AS DOUBLE), CAST(s4 AS DOUBLE),
+                   CAST(s11 AS DOUBLE), CAST(s44 AS DOUBLE),
+                   CAST(n AS DOUBLE)
+            FROM mom
+            UNION ALL
+            SELECT 'discount_pct', 'price_cents', CAST(s23 AS DOUBLE),
+                   CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE),
+                   CAST(s22 AS DOUBLE), CAST(s33 AS DOUBLE),
+                   CAST(n AS DOUBLE)
+            FROM mom
+            UNION ALL
+            SELECT 'discount_pct', 'tax_pct', CAST(s24 AS DOUBLE),
+                   CAST(s2 AS DOUBLE), CAST(s4 AS DOUBLE),
+                   CAST(s22 AS DOUBLE), CAST(s44 AS DOUBLE),
+                   CAST(n AS DOUBLE)
+            FROM mom
+            UNION ALL
+            SELECT 'price_cents', 'tax_pct', CAST(s34 AS DOUBLE),
+                   CAST(s3 AS DOUBLE), CAST(s4 AS DOUBLE),
+                   CAST(s33 AS DOUBLE), CAST(s44 AS DOUBLE),
+                   CAST(n AS DOUBLE)
+            FROM mom
+        )
+        SELECT fa AS feature_a, fb AS feature_b,
+               CAST(floor((n * sab - sa * sb)
+                          / (sqrt(n * saa - sa * sa)
+                             * sqrt(n * sbb - sb * sb))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS pearson_r
+        FROM pairs
+        ORDER BY feature_a, feature_b
+"""
+
+
+@register(
+    "ml_feature_correlation_matrix",
+    oracle=_CORRMAT_SQL.format(li="lineitem"),
+)
+def ml_feature_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full pairwise Pearson correlation matrix over four integerized
+    numeric features in ONE aggregation pass — the feature-screening
+    matrix (drop one of any collinear pair) computed the way a
+    distributed feature store does it: k features need k + k(k+1)/2
+    moment sums in a single map-combinable aggregate (here 14), and
+    every correlation is then scalar arithmetic on the 1-row moment
+    frame; k passes or a row-pair shuffle never happen. Cross products
+    accumulate as DECIMAL(38,0) (cents x cents crosses 2^63 above
+    sf0.1), means are never materialized (the n*Sxy - Sx*Sy identity).
+
+    Determinism: exact integer/decimal moments, fixed-order double
+    assembly per pair, rounded at 6 dp, output keyed by the feature
+    pair.
+
+    Plan note: the oracle spells the pair fan-out as UNION ALL arms
+    over the moment CTE, which Spark would inline into 6 fact scans
+    (caught by the plan pin); the Spark side instead explodes an
+    array of pair structs FROM the single 1-row aggregate, so the
+    plan has exactly one scan and one aggregation."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "corrmat_lineitem"
+    )
+    prefix = _CORRMAT_SQL[: _CORRMAT_SQL.index("        pairs AS (")].format(
+        li="corrmat_lineitem"
+    )
+
+    def _pair(fa: str, fb: str, ia: int, ib: int) -> str:
+        return (
+            f"named_struct('fa', '{fa}', 'fb', '{fb}', "
+            f"'sab', CAST(s{min(ia, ib)}{max(ia, ib)} AS DOUBLE), "
+            f"'sa', CAST(s{ia} AS DOUBLE), 'sb', CAST(s{ib} AS DOUBLE), "
+            f"'saa', CAST(s{ia}{ia} AS DOUBLE), "
+            f"'sbb', CAST(s{ib}{ib} AS DOUBLE))"
+        )
+
+    feats = [
+        ("quantity", 1),
+        ("discount_pct", 2),
+        ("price_cents", 3),
+        ("tax_pct", 4),
+    ]
+    structs = ",\n                ".join(
+        _pair(fa, fb, ia, ib)
+        for idx, (fa, ia) in enumerate(feats)
+        for fb, ib in feats[idx + 1 :]
+    )
+    return spark.sql(
+        prefix
+        + f"""
+        expanded AS (
+            SELECT CAST(n AS DOUBLE) AS nd, p
+            FROM mom
+            LATERAL VIEW explode(array(
+                {structs}
+            )) t AS p
+        )
+        SELECT p.fa AS feature_a, p.fb AS feature_b,
+               CAST(floor((nd * p.sab - p.sa * p.sb)
+                          / (sqrt(nd * p.saa - p.sa * p.sa)
+                             * sqrt(nd * p.sbb - p.sb * p.sb))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS pearson_r
+        FROM expanded
+        ORDER BY feature_a, feature_b
+        """
+    )

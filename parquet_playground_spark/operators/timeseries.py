@@ -1832,3 +1832,64 @@ def ts_rate_of_change_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roc_events"
     )
     return spark.sql(_ROC_SQL.format(ev="roc_events", epoch="unix_micros"))
+
+
+# ---------------------------------------------------------------------------
+# ts_decompose_additive — trend-removed hour-of-day seasonal profile
+
+_DECOMP_SQL = """
+        WITH per_hour AS (
+            SELECT date_trunc('hour', ts) AS hour_ts,
+                   CAST(floor(sum(value) * 10000.0 + 0.5) AS BIGINT) AS v4
+            FROM {ev} GROUP BY 1
+        ),
+        ma AS (
+            SELECT hour_ts, v4,
+                   sum(v4) OVER w AS sum25,
+                   count(*) OVER w AS cnt25
+            FROM per_hour
+            WINDOW w AS (ORDER BY hour_ts
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        ),
+        detrended AS (
+            SELECT CAST(hour(hour_ts) AS BIGINT) AS hour_of_day,
+                   25 * v4 - sum25 AS d25
+            FROM ma WHERE cnt25 = 25
+        )
+        SELECT hour_of_day,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(floor(CAST(sum(d25) AS DOUBLE) / (25.0 * count(*))
+                          + 0.5)
+                    AS DOUBLE) / 10000.0 AS seasonal_usd
+        FROM detrended
+        GROUP BY hour_of_day
+        ORDER BY hour_of_day
+"""
+
+
+@register(
+    "ts_decompose_additive", oracle=_DECOMP_SQL.format(ev="events")
+)
+def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition, STL-lite: remove the trend
+    with a centered 25-hour moving average (full windows only), then
+    estimate the hour-of-day seasonal component as the mean detrended
+    value per hour cell — the methodological step beyond
+    ts_seasonal_baseline's raw cell means, which conflate trend drift
+    with seasonality (a ramping metric makes evening hours look
+    'seasonal' in a raw profile; detrending first isolates the true
+    daily shape).
+
+    Determinism: hourly values integerize at 4 dp; the detrended
+    series works in x25 units (25*v - window_sum) so it stays EXACTLY
+    integral through the moving average; each seasonal cell takes one
+    final division rounded at the same 4 dp resolution.
+
+    Scale shape: one map-combinable hourly aggregation
+    (calendar-bounded output), one ordered window over that aggregate
+    (720 rows/month at any SF; partition by month with boundary
+    overlap at production span), one 24-row groupBy."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "decomp_events"
+    )
+    return spark.sql(_DECOMP_SQL.format(ev="decomp_events"))

@@ -764,3 +764,28 @@ def test_kendall_pair_join_is_cell_bounded(spark):
     never row-pair expansion (no fact-to-fact join)."""
     plan = formatted_plan(_q("stat_kendall_tau_b")(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
+
+
+def test_mde_single_moment_pass(spark):
+    """Power analysis is one moment aggregation + a 1-row pivot —
+    single fact scan, no joins."""
+    plan = formatted_plan(_q("stat_power_analysis_mde")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
+
+
+def test_corrmat_is_one_pass_for_all_pairs(spark):
+    """All 6 pairwise correlations must come from ONE moment
+    aggregation of the fact table — a scan per pair (or per feature)
+    means the k-features-one-pass shape regressed."""
+    plan = formatted_plan(_q("ml_feature_correlation_matrix")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
+
+
+def test_decompose_windows_over_aggregate_only(spark):
+    """The moving-average window must run over the hourly aggregate
+    (calendar-bounded), never the raw events; no joins, no Python."""
+    plan = formatted_plan(_q("ts_decompose_additive")(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
