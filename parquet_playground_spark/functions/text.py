@@ -2211,3 +2211,140 @@ def text_ctfidf_class_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rnk").cast("bigint").alias("rnk"), "tok", "ctfidf")
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_wordpiece_encode — greedy longest-match-first segmentation
+
+_WP_STEPS = 16  # words longer than this are excluded (corpus max is 8)
+_WP_VOCAB_MULTI = 100  # multi-char pieces kept, by (score desc, piece)
+
+
+def _wp_sql(words_cte: str, str_t: str) -> str:
+    """Build the unrolled greedy-encode SQL (shared across engines;
+    only the tokenizing words CTE and the string type name differ)."""
+    head = f"""
+        WITH words AS ({words_cte}),
+        pos AS (SELECT * FROM (VALUES {", ".join(f"({i})" for i in range(1, _WP_STEPS + 1))}) AS t(p)),
+        lens AS (SELECT * FROM (VALUES (4), (3), (2), (1)) AS t(l)),
+        chars AS (
+            SELECT DISTINCT substr(word, p.p, 1) AS piece
+            FROM words CROSS JOIN pos p
+            WHERE p.p <= length(word)
+        ),
+        multi_scored AS (
+            SELECT substr(w.word, p.p, l.l) AS piece,
+                   sum(w.freq) AS score
+            FROM words w CROSS JOIN pos p CROSS JOIN lens l
+            WHERE l.l >= 2 AND p.p + l.l - 1 <= length(w.word)
+            GROUP BY substr(w.word, p.p, l.l)
+        ),
+        multi AS (
+            SELECT piece FROM (
+                SELECT piece, row_number() OVER (
+                    ORDER BY score DESC, piece) AS rn
+                FROM multi_scored) t
+            WHERE rn <= {_WP_VOCAB_MULTI}
+        ),
+        vocab AS (
+            SELECT piece FROM chars UNION ALL SELECT piece FROM multi
+        ),
+        s0 AS (
+            SELECT word, freq, length(word) AS len, 1 AS pos,
+                   CAST('' AS {str_t}) AS enc, 0 AS np
+            FROM words WHERE length(word) <= {_WP_STEPS}
+        )"""
+    # Each step references its predecessor EXACTLY ONCE: a second
+    # reference (e.g. a UNION ALL carrying finished rows) makes the
+    # analyzer inline the whole chain twice per step — a 2^16 plan
+    # blowup that OOMs the driver before execution. Finished rows ride
+    # along through the same join (their substr matches nothing) and
+    # the CASE keeps them unchanged.
+    steps = []
+    for k in range(1, _WP_STEPS + 1):
+        steps.append(f""",
+        b{k} AS (
+            SELECT s.word, s.freq, s.len, s.pos, s.enc, s.np,
+                   max(CASE WHEN v.piece IS NOT NULL THEN l.l END) AS bl
+            FROM s{k - 1} s
+            CROSS JOIN lens l
+            LEFT JOIN vocab v
+              ON s.pos + l.l - 1 <= s.len
+             AND v.piece = substr(s.word, s.pos, l.l)
+            GROUP BY s.word, s.freq, s.len, s.pos, s.enc, s.np
+        ),
+        s{k} AS (
+            SELECT word, freq, len,
+                   CASE WHEN pos > len THEN pos ELSE pos + bl END AS pos,
+                   CASE WHEN pos > len THEN enc
+                        WHEN pos = 1 THEN substr(word, pos, bl)
+                        ELSE enc || ' ##' || substr(word, pos, bl)
+                   END AS enc,
+                   CASE WHEN pos > len THEN np ELSE np + 1 END AS np
+            FROM b{k}
+        )"""
+        )
+    tail = f"""
+        SELECT word, CAST(freq AS BIGINT) AS freq,
+               CAST(np AS BIGINT) AS n_pieces, enc AS encoding,
+               CAST(CAST(sum(freq * np) OVER () * 1000000 AS BIGINT)
+                    {{idiv}} sum(freq) OVER () AS DOUBLE) / 1000000.0
+                   AS corpus_fertility
+        FROM s{_WP_STEPS}
+        ORDER BY word
+"""
+    return head + "".join(steps) + tail
+
+
+_WP_WORDS_DUCK = """
+            SELECT tok AS word, count(*) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                      AS tok
+                  FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok
+"""
+
+_WP_WORDS_SPARK = """
+            SELECT tok AS word, count(*) AS freq
+            FROM (SELECT explode(split(lower(text), '\\\\s+')) AS tok
+                  FROM wp_documents)
+            WHERE tok <> ''
+            GROUP BY tok
+"""
+
+
+@register(
+    "tokenizer_wordpiece_encode",
+    oracle=_wp_sql(_WP_WORDS_DUCK, "VARCHAR").format(idiv="//"),
+)
+def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match-first ENCODING — the
+    missing quarter of the tokenizer family (vocab_build counts,
+    bpe_merges and unigram_em train; this one segments): every word
+    type is walked left-to-right, at each position consuming the
+    longest vocabulary piece that matches (pieces are all single
+    characters — guaranteeing coverage — plus the top-100 length-2..4
+    substrings by corpus-frequency score). The walk is unrolled as 16
+    fixed plan steps (corpus max word length is 8; each step consumes
+    >= 1 char), each step a 4-way candidate expansion + vocab
+    equi-join + per-word longest-match argmax — no driver iteration,
+    no UDF. Output: per word type the '##'-marked segmentation and
+    piece count, plus the corpus fertility (freq-weighted mean
+    pieces/token, the tokenizer-quality headline) via exact integer
+    division.
+
+    Determinism: vocab selection ranks on (integer score desc,
+    piece); the greedy pick ranks on piece length only (unique per
+    state); fertility is integer arithmetic.
+
+    Scale shape: everything after the word-type aggregation operates
+    on the TYPE table (vocabulary-sized — the corpus could be 100 TB
+    and s0 is still |types| rows); encoding joins back to the corpus
+    by word for downstream token streams. This is exactly how
+    production tokenizer application is distributed: encode types
+    once, broadcast the piece map."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "wp_documents"
+    )
+    return spark.sql(_wp_sql(_WP_WORDS_SPARK, "STRING").format(idiv="div"))

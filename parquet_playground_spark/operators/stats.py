@@ -2545,3 +2545,86 @@ def ml_feature_correlation_matrix(
         ORDER BY feature_a, feature_b
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_two_proportion_ztest — conversion-rate z-test from pure counts
+
+_PROP_SQL = """
+        WITH assign AS (
+            SELECT user_id,
+                   {hex_head}substr(md5(concat(
+                        CAST(user_id AS STRING), '_prop')), 1, 8){hex_tail}
+                   % 2 AS variant,
+                   max(CASE WHEN event_type = 'purchase'
+                                 AND value >= 400.0
+                            THEN 1 ELSE 0 END) AS converted
+            FROM {ev}
+            GROUP BY user_id
+        ),
+        cnt AS (
+            SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+                   sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                       AS c0,
+                   sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+                   sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                       AS c1
+            FROM assign
+        )
+        SELECT CAST(n0 AS BIGINT) AS n_control,
+               CAST(c0 AS BIGINT) AS conv_control,
+               CAST(n1 AS BIGINT) AS n_treat,
+               CAST(c1 AS BIGINT) AS conv_treat,
+               CAST(floor(CAST(c0 AS DOUBLE) / n0 * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS rate_control,
+               CAST(floor(CAST(c1 AS DOUBLE) / n1 * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS rate_treat,
+               CAST(floor((CAST(c1 AS DOUBLE) / n1
+                           - CAST(c0 AS DOUBLE) / n0)
+                          / nullif(sqrt((CAST(c0 + c1 AS DOUBLE)
+                                         / (n0 + n1))
+                                 * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                          / (n0 + n1))
+                                 * (1.0 / n0 + 1.0 / n1)), 0.0)
+                          * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS z_stat
+        FROM cnt
+"""
+
+
+@register(
+    "stat_two_proportion_ztest",
+    oracle=_PROP_SQL.format(
+        ev="events",
+        hex_head="CAST(concat('0x', ",
+        hex_tail=") AS BIGINT)",
+    ).replace("AS STRING", "AS VARCHAR"),
+)
+def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion — the binary-outcome
+    sibling of stat_welch_ttest and the single most common
+    experimentation readout (did the treatment convert better?).
+    Users are deterministically split by md5 parity (the
+    events_ab_test_lift assignment discipline), per-user conversion is
+    'made a big-ticket purchase' (value >= 400 — plain purchase is
+    degenerate here: every user converts, making the pooled variance
+    zero; the nullif guard returns NULL on that edge identically in
+    both engines instead of Spark-ANSI-error vs DuckDB-inf), and the
+    pooled-proportion z-statistic is assembled
+    ENTIRELY from four integer counts — the only statistic in the
+    suite with no float accumulation anywhere, making it the
+    determinism gold standard: one fixed-order expression, rounded at
+    4 dp.
+
+    Scale shape: one user-keyed aggregation (the only fact shuffle),
+    one 1-row count pivot, scalar arithmetic."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "prop_events"
+    )
+    return spark.sql(
+        _PROP_SQL.format(
+            ev="prop_events",
+            hex_head="CAST(conv(",
+            hex_tail=", 16, 10) AS BIGINT)",
+        )
+    )

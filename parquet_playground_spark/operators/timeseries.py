@@ -1893,3 +1893,73 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decomp_events"
     )
     return spark.sql(_DECOMP_SQL.format(ev="decomp_events"))
+
+
+# ---------------------------------------------------------------------------
+# ts_heartbeat_outage_intervals — gap detection on a heartbeat stream
+
+_OUTAGE_GAP_MIN = 30
+
+_OUTAGE_SQL = f"""
+        WITH ordered AS (
+            SELECT event_type,
+                   CAST({{epoch}}(ts) AS BIGINT) AS t_us,
+                   lag(CAST({{epoch}}(ts) AS BIGINT)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS t_prev
+            FROM {{ev}}
+        ),
+        gaps AS (
+            SELECT event_type, t_us - t_prev AS gap_us
+            FROM ordered
+            WHERE t_prev IS NOT NULL
+              AND t_us - t_prev > {_OUTAGE_GAP_MIN}::BIGINT * 60000000
+        )
+        SELECT o.event_type,
+               CAST(count(g.gap_us) AS BIGINT) AS n_outages,
+               CAST(floor(CAST(coalesce(sum(g.gap_us), 0) AS DOUBLE)
+                          / 60000000.0 * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS total_outage_min,
+               CAST(floor(CAST(coalesce(max(g.gap_us), 0) AS DOUBLE)
+                          / 60000000.0 * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS max_gap_min
+        FROM (SELECT DISTINCT event_type FROM {{ev}}) o
+        LEFT JOIN gaps g ON o.event_type = g.event_type
+        GROUP BY o.event_type
+        ORDER BY o.event_type
+"""
+
+
+@register(
+    "ts_heartbeat_outage_intervals",
+    oracle=_OUTAGE_SQL.format(ev="events", epoch="epoch_us").replace(
+        "::BIGINT", "::BIGINT"
+    ),
+)
+def ts_heartbeat_outage_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Heartbeat outage detection: treat each event type's stream as a
+    liveness signal and report every silence longer than 30 minutes —
+    the monitoring inverse of gap-FILLING (ts_gapfill_*): there the
+    gaps get values, here the gaps ARE the signal. Per stream:
+    outage count, total silent minutes, longest silence; streams with
+    zero outages still appear (LEFT JOIN against the type dimension)
+    because 'no outages' is the answer the dashboard wants.
+
+    Determinism: gaps are exact microsecond integers; the two
+    conversions to minutes are single divisions rounded at 4 dp; the
+    consecutive ordering tie-breaks on event_id.
+
+    Scale shape: one lag window per stream partition (same shape as
+    ts_rate_of_change_irregular — partition by (type, day) with
+    boundary carry at production volume), a filter that keeps only
+    gap rows (tiny), one summary aggregate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "outage_events"
+    )
+    return spark.sql(
+        _OUTAGE_SQL.format(ev="outage_events", epoch="unix_micros").replace(
+            f"{_OUTAGE_GAP_MIN}::BIGINT", f"CAST({_OUTAGE_GAP_MIN} AS BIGINT)"
+        )
+    )

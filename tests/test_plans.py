@@ -789,3 +789,30 @@ def test_decompose_windows_over_aggregate_only(spark):
     plan = formatted_plan(_q("ts_decompose_additive")(spark, SF_DIR))
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_two_proportion_is_count_only(spark):
+    """The z-test must be one user-keyed aggregation + a 1-row pivot
+    — single fact scan, no joins, no Python."""
+    plan = formatted_plan(_q("stat_two_proportion_ztest")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
+
+
+def test_outage_detection_single_window(spark):
+    """Gap detection is one lag window + filter; the only join is the
+    type-dimension LEFT JOIN (aggregate-sized)."""
+    plan = formatted_plan(_q("ts_heartbeat_outage_intervals")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wordpiece_chain_analyzes_linearly(spark):
+    """The 16 greedy steps each reference their predecessor exactly
+    once — a doubled reference makes the analyzer inline 2^16 plan
+    copies and OOM (the bug this op shipped with). Building the plan
+    at all IS the regression test; also pin no Python and no
+    cartesian on the corpus side."""
+    df = _q("tokenizer_wordpiece_encode")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
