@@ -1575,3 +1575,97 @@ def embedding_norm_outlier_screen(
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroid_margin — label-noise screen via prototype margins
+
+_MARGIN_SQL = """
+        WITH longv AS (
+            SELECT vec_id, label, pos,
+                   CAST(floor(CAST(val AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT) AS v6
+            FROM ({explode}) t
+        ),
+        cent AS (
+            SELECT label AS clabel, pos,
+                   CAST(sum(v6) AS DOUBLE) / count(*) / 1000000.0 AS mean
+            FROM longv GROUP BY label, pos
+        ),
+        dist AS (
+            SELECT l.vec_id, l.label, c.clabel,
+                   sum(CAST(floor(
+                       (CAST(l.v6 AS DOUBLE) / 1000000.0 - c.mean)
+                       * (CAST(l.v6 AS DOUBLE) / 1000000.0 - c.mean)
+                       * 100000000.0 + 0.5) AS BIGINT)) AS d2i
+            FROM longv l JOIN cent c ON l.pos = c.pos
+            GROUP BY l.vec_id, l.label, c.clabel
+        ),
+        margins AS (
+            SELECT vec_id, label,
+                   max(CASE WHEN clabel = label THEN d2i END) AS own,
+                   min(CASE WHEN clabel <> label THEN d2i END) AS other
+            FROM dist GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN other < own THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_suspect,
+               CAST(floor(CAST(sum(CASE WHEN other < own THEN 1 ELSE 0 END)
+                               AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS suspect_share,
+               CAST(floor(CAST(sum(other - own) AS DOUBLE) / count(*)
+                          / 100.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS avg_margin
+        FROM margins
+        GROUP BY label
+        ORDER BY label
+"""
+
+_MARGIN_EXPLODE_DUCK = """
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   unnest(embedding) AS val
+            FROM embeddings
+"""
+
+
+@register(
+    "embedding_centroid_margin",
+    oracle=_MARGIN_SQL.format(explode=_MARGIN_EXPLODE_DUCK),
+)
+def embedding_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen via class-prototype margins (the cheap
+    member of the Confident-Learning family): each vector's squared
+    distance to its OWN label centroid vs its NEAREST OTHER centroid;
+    a negative margin (other closer than own) flags a likely
+    mislabeled or boundary example — the per-label suspect rate is
+    the readout a training-data pipeline gates label batches on.
+
+    Determinism: embedding components integerize at 1e-6 so centroid
+    sums are exact and means are single divisions; each per-dimension
+    squared difference integerizes at 1e-8 BEFORE the sum, so every
+    distance is an exact integer and the own-vs-other comparisons
+    resolve identically on both engines.
+
+    Scale shape: all long-form relational — one posexplode, a
+    (label, dim)-keyed centroid aggregate (L x dims rows, broadcast),
+    a dim-keyed join fanning each vector row by L (bounded), one
+    (vec, candidate) distance aggregate, one per-label summary. No
+    vector UDFs, no pairwise joins; the fan-out factor is |labels|,
+    not corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "val"
+        ),
+    ).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val"
+    ).createOrReplaceTempView("margin_longv_src")
+    return spark.sql(
+        _MARGIN_SQL.format(
+            explode="SELECT vec_id, label, pos, val FROM margin_longv_src"
+        )
+    )

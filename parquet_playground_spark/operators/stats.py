@@ -2628,3 +2628,148 @@ def stat_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             hex_tail=", 16, 10) AS BIGINT)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stat_binomial_ci_wilson — Wilson score intervals for segment rates
+
+_WILSON_SQL = """
+        WITH seg AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS k
+            FROM {ev}
+            GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               CAST(floor(CAST(k AS DOUBLE) / n * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS rate,
+               CAST(floor(((CAST(k AS DOUBLE) / n
+                            + 1.9208 / n
+                            - 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                                              * (1.0 - CAST(k AS DOUBLE)
+                                                       / n) / n
+                                              + 0.96036889 / (n * n)))
+                           / (1.0 + 3.8414589 / n))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS wilson_lo,
+               CAST(floor(((CAST(k AS DOUBLE) / n
+                            + 1.9208 / n
+                            + 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                                              * (1.0 - CAST(k AS DOUBLE)
+                                                       / n) / n
+                                              + 0.96036889 / (n * n)))
+                           / (1.0 + 3.8414589 / n))
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS wilson_hi
+        FROM seg
+        ORDER BY event_type
+"""
+
+
+@register("stat_binomial_ci_wilson", oracle=_WILSON_SQL.format(ev="events"))
+def stat_binomial_ci_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for each segment's high-value rate —
+    the proportion CI that behaves at the extremes where the normal
+    (Wald) interval collapses (k=0 or k=n give a degenerate
+    zero-width Wald CI; Wilson stays honest), and the interval behind
+    'sort by lower confidence bound' ranking. The z constants are
+    pre-folded literals (z=1.959964, z^2=3.8414589, z^2/2=1.9208,
+    z^4/4=0.96036889) so both engines evaluate identical arithmetic;
+    inputs are two integer counts per segment.
+
+    Scale shape: one map-combinable count aggregation (|segments|
+    rows), then scalar arithmetic — nothing scales past the first
+    pass."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "wilson_events"
+    )
+    return spark.sql(_WILSON_SQL.format(ev="wilson_events"))
+
+
+# ---------------------------------------------------------------------------
+# ml_learning_curve_subsample — metric vs training-set size
+
+_LC_SQL = """
+        WITH pcts AS (
+            SELECT * FROM (VALUES (10), (30), (100)) AS t(pct)
+        ),
+        sampled AS (
+            SELECT p.pct,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS y
+            FROM {li} CROSS JOIN pcts p
+            WHERE {hex_head}substr(md5(concat(
+                      CAST(l_orderkey AS STRING), '_',
+                      CAST(l_linenumber AS STRING))), 1, 8){hex_tail}
+                  % 100 < p.pct
+        ),
+        mom AS (
+            SELECT pct, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(CAST(x AS DECIMAL(38, 0)) * y) AS sxy,
+                   sum(CAST(x AS DECIMAL(38, 0)) * x) AS sxx,
+                   sum(CAST(y AS DECIMAL(38, 0)) * y) AS syy
+            FROM sampled GROUP BY pct
+        )
+        SELECT CAST(pct AS BIGINT) AS train_pct,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / 100.0 * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS slope_usd_per_qty,
+               CAST(floor(
+                   ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS r_squared
+        FROM mom
+        ORDER BY train_pct
+"""
+
+
+@register(
+    "ml_learning_curve_subsample",
+    oracle=_LC_SQL.format(
+        li="lineitem",
+        hex_head="CAST(concat('0x', ",
+        hex_tail=") AS BIGINT)",
+    ).replace("AS STRING", "AS VARCHAR"),
+)
+def ml_learning_curve_subsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Learning curve: fit quality (slope stability + R^2 of the
+    closed-form price~quantity regression) at 10% / 30% / 100%
+    deterministic training subsamples — the 'is more data still
+    buying accuracy?' readout that decides whether a pipeline keeps
+    ingesting or starts curating. Subsamples are md5-hash NESTED by
+    construction (hash%100 < 10 implies < 30 implies < 100 — the same
+    rows stay in as the budget grows, the property that makes curves
+    comparable), via the sample_hash_deterministic discipline.
+
+    Determinism: integer/DECIMAL(38,0) moments per arm; slope and
+    R^2 = corr^2 are fixed-order expressions, one rounding each.
+
+    Scale shape: ONE fact scan fans out to the 3 arms via the pct
+    cross join + hash filter, then a 3-group moment aggregate — K
+    curve points never cost K scans, and the sampling predicate is
+    scan-level (no shuffle to sample)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lc_lineitem"
+    )
+    return spark.sql(
+        _LC_SQL.format(
+            li="lc_lineitem",
+            hex_head="CAST(conv(",
+            hex_tail=", 16, 10) AS BIGINT)",
+        )
+    )

@@ -816,3 +816,27 @@ def test_wordpiece_chain_analyzes_linearly(spark):
     df = _q("tokenizer_wordpiece_encode")(spark, SF_DIR)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_wilson_single_count_pass(spark):
+    """Wilson CIs are one count aggregation + scalar arithmetic —
+    single scan, no joins."""
+    plan = formatted_plan(_q("stat_binomial_ci_wilson")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
+
+
+def test_centroid_margin_joins_on_dimension(spark):
+    """The distance computation joins long-form rows to centroids on
+    the dimension key (L-bounded fan-out) — never a vector-pair
+    cartesian; no Python."""
+    plan = formatted_plan(_q("embedding_centroid_margin")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_learning_curve_is_one_scan(spark):
+    """All three curve arms must come from ONE fact scan fanned by
+    the pct cross join — K arms as K scans is the regression."""
+    plan = formatted_plan(_q("ml_learning_curve_subsample")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
