@@ -2875,3 +2875,93 @@ def graph_label_propagation_communities(
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "events_markov_backtest",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_ts
+            FROM events
+        ),
+        train AS (
+            SELECT event_type AS prev, next_type
+            FROM seq
+            WHERE next_type IS NOT NULL
+              AND next_ts < TIMESTAMP '2024-01-24 00:00:00'
+        ),
+        model AS (
+            SELECT prev, next_type AS pred FROM (
+                SELECT prev, next_type, count(*) AS c,
+                       row_number() OVER (
+                           PARTITION BY prev
+                           ORDER BY count(*) DESC, next_type) AS rn
+                FROM train GROUP BY prev, next_type) t
+            WHERE rn = 1
+        ),
+        base AS (
+            SELECT next_type AS pred FROM (
+                SELECT next_type, count(*) AS c,
+                       row_number() OVER (
+                           ORDER BY count(*) DESC, next_type) AS rn
+                FROM train GROUP BY next_type) t
+            WHERE rn = 1
+        ),
+        test AS (
+            SELECT s.event_type AS prev, s.next_type
+            FROM seq s
+            WHERE s.next_type IS NOT NULL
+              AND s.ts >= TIMESTAMP '2024-01-24 00:00:00'
+        ),
+        scored AS (
+            SELECT t.next_type, m.pred AS model_pred, b.pred AS base_pred
+            FROM test t
+            JOIN model m ON t.prev = m.prev
+            CROSS JOIN base b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_test_pairs,
+               CAST(floor(CAST(sum(CASE WHEN next_type = model_pred
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                          / count(*) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS model_accuracy,
+               CAST(floor(CAST(sum(CASE WHEN next_type = base_pred
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                          / count(*) * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS baseline_accuracy
+        FROM scored
+    """,
+)
+def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest of the first-order Markov next-event model
+    (the events_markov_transitions matrix turned into a PREDICTOR and
+    evaluated honestly): train argmax-transition predictions on the
+    first 23 days, score top-1 accuracy on pairs starting in the
+    holdout week, against the majority-class baseline — the
+    train/test-by-TIME split that is the only honest evaluation for
+    sequence models (a random split leaks future behavior). Pairs
+    whose successor falls before the cutoff train; pairs starting at
+    or after it test.
+
+    Determinism: transition counts are integers; both argmaxes
+    tie-break on the event type; accuracies take one division each.
+
+    Scale shape: one user-partitioned lead window (the only
+    fact-sized work), two tiny model aggregates (|types|^2 and
+    |types| rows, broadcast back), one count readout."""
+    from parquet_playground_spark.registry import ORACLES
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "mb_events"
+    )
+    # the oracle SQL is engine-portable; only the table name differs
+    return spark.sql(
+        ORACLES["events_markov_backtest"].replace(
+            "FROM events", "FROM mb_events"
+        )
+    )

@@ -1963,3 +1963,97 @@ def ts_heartbeat_outage_intervals(
             f"{_OUTAGE_GAP_MIN}::BIGINT", f"CAST({_OUTAGE_GAP_MIN} AS BIGINT)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_backtest_seasonal — holdout eval of the seasonal profile
+
+_FCBT_SQL = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_ts,
+                   CAST(floor(sum(value) * 10000.0 + 0.5) AS BIGINT) AS v4
+            FROM {ev} GROUP BY 1
+        ),
+        labeled AS (
+            SELECT hour_ts, v4,
+                   {dow} AS dow,
+                   CAST(hour(hour_ts) AS BIGINT) AS hod,
+                   CASE WHEN hour_ts < TIMESTAMP '2024-01-22 00:00:00'
+                        THEN 1 ELSE 0 END AS is_train
+            FROM hourly
+        ),
+        model AS (
+            SELECT dow, hod,
+                   CAST(sum(v4) AS DOUBLE) / count(*) AS forecast_v4
+            FROM labeled WHERE is_train = 1
+            GROUP BY dow, hod
+        ),
+        persist AS (
+            SELECT hour_ts, v4 AS v4_lastweek FROM labeled
+        ),
+        test AS (
+            SELECT t.hour_ts, t.v4, m.forecast_v4, p.v4_lastweek
+            FROM labeled t
+            JOIN model m ON t.dow = m.dow AND t.hod = m.hod
+            JOIN persist p
+              ON p.hour_ts = t.hour_ts - INTERVAL 168 HOURS
+            WHERE t.is_train = 0
+        ),
+        errs AS (
+            SELECT v4,
+                   CAST(floor(abs(CAST(v4 AS DOUBLE) - forecast_v4) + 0.5)
+                        AS BIGINT) AS ae_model,
+                   abs(v4 - v4_lastweek) AS ae_persist
+            FROM test
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_test_hours,
+               CAST(floor(CAST(sum(ae_model) AS DOUBLE) / count(*)
+                          + 0.5) AS DOUBLE) / 10000.0 AS mae_model,
+               CAST(floor(CAST(sum(ae_persist) AS DOUBLE) / count(*)
+                          + 0.5) AS DOUBLE) / 10000.0 AS mae_persistence,
+               CAST(floor(CAST(sum(ae_model) AS DOUBLE) / sum(v4)
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS wape_model,
+               CAST(floor(CAST(sum(ae_persist) AS DOUBLE) / sum(v4)
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS wape_persistence
+        FROM errs
+"""
+
+
+@register(
+    "ts_forecast_backtest_seasonal",
+    oracle=_FCBT_SQL.format(
+        ev="events",
+        dow="CAST(isodow(hour_ts) - 1 AS BIGINT)",
+    ).replace("INTERVAL 168 HOURS", "INTERVAL 168 HOUR"),
+)
+def ts_forecast_backtest_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holdout backtest of the seasonal-profile forecaster: train the
+    (day-of-week, hour) mean on the first three weeks, forecast the
+    holdout days, and score MAE and WAPE against the honest baseline
+    every forecast must beat — same-hour-last-week persistence. WAPE
+    (sum|err| / sum actual) replaces MAPE because near-zero hours make
+    MAPE explode. This is the governance readout for
+    ts_seasonal_baseline / ts_decompose_additive: a profile that
+    cannot beat persistence is not a model.
+
+    Determinism: hourly values integerize at 4 dp; model errors round
+    to integer micro-units per row before summation; persistence
+    errors are exact integer diffs; each metric is one division. The
+    dow parity uses Spark weekday() == DuckDB isodow()-1 (the
+    ts_seasonal_baseline trap).
+
+    Scale shape: one hourly aggregation, a broadcast 168-row model
+    join, a self-join on the shifted hour key (calendar-bounded), one
+    readout aggregate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "fcbt_events"
+    )
+    return spark.sql(
+        _FCBT_SQL.format(
+            ev="fcbt_events", dow="CAST(weekday(hour_ts) AS BIGINT)"
+        )
+    )

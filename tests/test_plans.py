@@ -840,3 +840,22 @@ def test_learning_curve_is_one_scan(spark):
     the pct cross join — K arms as K scans is the regression."""
     plan = formatted_plan(_q("ml_learning_curve_subsample")(spark, SF_DIR))
     assert plan.count("Scan parquet") == 2  # tree node + detail block
+
+
+def test_markov_backtest_models_broadcast(spark):
+    """The transition model and majority baseline are tiny aggregates
+    that must broadcast onto the test pairs; the only fact-sized work
+    is the lead window."""
+    df = _q("events_markov_backtest")(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "BatchEvalPython" not in plan
+
+
+def test_forecast_backtest_joins_on_keys(spark):
+    """The 168-row model join and the shifted-hour persistence join
+    must be keyed joins over the hourly AGGREGATE — no cartesian, no
+    raw-event self-join."""
+    plan = formatted_plan(_q("ts_forecast_backtest_seasonal")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
