@@ -1552,3 +1552,130 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+# Spark-SQL twin of dedup._SHINGLES_SQL (same K, same distinct-shingle
+# contract) so the leakage audit can share one SQL template across
+# engines; {doc} is the document source relation.
+_SLC_SHINGLES_DUCK = """
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+                       FOR i IN range(1, len(toks) - 1)
+                   ])) AS shingle
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+                  FROM {doc})
+        )
+"""
+
+_SLC_SHINGLES_SPARK = """
+        SELECT doc_id, shingle
+        FROM (
+            SELECT doc_id,
+                   explode(array_distinct(transform(
+                       sequence(0, size(toks) - 3),
+                       i -> array_join(slice(toks, i + 1, 3), ' ')
+                   ))) AS shingle
+            FROM (SELECT doc_id, split(lower(text), '\\\\s+') AS toks
+                  FROM {doc})
+        )
+"""
+
+_SLC_SQL = """
+        WITH sh0 AS ({shingles}),
+        sdf AS (
+            SELECT shingle FROM sh0
+            GROUP BY shingle HAVING count(*) <= 100
+        ),
+        sh AS (
+            SELECT s.doc_id, s.shingle
+            FROM sh0 s JOIN sdf ON s.shingle = sdf.shingle
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       {hex_head}substr(md5(concat('split:',
+                            CAST(doc_id AS {str_t}))), 1, 8){hex_tail}
+                       % 100 AS b
+                FROM {doc}) t
+        ),
+        pairs AS (
+            SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS inter
+            FROM sh x JOIN sh y
+              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ),
+        neardup AS (
+            SELECT p.da, p.db
+            FROM pairs p
+            JOIN sz a ON p.da = a.doc_id
+            JOIN sz b ON p.db = b.doc_id
+            WHERE CAST(p.inter AS DOUBLE) / (a.n + b.n - p.inter) >= 0.5
+        ),
+        crossings AS (
+            SELECT sa.split AS split_a, sb.split AS split_b
+            FROM neardup nd
+            JOIN splits sa ON nd.da = sa.doc_id
+            JOIN splits sb ON nd.db = sb.doc_id
+        )
+        SELECT least(split_a, split_b) AS split_lo,
+               greatest(split_a, split_b) AS split_hi,
+               CAST(count(*) AS BIGINT) AS n_neardup_pairs,
+               CAST(CASE WHEN least(split_a, split_b)
+                              <> greatest(split_a, split_b)
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_leakage
+        FROM crossings
+        GROUP BY least(split_a, split_b), greatest(split_a, split_b)
+        ORDER BY split_lo, split_hi
+"""
+
+
+@register(
+    "dataset_split_leakage_check",
+    oracle=_SLC_SQL.format(
+        shingles=_SLC_SHINGLES_DUCK.format(doc="documents"),
+        doc="documents",
+        str_t="VARCHAR",
+        hex_head="CAST(concat('0x', ",
+        hex_tail=") AS BIGINT)",
+    ),
+)
+def dataset_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: do near-duplicate documents straddle the
+    train/val/test boundary? Hash-threshold splitting
+    (dataset_train_val_test_split's md5 rule, reproduced bit-exactly)
+    guarantees a DOC never migrates between splits — but it cannot
+    guarantee a doc's NEAR-DUPLICATE is not sitting in test while the
+    original trains, which silently inflates eval scores; this is the
+    standard decontamination gap in ML pipelines. The audit finds
+    exact-jaccard >= 0.5 near-dup pairs via the stop-shingle
+    shared-shingle join (dedup_ngram_jaccard semantics — hot shingles
+    dropped before the quadratic step) and cross-tabulates pair split
+    membership: off-diagonal cells ARE the leakage (is_leakage = 1),
+    with diagonal cells kept for base-rate context.
+
+    Determinism: integer shingle counts, md5 split assignment, one
+    jaccard ratio per pair compared identically on both engines,
+    pair-symmetric readout via least/greatest.
+
+    Scale shape: pair discovery is the bounded stop-shingle join;
+    split labels join on doc_id; the readout is a <= 6-row crosstab.
+    The same audit composes with the MinHash-LSH candidates when
+    exact pair discovery is too hot at corpus scale."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "slc_documents"
+    )
+    return spark.sql(
+        _SLC_SQL.format(
+            shingles=_SLC_SHINGLES_SPARK.format(doc="slc_documents"),
+            doc="slc_documents",
+            str_t="STRING",
+            hex_head="CAST(conv(",
+            hex_tail=", 16, 10) AS BIGINT)",
+        )
+    )

@@ -2348,3 +2348,119 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wp_documents"
     )
     return spark.sql(_wp_sql(_WP_WORDS_SPARK, "STRING").format(idiv="div"))
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+        WITH vocab AS (
+            SELECT tok, count(*) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                      AS tok
+                  FROM documents) t
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+            FROM vocab
+        ),
+        pts AS (
+            SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS lx,
+                   CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS ly
+            FROM ranked
+        ),
+        mom AS (
+            SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+                   sum(CAST(lx AS DECIMAL(38, 0)) * ly) AS sxy,
+                   sum(CAST(lx AS DECIMAL(38, 0)) * lx) AS sxx,
+                   sum(CAST(ly AS DECIMAL(38, 0)) * ly) AS syy
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_types,
+               CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS zipf_slope,
+               CAST(floor(
+                   ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS r_squared
+        FROM mom
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: least-squares
+    slope of log(freq) ~ log(rank) plus R^2 — natural text sits near
+    slope -1 with high R^2, and deviation is a corpus-health signal
+    (templated/generated text flattens the head; boilerplate floods
+    fatten the tail). Complements text_vocab_freq_spectrum's raw
+    spectrum with the one-number summary a dashboard tracks per
+    ingest batch.
+
+    Determinism: ranks tie-break on the token; each log integerizes
+    at 1e-6 per point (identical libm doubles floored identically),
+    so the regression moments are exact integer/DECIMAL sums and the
+    slope/R^2 are fixed-order expressions rounded at 4 dp.
+
+    Scale shape: one token count (the fact-sized shuffle), one
+    vocabulary-sized rank window, one moment aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = vocab.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("lx"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx").cast("decimal(38,0)") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly").cast("decimal(38,0)") * F.col("ly")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    return mom.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        (
+            F.floor(num / (n * sxx - sx * sx) * 10000.0 + 0.5).cast("double")
+            / 10000.0
+        ).alias("zipf_slope"),
+        (
+            F.floor(
+                (num * num) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                * 10000.0
+                + 0.5
+            ).cast("double")
+            / 10000.0
+        ).alias("r_squared"),
+    )

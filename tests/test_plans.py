@@ -859,3 +859,19 @@ def test_forecast_backtest_joins_on_keys(spark):
     plan = formatted_plan(_q("ts_forecast_backtest_seasonal")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_split_leakage_pair_join_is_equi(spark):
+    """Near-dup pair discovery must be the shingle equi-join (with the
+    stop-shingle cap applied first) — never a doc-pair cartesian."""
+    plan = formatted_plan(_q("dataset_split_leakage_check")(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_windows_over_vocab_only(spark):
+    """The rank window runs over the vocabulary aggregate; no joins,
+    no Python anywhere."""
+    plan = formatted_plan(_q("text_zipf_fit")(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
