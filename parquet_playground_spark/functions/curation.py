@@ -1585,14 +1585,25 @@ _SLC_SHINGLES_SPARK = """
 _SLC_SQL = """
         WITH sh0 AS ({shingles}),
         sdf AS (
-            SELECT shingle FROM sh0
+            SELECT shingle, count(*) AS c FROM sh0
             GROUP BY shingle HAVING count(*) <= 100
         ),
         sh AS (
-            SELECT s.doc_id, s.shingle
+            SELECT s.doc_id, s.shingle, sdf.c
             FROM sh0 s JOIN sdf ON s.shingle = sdf.shingle
         ),
         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ranked AS (
+            SELECT s.doc_id, s.shingle, z.n,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id ORDER BY s.c, s.shingle
+                   ) AS r
+            FROM sh s JOIN sz z ON s.doc_id = z.doc_id
+        ),
+        prefix AS (
+            SELECT doc_id, shingle, n FROM ranked
+            WHERE r <= n - CAST(ceil(n * 0.5) AS BIGINT) + 1
+        ),
         splits AS (
             SELECT doc_id,
                    CASE WHEN b < 80 THEN 'train'
@@ -1604,18 +1615,26 @@ _SLC_SQL = """
                        % 100 AS b
                 FROM {doc}) t
         ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                   a.n AS na, b.n AS nb
+            FROM prefix a
+            JOIN prefix b ON a.shingle = b.shingle
+                         AND a.doc_id < b.doc_id
+            WHERE CAST(least(a.n, b.n) AS DOUBLE) / greatest(a.n, b.n)
+                  >= 0.5
+        ),
         pairs AS (
-            SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS inter
-            FROM sh x JOIN sh y
-              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-            GROUP BY x.doc_id, y.doc_id
+            SELECT c.da, c.db, c.na, c.nb, count(*) AS inter
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.da
+            JOIN sh y ON y.doc_id = c.db AND x.shingle = y.shingle
+            GROUP BY c.da, c.db, c.na, c.nb
         ),
         neardup AS (
             SELECT p.da, p.db
             FROM pairs p
-            JOIN sz a ON p.da = a.doc_id
-            JOIN sz b ON p.db = b.doc_id
-            WHERE CAST(p.inter AS DOUBLE) / (a.n + b.n - p.inter) >= 0.5
+            WHERE CAST(p.inter AS DOUBLE) / (p.na + p.nb - p.inter) >= 0.5
         ),
         crossings AS (
             SELECT sa.split AS split_a, sb.split AS split_b
@@ -1653,20 +1672,28 @@ def dataset_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee a doc's NEAR-DUPLICATE is not sitting in test while the
     original trains, which silently inflates eval scores; this is the
     standard decontamination gap in ML pipelines. The audit finds
-    exact-jaccard >= 0.5 near-dup pairs via the stop-shingle
-    shared-shingle join (dedup_ngram_jaccard semantics — hot shingles
-    dropped before the quadratic step) and cross-tabulates pair split
-    membership: off-diagonal cells ARE the leakage (is_leakage = 1),
-    with diagonal cells kept for base-rate context.
+    exact-jaccard >= 0.5 near-dup pairs with the PREFIX-FILTER
+    candidate pruning (dedup_prefix_filter_allpairs' chain over the
+    stop-shingle-capped sets: df-ascending prefix index, length
+    filter, verify only survivors — 100% recall at the threshold by
+    pigeonhole) and cross-tabulates pair split membership:
+    off-diagonal cells ARE the leakage (is_leakage = 1), with
+    diagonal cells kept for base-rate context. The first cut of this
+    op used the plain shared-shingle pair join and the sf1 scale
+    screen measured it 3.7 -> 107 s at 10x docs (every co-occurring
+    pair materialized before the jaccard filter); the prefix-filter
+    chain restores the sublinear profile already measured for the
+    standalone op.
 
     Determinism: integer shingle counts, md5 split assignment, one
     jaccard ratio per pair compared identically on both engines,
     pair-symmetric readout via least/greatest.
 
-    Scale shape: pair discovery is the bounded stop-shingle join;
-    split labels join on doc_id; the readout is a <= 6-row crosstab.
-    The same audit composes with the MinHash-LSH candidates when
-    exact pair discovery is too hot at corpus scale."""
+    Scale shape: candidate pairs are prefix-bounded and
+    length-filtered before the only quadratic step; split labels join
+    on doc_id; the readout is a <= 6-row crosstab. The same audit
+    composes with MinHash-LSH candidates when even the exact prefix
+    path is too hot."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "slc_documents"
     )
