@@ -1391,10 +1391,16 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.col("rel4").desc(), "vec_id")
+    # Persist the two tiny reused frames: every unrolled greedy step's
+    # plan branch references cand (and pairs), and without the persist
+    # each branch re-derives them from the corpus relevance scan —
+    # ~2(K-1) redundant corpus passes that dominated the fixed cost
+    # (measured 4.6 -> 2.5 s at sf0.1, 5.5 -> 2.6 s at sf1).
     cand = (
         rel.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _MMR_CAND)
         .select("vec_id", "rel4")
+        .persist()
     )
     ca = cand.join(e, "vec_id").select(
         F.col("vec_id").alias("ia"), F.col("v").alias("va")
@@ -1412,6 +1418,7 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sim4"),
         )
+        .persist()
     )
     # Greedy unroll: K is a constant, so this loop builds a fixed plan
     # over <=10-row frames — no driver-side data access.
