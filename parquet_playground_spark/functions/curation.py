@@ -1697,9 +1697,16 @@ def dataset_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "slc_documents"
     )
+    # The SQL references the shingle stream ~5x (df cap, sizes,
+    # ranking, and both verification sides); materialize it once so
+    # Spark doesn't re-run the explode per reference. sh0 here is the
+    # raw shingle stream; the SQL's own sh0 CTE becomes a passthrough.
+    spark.sql(
+        _SLC_SHINGLES_SPARK.format(doc="slc_documents")
+    ).persist().createOrReplaceTempView("slc_shingles")
     return spark.sql(
         _SLC_SQL.format(
-            shingles=_SLC_SHINGLES_SPARK.format(doc="slc_documents"),
+            shingles="SELECT doc_id, shingle FROM slc_shingles",
             doc="slc_documents",
             str_t="STRING",
             hex_head="CAST(conv(",
