@@ -2464,3 +2464,144 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_lm_interpolation_tuning — held-out tuning of unigram/bigram mix
+
+_LMTUNE_SQL = """
+        WITH docs AS (
+            SELECT doc_id, text,
+                   CASE WHEN {hex_head}substr(md5(concat('lmsplit:',
+                            CAST(doc_id AS {str_t}))), 1, 8){hex_tail}
+                        % 100 < 80
+                        THEN 1 ELSE 0 END AS is_train
+            FROM {doc}
+        ),
+        toks AS (
+            SELECT doc_id, is_train, t FROM (
+                SELECT doc_id, is_train,
+                       {split_fn} AS t
+                FROM docs) x
+            WHERE {arr_len}(t) >= 2
+        ),
+        big AS (
+            SELECT doc_id, is_train,
+                   {bigram_expr} AS bg
+            FROM toks
+        ),
+        tr_bg AS (
+            SELECT bg, count(*) AS c12 FROM big WHERE is_train = 1
+            GROUP BY bg
+        ),
+        tr_ctx AS (
+            SELECT {w1_of_bg} AS w1, sum(c12) AS c1
+            FROM tr_bg GROUP BY 1
+        ),
+        tr_uni AS (
+            SELECT {w2_of_bg} AS w, sum(c12) AS cw
+            FROM tr_bg GROUP BY 1
+        ),
+        consts AS (
+            SELECT CAST(sum(cw) AS DOUBLE) AS n_tok,
+                   CAST(count(*) AS DOUBLE) AS v
+            FROM tr_uni
+        ),
+        lambdas AS (
+            SELECT CAST(l AS DOUBLE) / 10.0 AS lam
+            FROM (VALUES (1), (3), (5), (7), (9)) AS t(l)
+        ),
+        heldout AS (
+            SELECT b.bg,
+                   coalesce(tb.c12, 0) AS c12,
+                   coalesce(tc.c1, 0) AS c1,
+                   coalesce(tu.cw, 0) AS cw
+            FROM big b
+            LEFT JOIN tr_bg tb ON b.bg = tb.bg
+            LEFT JOIN tr_ctx tc ON {w1_of_b} = tc.w1
+            LEFT JOIN tr_uni tu ON {w2_of_b} = tu.w
+            WHERE b.is_train = 0
+        )
+        SELECT CAST(floor(l.lam * 10.0 + 0.5) AS BIGINT) AS lambda_x10,
+               CAST(count(*) AS BIGINT) AS n_heldout_bigrams,
+               round(avg(-ln(
+                   l.lam * ((h.c12 + 0.5) / (h.c1 + 0.5 * c.v))
+                   + (1.0 - l.lam) * ((h.cw + 0.5)
+                                      / (c.n_tok + 0.5 * c.v))
+               )), 4) AS avg_nll,
+               round(exp(avg(-ln(
+                   l.lam * ((h.c12 + 0.5) / (h.c1 + 0.5 * c.v))
+                   + (1.0 - l.lam) * ((h.cw + 0.5)
+                                      / (c.n_tok + 0.5 * c.v))
+               ))), 4) AS perplexity
+        FROM heldout h
+        CROSS JOIN lambdas l
+        CROSS JOIN consts c
+        GROUP BY l.lam
+        ORDER BY lambda_x10
+"""
+
+
+@register(
+    "text_lm_interpolation_tuning",
+    oracle=_LMTUNE_SQL.format(
+        doc="documents",
+        str_t="VARCHAR",
+        hex_head="CAST(concat('0x', ",
+        hex_tail=") AS BIGINT)",
+        split_fn="string_split_regex(lower(text), '\\s+')",
+        arr_len="len",
+        bigram_expr=(
+            "unnest([ t[CAST(i AS INTEGER)] || ' ' || "
+            "t[CAST(i + 1 AS INTEGER)] FOR i IN range(1, len(t)) ])"
+        ),
+        w1_of_bg="string_split(bg, ' ')[1]",
+        w2_of_bg="string_split(bg, ' ')[2]",
+        w1_of_b="string_split(b.bg, ' ')[1]",
+        w2_of_b="string_split(b.bg, ' ')[2]",
+    ),
+)
+def text_lm_interpolation_tuning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out hyperparameter tuning for the interpolated
+    unigram/bigram LM: an 80/20 md5 doc split, add-k component models
+    trained ONLY on the train fold, and held-out perplexity evaluated
+    for five interpolation weights — the Jelinek-Mercer lambda sweep
+    that picks the mixture every n-gram LM deployment tunes, and the
+    first op in the LM family whose evaluation is honestly
+    out-of-sample (the KN/add-k scorers evaluate in-sample by
+    design). Unseen held-out events hit the LEFT-JOIN zero counts and
+    the add-k floor keeps every probability finite.
+
+    Determinism: all counts integer; the per-bigram mixture is one
+    fixed-order expression (same libm ln both engines, the
+    text_bigram_lm_perplexity precedent) and per-lambda averages
+    round at 4 dp.
+
+    Scale shape: one bigram explode, model aggregates on the TYPE
+    table, three LEFT JOINs back onto the held-out stream (AQE
+    broadcast-or-shuffle), and the 5-lambda sweep is a cross join on
+    the SCORED stream — K mixture candidates never cost K passes."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "lmtune_documents"
+    )
+    return spark.sql(
+        _LMTUNE_SQL.format(
+            doc="lmtune_documents",
+            str_t="STRING",
+            hex_head="CAST(conv(",
+            hex_tail=", 16, 10) AS BIGINT)",
+            split_fn="split(lower(text), '\\\\s+')",
+            arr_len="size",
+            bigram_expr=(
+                "explode(transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', "
+                "element_at(t, i + 1))))"
+            ),
+            w1_of_bg="split(bg, ' ')[0]",
+            w2_of_bg="split(bg, ' ')[1]",
+            w1_of_b="split(b.bg, ' ')[0]",
+            w2_of_b="split(b.bg, ' ')[1]",
+        )
+    )

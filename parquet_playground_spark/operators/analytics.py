@@ -2965,3 +2965,69 @@ def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM events", "FROM mb_events"
         )
     )
+
+
+@register(
+    "events_decay_engagement_score",
+    oracle="""
+        WITH anchor AS (
+            SELECT max(ts) AS now_ts FROM events
+        ),
+        scored AS (
+            SELECT e.user_id,
+                   CAST(floor(
+                       exp(-CAST(date_diff('second', e.ts, a.now_ts)
+                                 AS DOUBLE) / 604800.0)
+                       * CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)
+                       * 10000.0 + 0.5) AS BIGINT) AS s_micro
+            FROM events e CROSS JOIN anchor a
+        ),
+        per_user AS (
+            SELECT user_id, count(*) AS n_events,
+                   sum(s_micro) AS score_micro
+            FROM scored GROUP BY user_id
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(score_micro AS DOUBLE) / 1000000.0 AS decay_score
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY score_micro DESC, user_id) AS rnk
+            FROM per_user) t
+        WHERE rnk <= 20
+        ORDER BY rnk
+    """,
+)
+def events_decay_engagement_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exponential time-decay engagement score per user (half-life ~
+    one week: weight = exp(-age/604800s) on cent-value) — the standard
+    recency-weighted activity feature that ranks 'currently engaged'
+    above 'historically heavy' users, anchored at the corpus max
+    timestamp so the score is reproducible. Top-20 leaderboard with a
+    user_id tie-break.
+
+    Determinism: event ages are exact integer seconds, values exact
+    cents; each row's decayed contribution is ONE fixed-order double
+    expression integerized at 1e-4-cent resolution BEFORE the
+    per-user sum, so the aggregate is an exact integer sum (no float
+    accumulation across rows — the same discipline as
+    ts_rate_of_change_irregular).
+
+    Scale shape: a 1-row anchor broadcast, one map-side scoring
+    projection, one user-keyed aggregation, a top-20 — the shuffle
+    carries |users| partial sums."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "decay_events"
+    )
+    from parquet_playground_spark.registry import ORACLES
+
+    return spark.sql(
+        ORACLES["events_decay_engagement_score"]
+        .replace("FROM events", "FROM decay_events")
+        .replace(
+            "CAST(date_diff('second', e.ts, a.now_ts)\n                                 AS DOUBLE)",
+            "CAST(unix_timestamp(a.now_ts) - unix_timestamp(e.ts) AS DOUBLE)",
+        )
+    )

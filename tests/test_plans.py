@@ -875,3 +875,23 @@ def test_zipf_windows_over_vocab_only(spark):
     plan = formatted_plan(_q("text_zipf_fit")(spark, SF_DIR))
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_tuning_lambda_sweep_is_not_k_passes(spark):
+    """The 5-lambda sweep must cross-join the SCORED held-out stream
+    — 5 parquet scans of documents would mean the sweep regressed to
+    per-lambda passes. The plan reads documents for the bigram stream
+    and the model tables only."""
+    plan = formatted_plan(_q("text_lm_interpolation_tuning")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    # one logical source re-read per model table + heldout stream is
+    # acceptable; 5x that count would indicate per-lambda scans
+    assert plan.count("Scan parquet") <= 12
+
+
+def test_decay_score_is_map_side_then_user_agg(spark):
+    """Scoring is a projection against the 1-row anchor broadcast;
+    the only shuffle carries per-user partial sums."""
+    plan = formatted_plan(_q("events_decay_engagement_score")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
