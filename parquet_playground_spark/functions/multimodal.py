@@ -528,3 +528,85 @@ def multimodal_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard")
     )
+
+
+@register(
+    "multimodal_dedup_content_hash",
+    oracle="""
+        WITH payloads AS (
+            SELECT md5(text) AS fp,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS nbytes
+            FROM documents
+        ),
+        groups AS (
+            SELECT fp, nbytes, count(*) AS n_copies
+            FROM payloads GROUP BY fp, nbytes
+        )
+        SELECT CAST(sum(n_copies) AS BIGINT) AS n_blobs,
+               CAST(count(*) AS BIGINT) AS n_unique_payloads,
+               CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dupe_groups,
+               CAST(sum(n_copies - 1) AS BIGINT) AS n_redundant_copies,
+               CAST(sum((n_copies - 1) * nbytes) AS BIGINT)
+                   AS wasted_bytes,
+               CAST(floor(CAST(count(*) AS DOUBLE) / sum(n_copies)
+                          * 1000000.0 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS unique_ratio
+        FROM groups
+    """,
+)
+def multimodal_dedup_content_hash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-addressed dedup audit for the binary media column —
+    the FIRST dedup every multimodal pipeline runs (hash the payload,
+    never decode): fingerprint each blob's PAYLOAD bytes (the header
+    is doc-specific metadata, so hashing the whole blob would hide
+    byte-identical content behind differing dimensions — the classic
+    content-addressing mistake), count copies per fingerprint, and
+    report the storage redundancy a CAS layer would reclaim. A clean
+    corpus reports zero dupe groups — that IS the answer the audit
+    exists to confirm before ingest.
+
+    The Spark side computes md5 over the real binary slice
+    (substring(media, 13, ...)), exercising binary ops end-to-end;
+    the oracle derives the identical fingerprint from the source
+    text (payload bytes == utf-8 text by construction — the
+    multimodal_binary_roundtrip derivability contract).
+
+    Scale shape: one map-side hash projection + one fingerprint
+    groupBy (the shuffle carries 16-byte digests, not blobs) + a
+    1-row readout — exactly how CAS dedup runs at petabyte scale."""
+    d = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(d)
+    payloads = media.select(
+        F.md5(
+            F.expr("substring(media, 13, length(media) - 12)")
+        ).alias("fp"),
+        (F.length("media") - 12).cast("bigint").alias("nbytes"),
+    )
+    groups = payloads.groupBy("fp", "nbytes").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return groups.agg(
+        F.sum("n_copies").cast("bigint").alias("n_blobs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_payloads"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dupe_groups"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias(
+            "n_redundant_copies"
+        ),
+        F.sum((F.col("n_copies") - 1) * F.col("nbytes"))
+        .cast("bigint")
+        .alias("wasted_bytes"),
+        (
+            F.floor(
+                F.count(F.lit(1)).cast("double")
+                / F.sum("n_copies")
+                * 1000000.0
+                + 0.5
+            ).cast("double")
+            / 1000000.0
+        ).alias("unique_ratio"),
+    )

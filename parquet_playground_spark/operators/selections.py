@@ -143,3 +143,38 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_returnflag") == "R") & ~(F.col("l_linestatus") == "F"))
         | ((F.col("l_quantity") > 45) & (F.col("l_discount") <= 0.02))
     ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "sql_group_order_by_all",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-SQL GROUP BY ALL / ORDER BY ALL surface: both Spark 4
+    and DuckDB infer the grouping keys from the non-aggregate
+    projection and the ordering from the full select list — the exact
+    same SQL text runs verbatim on both engines (this op's point: the
+    dialect-convergence feature is part of the declared API surface,
+    alongside sql_lateral_column_alias and the parameterized-query
+    op). Revenue accumulates as exact integer cents.
+
+    Scale shape: identical plan to an explicit-keys aggregate — the
+    sugar resolves at analysis time."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gba_lineitem"
+    )
+    from parquet_playground_spark.registry import ORACLES
+
+    return spark.sql(
+        ORACLES["sql_group_order_by_all"].replace(
+            "FROM lineitem", "FROM gba_lineitem"
+        )
+    )

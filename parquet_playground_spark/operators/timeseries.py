@@ -2057,3 +2057,76 @@ def ts_forecast_backtest_seasonal(
             ev="fcbt_events", dow="CAST(weekday(hour_ts) AS BIGINT)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_burst_poisson — hour-of-week baseline burst detection
+
+_BURST_SQL = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour_ts,
+                   {dow} AS dow,
+                   CAST(hour(date_trunc('hour', ts)) AS BIGINT) AS hod,
+                   count(*) AS n
+            FROM {ev}
+            GROUP BY 1, 2, 3
+        ),
+        baseline AS (
+            SELECT dow, hod,
+                   CAST(sum(n) AS DOUBLE) / count(*) AS lam,
+                   count(*) AS n_cells
+            FROM hourly GROUP BY dow, hod
+        ),
+        scored AS (
+            SELECT h.hour_ts, h.n, b.lam,
+                   (CAST(h.n AS DOUBLE) - b.lam) / sqrt(b.lam) AS z
+            FROM hourly h
+            JOIN baseline b ON h.dow = b.dow AND h.hod = b.hod
+        )
+        SELECT hour_ts,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(floor(lam * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                   AS expected,
+               CAST(floor(z * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                   AS poisson_z
+        FROM scored
+        WHERE z > 3.0
+        ORDER BY hour_ts
+"""
+
+
+@register(
+    "events_anomaly_burst_poisson",
+    oracle=_BURST_SQL.format(
+        ev="events", dow="CAST(isodow(date_trunc('hour', ts)) - 1 AS BIGINT)"
+    ),
+)
+def events_anomaly_burst_poisson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Traffic burst detection against an hour-of-week Poisson
+    baseline: each hour's event COUNT is scored z = (n - lam)/sqrt(lam)
+    against its (day-of-week, hour) cell mean — the count-side anomaly
+    detector that complements the value-side z-score/MAD ops (a
+    retry storm changes VOLUME long before it moves value
+    distributions; under Poisson the variance IS the mean, hence the
+    sqrt(lam) denominator). Hours more than 3 sigma above baseline are
+    emitted.
+
+    Determinism: hourly counts are integers; lam is one division;
+    z is a fixed-order expression rounded at 4 dp; the dow parity uses
+    Spark weekday() == DuckDB isodow()-1 (the ts_seasonal_baseline
+    trap).
+
+    Scale shape: one hourly count (calendar-bounded), a 168-row
+    baseline aggregate broadcast back, a filter — the always-on
+    monitoring query shape."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "burst_events"
+    )
+    return spark.sql(
+        _BURST_SQL.format(
+            ev="burst_events",
+            dow="CAST(weekday(date_trunc('hour', ts)) AS BIGINT)",
+        )
+    )

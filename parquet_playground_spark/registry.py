@@ -105,6 +105,8 @@ _CHECK_ORDER = [
     # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
     # the front block. New r5 operators are prepended here when they
     # land so they get an official row immediately.
+    "events_anomaly_burst_poisson", "multimodal_dedup_content_hash",
+    "sql_group_order_by_all",
     "text_lm_interpolation_tuning", "events_decay_engagement_score",
     "dataset_split_leakage_check", "text_zipf_fit",
     "events_markov_backtest", "ts_forecast_backtest_seasonal",

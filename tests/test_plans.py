@@ -895,3 +895,26 @@ def test_decay_score_is_map_side_then_user_agg(spark):
     plan = formatted_plan(_q("events_decay_engagement_score")(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_burst_baseline_broadcasts(spark):
+    """The 168-row hour-of-week baseline must broadcast onto the
+    hourly counts."""
+    df = _q("events_anomaly_burst_poisson")(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_content_hash_shuffles_digests_not_blobs(spark):
+    """The dedup groupBy must key on the md5 digest — the shuffle
+    carries 32-char fingerprints, never media blobs; no Python."""
+    plan = formatted_plan(_q("multimodal_dedup_content_hash")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_group_by_all_plans_as_explicit_keys(spark):
+    """GROUP BY ALL must resolve at analysis time to a plain keyed
+    aggregate — one scan, no joins."""
+    plan = formatted_plan(_q("sql_group_order_by_all")(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree node + detail block
+    assert "Join" not in plan
