@@ -298,18 +298,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
+# 60 bits from two md5 halves (32-bit conv parses only; bit 63 would
+# overflow signed bigint). Width is load-bearing for the banded pair
+# join: each band's value space must EXCEED the corpus doc count or
+# buckets grow linearly and the band join goes quadratic — the sf1
+# scale screen measured the original 16-bit/4-bit-band form at
+# 0.9 -> 49.7 s for 10x docs (64 bucket values total); 15-bit bands
+# give 32768 values per band. Rule: band bits >= log2(n_docs).
+_SIMHASH_BITS = 60
 
 _SIMHASH_ORACLE = f"""
         WITH tok AS (
             SELECT doc_id,
-                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                   CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                       AS hlo,
+                   CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT)
+                       AS hhi
             FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
                   FROM documents)
         )
         SELECT doc_id,
                {" + ".join(
-                   f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+                   f"(CASE WHEN sum(CASE WHEN ({'hlo' if b < 30 else 'hhi'} >> {b if b < 30 else b - 30}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
                    for b in range(_SIMHASH_BITS)
                )} AS simhash
         FROM tok
@@ -319,13 +329,29 @@ _SIMHASH_ORACLE = f"""
 
 def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = _fanout(d).select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
-    ).withColumn("h", _portable_hash(F.col("tok")))
+    tok = (
+        _fanout(d)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .withColumn("hlo", _portable_hash(F.col("tok")))
+        .withColumn(
+            "hhi",
+            F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    "hlo" if b < 30 else "hhi", b if b < 30 else b - 30
+                ).bitwiseAND(1)
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"bs{b}")
         for b in range(_SIMHASH_BITS)
     ]
@@ -339,13 +365,14 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per token-hash bit, sum +1/-1 across the doc;
-    fingerprint bit = sign of the sum. Near-dups have small hamming
+    """60-bit SimHash: per token-hash bit, sum +1/-1 across the doc;
+    fingerprint bit = sign of the sum (bits 0-29 from the first md5
+    half, 30-59 from the second). Near-dups have small hamming
     distance. Single groupBy(doc_id) — linear, map-combinable."""
     return _simhash_fingerprints(spark, sf_dir)
 
 
-_SIMHASH_BANDS = 4  # 4 bands x 4 bits over the 16-bit fingerprint
+_SIMHASH_BANDS = 4  # 4 bands x 15 bits over the 60-bit fingerprint
 _SIMHASH_MAX_HAMMING = 3  # <= bands-1 differing bits => >=1 band identical
 
 

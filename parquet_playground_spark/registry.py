@@ -105,6 +105,9 @@ _CHECK_ORDER = [
     # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
     # the front block. New r5 operators are prepended here when they
     # land so they get an official row immediately.
+    # changed semantics this round (60-bit fingerprints) -> fresh
+    # official rows ahead of never-checked backlog
+    "dedup_simhash", "dedup_simhash_pairs",
     "events_anomaly_burst_poisson", "multimodal_dedup_content_hash",
     "sql_group_order_by_all",
     "text_lm_interpolation_tuning", "events_decay_engagement_score",
