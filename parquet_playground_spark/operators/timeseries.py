@@ -2130,3 +2130,78 @@ def events_anomaly_burst_poisson(
             dow="CAST(weekday(date_trunc('hour', ts)) AS BIGINT)",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_peak_detection_local_maxima — windowed peaks with height gate
+
+_PEAK_SQL = """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                   CAST(floor(sum(value) * 10000.0 + 0.5) AS BIGINT) AS v4
+            FROM {ev} GROUP BY 1, 2
+        ),
+        winfo AS (
+            SELECT event_type, hour_ts, v4,
+                   max(v4) OVER w AS wmax,
+                   count(*) OVER w AS wcnt
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        ranked AS (
+            SELECT event_type, hour_ts, v4, wmax, wcnt,
+                   row_number() OVER (
+                       PARTITION BY event_type, wmax ORDER BY hour_ts
+                   ) AS dup_rank
+            FROM winfo
+        ),
+        med AS (
+            SELECT event_type,
+                   CAST(2.0 * median(v4) AS BIGINT) AS med2
+            FROM hourly GROUP BY event_type
+        )
+        SELECT r.event_type, r.hour_ts,
+               CAST(r.v4 AS DOUBLE) / 10000.0 AS peak_value,
+               CAST(floor(CAST(2 * r.v4 AS DOUBLE) / m.med2 * 10000.0
+                          + 0.5)
+                    AS DOUBLE) / 10000.0 AS vs_median
+        FROM ranked r
+        JOIN med m ON r.event_type = m.event_type
+        WHERE r.v4 = r.wmax AND r.dup_rank = 1 AND r.wcnt = 7
+          AND 2 * r.v4 >= 3 * m.med2
+        ORDER BY r.event_type, r.hour_ts
+"""
+
+
+@register(
+    "ts_peak_detection_local_maxima",
+    oracle=_PEAK_SQL.format(ev="events"),
+)
+def ts_peak_detection_local_maxima(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak detection on the hourly value series: a peak is the
+    maximum of its +-3h window (full windows only, so edges never
+    fake peaks), equal-height candidates collapse to the earliest
+    hour per series (this conservatively merges flat tops; two
+    DISTANT spikes with bit-identical 4-dp heights would also merge —
+    accepted and deterministic), and gated at >= 1.5x the series
+    median — the spike-mining pass that
+    complements the deviation detectors (z-score/MAD flag outliers
+    from a model; peaks are the shape-based event the on-call
+    timeline shows). The 1.5x-median height gate uses the half-unit
+    trick (2*v >= 3*(2*median)/2 rearranged to integer terms:
+    2*v >= 3*med2 with med2 = 2*median exactly integral).
+
+    Determinism: hourly values integerize at 4 dp; the window max,
+    flat-top dedup rank, and height comparisons are all integer; the
+    vs_median ratio is one division rounded at 4 dp.
+
+    Scale shape: one hourly aggregation, one +-3-row window per
+    series over the calendar-bounded aggregate, a |series|-row
+    median broadcast."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "peak_events"
+    )
+    return spark.sql(_PEAK_SQL.format(ev="peak_events"))

@@ -107,6 +107,7 @@ _CHECK_ORDER = [
     # land so they get an official row immediately.
     # changed semantics this round (60-bit fingerprints) -> fresh
     # official rows ahead of never-checked backlog
+    "ts_peak_detection_local_maxima",
     "dedup_simhash", "dedup_simhash_pairs",
     "events_anomaly_burst_poisson", "multimodal_dedup_content_hash",
     "sql_group_order_by_all",

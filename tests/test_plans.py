@@ -918,3 +918,12 @@ def test_group_by_all_plans_as_explicit_keys(spark):
     plan = formatted_plan(_q("sql_group_order_by_all")(spark, SF_DIR))
     assert plan.count("Scan parquet") == 2  # tree node + detail block
     assert "Join" not in plan
+
+
+def test_peak_detection_bounded_window(spark):
+    """Peaks come from the +-3-row window over the hourly AGGREGATE
+    with a |series|-row median broadcast — no joins beyond it, no
+    Python."""
+    plan = formatted_plan(_q("ts_peak_detection_local_maxima")(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
