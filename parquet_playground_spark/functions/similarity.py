@@ -466,7 +466,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label, dim,
                count(*) AS n_vecs,
-               round(avg(v), 4) AS mean_v
+               round(avg(v), 4) + 0.0 AS mean_v
         FROM flat GROUP BY label, dim
     """,
 )
@@ -488,9 +488,12 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
+    # + 0.0 normalizes IEEE signed zero: a mean that rounds to zero
+    # can surface as -0.0 on one engine and 0.0 on the other (caught
+    # by the sf0.1 cross-scale sweep); -0.0 + 0.0 == +0.0 on both.
     return flat.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("v"), 4).alias("mean_v"),
+        (F.round(F.avg("v"), 4) + 0.0).alias("mean_v"),
     )
 
 

@@ -336,7 +336,8 @@ def udtf_analyze_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 4) AS total,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS total,
                round(max(l_extendedprice) - min(l_extendedprice), 4)
                    AS price_range
         FROM lineitem
@@ -357,14 +358,22 @@ def udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def reduce_group(tbl: pa.Table) -> pa.Table:
         price = tbl.column("l_extendedprice")
-        total = pc.sum(price).as_py() or 0.0
+        # money sums accumulate as EXACT integer cents (floor(x*100+.5)
+        # per element, then int64 sum): at sf0.1 the group sum is ~1e10
+        # and a float accumulation's order noise exceeds the 4-dp
+        # rounding grid — the sf0.1 cross-scale oracle sweep caught
+        # exactly that (Arrow pairwise sum vs DuckDB sequential sum).
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(price, 100.0), 0.5)), pa.int64()
+        )
+        total_cents = pc.sum(cents).as_py() or 0
         lo = pc.min(price).as_py()
         hi = pc.max(price).as_py()
         return pa.table(
             {
                 "l_returnflag": [tbl.column("l_returnflag")[0].as_py()],
                 "n": pa.array([tbl.num_rows], pa.int64()),
-                "total": pa.array([round(total, 4)], pa.float64()),
+                "total": pa.array([total_cents / 100.0], pa.float64()),
                 "price_range": pa.array([round(hi - lo, 4)], pa.float64()),
             }
         )

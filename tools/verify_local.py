@@ -29,6 +29,7 @@ Usage: python tools/verify_local.py [--strict] [--vanilla] [names ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import traceback
 from datetime import date, datetime
@@ -38,7 +39,13 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with SPARK_GRAFT_VERIFY_SF_DIR to sweep the oracle suite at
+# another scale point (e.g. sf0.1, or the local sf1 build) — oracle
+# agreement at multiple SFs is evidence the determinism rules hold as
+# data grows, not just on the driver-gate fixture.
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01"
+)
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
