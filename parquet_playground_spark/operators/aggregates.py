@@ -18,19 +18,36 @@ from parquet_playground_spark.tables import load_table
 @register(
     "q1_pricing_summary",
     oracle="""
+        WITH rows_in AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT) AS qty_i,
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS price_c,
+                   CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+                       AS disc_p,
+                   CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tax_p
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        )
         SELECT
             l_returnflag,
             l_linestatus,
-            round(sum(l_quantity), 4) AS sum_qty,
-            round(sum(l_extendedprice), 4) AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-            round(avg(l_quantity), 4) AS avg_qty,
-            round(avg(l_extendedprice), 4) AS avg_price,
-            round(avg(l_discount), 4) AS avg_disc,
+            CAST(sum(qty_i) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(price_c AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                AS sum_base_price,
+            CAST(sum(CAST(price_c * (100 - disc_p) AS DECIMAL(38, 0)))
+                 AS DOUBLE) / 10000.0 AS sum_disc_price,
+            CAST(sum(CAST(price_c * (100 - disc_p) * (100 + tax_p)
+                          AS DECIMAL(38, 0))) AS DOUBLE) / 1000000.0
+                AS sum_charge,
+            CAST(floor(CAST(sum(qty_i) AS DOUBLE) / count(*) * 10000.0
+                       + 0.5) AS DOUBLE) / 10000.0 AS avg_qty,
+            CAST(floor(CAST(sum(price_c) AS DOUBLE) / count(*) / 100.0
+                       * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_price,
+            CAST(floor(CAST(sum(disc_p) AS DOUBLE) / count(*) / 100.0
+                       * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS avg_disc,
             count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+        FROM rows_in
         GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -39,21 +56,61 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scan -> pushed filter -> partial/final hash agg. 4 output groups
     regardless of SF: shuffle is O(groups), the ideal scale shape.
-    """
+
+    Money arithmetic is EXACT: quantities/cents/pct integerize per
+    row, the three money sums accumulate as DECIMAL(38,0) of integer
+    products (disc price in 1e-4 USD, charge in 1e-6 USD), and each
+    average takes one final division — the first sf1 TPC-H oracle
+    sweep caught the original float-sum form diverging from DuckDB
+    above the 4-dp grid at ~5e10 magnitudes (the q11 lesson applied
+    to the flagship)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty_i = F.col("l_quantity").cast("bigint")
+    price_c = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+    disc_p = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint")
+    tax_p = F.floor(F.col("l_tax") * 100.0 + 0.5).cast("bigint")
+    disc_price_4 = price_c * (100 - disc_p)
+    charge_6 = disc_price_4 * (100 + tax_p)
+    cnt = F.count(F.lit(1))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("2024-09-01 00:00:00").cast("timestamp")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(charge), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(qty_i).cast("double").alias("sum_qty"),
+            (
+                F.sum(price_c.cast("decimal(38,0)")).cast("double") / 100.0
+            ).alias("sum_base_price"),
+            (
+                F.sum(disc_price_4.cast("decimal(38,0)")).cast("double")
+                / 10000.0
+            ).alias("sum_disc_price"),
+            (
+                F.sum(charge_6.cast("decimal(38,0)")).cast("double")
+                / 1000000.0
+            ).alias("sum_charge"),
+            (
+                F.floor(
+                    F.sum(qty_i).cast("double") / cnt * 10000.0 + 0.5
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_qty"),
+            (
+                F.floor(
+                    F.sum(price_c).cast("double") / cnt / 100.0 * 10000.0
+                    + 0.5
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_price"),
+            (
+                F.floor(
+                    F.sum(disc_p).cast("double") / cnt / 100.0 * 10000.0
+                    + 0.5
+                ).cast("double")
+                / 10000.0
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

@@ -2287,7 +2287,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9_SQL = """
         WITH {ps}
-        SELECT n.n_name AS nation,
+        SELECT /*+ MERGE(ps), MERGE(o) */ n.n_name AS nation,
                CAST(year(o.o_orderdate) AS INT) AS o_year,
                round(CAST(sum(CAST(floor((l.l_extendedprice
                                           * (1 - l.l_discount)

@@ -110,6 +110,7 @@ _CHECK_ORDER = [
     "ts_peak_detection_local_maxima",
     "dedup_simhash", "dedup_simhash_pairs",
     "embedding_mean_pool", "udf_grouped_arrow",
+    "q1_pricing_summary", "q9_product_type_profit",
     "events_anomaly_burst_poisson", "multimodal_dedup_content_hash",
     "sql_group_order_by_all",
     "text_lm_interpolation_tuning", "events_decay_engagement_score",
