@@ -38,7 +38,7 @@ from parquet_playground_spark.functions.dedup import (
     _minhash_signatures,
     _MINHASH_ORACLE,
 )
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -349,9 +349,13 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: production stores the corpus band index as a bucketed
     table keyed on (band, bucket) — only the NEW batch computes
     signatures and shuffles (|batch| x n_bands rows); the corpus is
-    probed in place and never rescanned in full. Per batch doc the
-    output keeps (n_candidates, best match, admitted), so the reject
-    decision is auditable. Oracle = OR-of-bands spec join."""
+    probed in place and never rescanned in full. The band join shuffles
+    NARROW (doc_id, band, bucket) rows only; candidate pairs are
+    deduplicated as slim (batch_doc, corpus_doc) keys and the full
+    signatures are fetched once per side afterwards — at 100 TB the
+    shuffle payload stays O(pairs), not O(pairs x 2 x N_HASHES). Per
+    batch doc the output keeps (n_candidates, best match, admitted), so
+    the reject decision is auditable. Oracle = OR-of-bands spec join."""
     sigs = _minhash_signatures(spark, sf_dir)
     n_bands = N_HASHES // BAND_ROWS
     bands = F.array(
@@ -369,12 +373,8 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select(
-        "doc_id", *[F.col(f"mh{i}") for i in range(N_HASHES)],
-        F.explode(bands).alias("bb")
-    ).select(
+    banded = sigs.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id",
-        *[F.col(f"mh{i}") for i in range(N_HASHES)],
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
     )
@@ -390,22 +390,26 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n.doc_id").alias("batch_doc"),
             F.col("c.doc_id").alias("corpus_doc"),
-            *[
-                F.col(f"n.mh{i}").alias(f"n_mh{i}")
-                for i in range(N_HASHES)
-            ],
-            *[
-                F.col(f"c.mh{i}").alias(f"c_mh{i}")
-                for i in range(N_HASHES)
-            ],
         )
         .distinct()
+    )
+    sigs_n = sigs.filter(F.col("doc_id") >= _CORPUS_MAX_DOC).select(
+        F.col("doc_id").alias("n_doc"),
+        *[F.col(f"mh{i}").alias(f"n_mh{i}") for i in range(N_HASHES)],
+    )
+    sigs_c = sigs.filter(F.col("doc_id") < _CORPUS_MAX_DOC).select(
+        F.col("doc_id").alias("c_doc"),
+        *[F.col(f"mh{i}").alias(f"c_mh{i}") for i in range(N_HASHES)],
     )
     est = sum(
         F.when(F.col(f"n_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
     ) / float(N_HASHES)
-    cand = pairs.select("batch_doc", "corpus_doc", est.alias("est"))
+    cand = (
+        pairs.join(sigs_n, pairs.batch_doc == sigs_n.n_doc)
+        .join(sigs_c, pairs.corpus_doc == sigs_c.c_doc)
+        .select("batch_doc", "corpus_doc", est.alias("est"))
+    )
     w = Window.partitionBy("batch_doc").orderBy(
         F.col("est").desc(), F.col("corpus_doc").asc()
     )
@@ -1701,9 +1705,9 @@ def dataset_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking, and both verification sides); materialize it once so
     # Spark doesn't re-run the explode per reference. sh0 here is the
     # raw shingle stream; the SQL's own sh0 CTE becomes a passthrough.
-    spark.sql(
-        _SLC_SHINGLES_SPARK.format(doc="slc_documents")
-    ).persist().createOrReplaceTempView("slc_shingles")
+    track_persist(
+        spark.sql(_SLC_SHINGLES_SPARK.format(doc="slc_documents"))
+    ).createOrReplaceTempView("slc_shingles")
     return spark.sql(
         _SLC_SQL.format(
             shingles="SELECT doc_id, shingle FROM slc_shingles",

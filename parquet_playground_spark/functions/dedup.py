@@ -388,7 +388,7 @@ _SIMHASH_MAX_HAMMING = 3  # <= bands-1 differing bits => >=1 band identical
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via band-bucket join: the
-    16-bit fingerprint splits into 4 bands of 4 bits; by pigeonhole,
+    60-bit fingerprint splits into 4 bands of 15 bits; by pigeonhole,
     any pair within hamming 3 shares at least one band verbatim, so the
     banded equi-join finds EXACTLY the same pairs as the O(n^2) scan
     the oracle runs — candidates are generated only inside identical

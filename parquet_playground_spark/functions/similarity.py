@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 N_QUERY = 5  # first N vec_ids act as the query set
@@ -561,8 +561,8 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
         .agg((F.sum(F.col("a.v") * F.col("b.v")) / F.count(F.lit(1))).alias("c"))
-        .persist()
     )
+    cov = track_persist(cov)
     r = cov.select(F.col("i").alias("j")).distinct().select(
         "j", F.lit(1.0).alias("v")
     )
@@ -1399,11 +1399,10 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each branch re-derives them from the corpus relevance scan —
     # ~2(K-1) redundant corpus passes that dominated the fixed cost
     # (measured 4.6 -> 2.5 s at sf0.1, 5.5 -> 2.6 s at sf1).
-    cand = (
+    cand = track_persist(
         rel.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _MMR_CAND)
         .select("vec_id", "rel4")
-        .persist()
     )
     ca = cand.join(e, "vec_id").select(
         F.col("vec_id").alias("ia"), F.col("v").alias("va")
@@ -1411,7 +1410,7 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cand.join(e, "vec_id").select(
         F.col("vec_id").alias("ib"), F.col("v").alias("vb")
     )
-    pairs = (
+    pairs = track_persist(
         ca.crossJoin(cb)
         .filter(F.col("ia") != F.col("ib"))
         .select(
@@ -1421,7 +1420,6 @@ def sim_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sim4"),
         )
-        .persist()
     )
     # Greedy unroll: K is a constant, so this loop builds a fixed plan
     # over <=10-row frames — no driver-side data access.

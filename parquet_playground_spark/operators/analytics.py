@@ -9,10 +9,14 @@ multi-join + agg + top-k pipelines in one plan. All oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.operators.distrank import (
+    global_prefix_sum,
+    global_rank,
+)
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 
@@ -153,9 +157,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped: 6-table join keeping only orders supplied from
-    the customer's own nation. region/nation/supplier broadcast; the
-    fact-side join chain shuffles on the join keys with AQE handling
-    skew. One aggregate of |nations| rows at the end."""
+    the customer's own nation. region/nation broadcast (constant-size
+    dims); supplier is FACT-PROPORTIONAL (sf x 10k rows) so its join is
+    pinned to shuffle with a merge hint — broadcasting it OOMs at 100x
+    scale (same defect class as q9's estimate-driven fact broadcast,
+    fixed in commit 0800661). AQE handles skew on the fact chain. One
+    aggregate of |nations| rows at the end."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -168,7 +175,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s.hint("merge"),
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy(F.col("n_name").alias("nation"))
@@ -911,8 +918,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("total_revenue")
         )
-        .persist()
     )
+    revenue = track_persist(revenue)
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     return (
         s.join(revenue, s.s_suppkey == revenue.supplier_no)
@@ -1212,11 +1219,16 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary
     quartile scores — the classic lifecycle-marketing rollup. The
-    heavy pass is one map-combinable aggregate of orders; the three
-    ntile windows run over the CUSTOMER aggregate (3 sorts of |custs|
-    rows — at 100 TB this is the small table; range-partitioned sort
-    if it isn't). Every ntile orders by (metric, custkey) so quartile
-    boundaries are engine-deterministic (§7.3 rule 4)."""
+    heavy pass is one map-combinable aggregate of orders. The three
+    quartile assignments are computed WITHOUT a single-partition ntile
+    sort (r5 VERDICT wrong-shape #2): each metric gets an exact
+    distributed global rank via the bucket two-pass in
+    ``operators/distrank.py`` (within-bucket row_number + broadcast
+    bucket offsets), and ntile(4) is re-derived arithmetically from
+    (rank, n) — buckets of size ceil(n/4) first, floor(n/4) after,
+    which is exactly SQL ntile's split. Every order is (metric,
+    custkey) so quartile boundaries stay engine-deterministic (§7.3
+    rule 4); the oracle keeps the ntile window form."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max(
@@ -1227,17 +1239,33 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    w_r = Window.orderBy("recency_day", "o_custkey")
-    w_f = Window.orderBy("frequency", "o_custkey")
-    w_m = Window.orderBy("monetary", "o_custkey")
-    return base.select(
+    d = global_rank(base, "recency_day", ["o_custkey"], rank_col="__rk_r")
+    d = global_rank(d, "frequency", ["o_custkey"], rank_col="__rk_f")
+    d = global_rank(d, "monetary", ["o_custkey"], rank_col="__rk_m")
+    n_df = base.agg(F.count(F.lit(1)).alias("__n"))
+    d = d.crossJoin(F.broadcast(n_df))
+
+    def ntile4(rank: Column) -> Column:
+        n = F.col("__n")
+        q = F.floor(n / 4)
+        r0 = n % 4
+        boundary = r0 * (q + 1)
+        # lazily-evaluated else branch: q=0 (n<4) always takes the
+        # when branch (boundary == n >= rank), so q never divides 0
+        return (
+            F.when(rank <= boundary, F.ceil(rank / (q + 1)))
+            .otherwise(r0 + F.ceil((rank - boundary) / q))
+            .cast("bigint")
+        )
+
+    return d.select(
         "o_custkey",
         "recency_day",
         "frequency",
         "monetary",
-        F.ntile(4).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(4).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(4).over(w_m).cast("bigint").alias("m_score"),
+        ntile4(F.col("__rk_r")).alias("r_score"),
+        ntile4(F.col("__rk_f")).alias("f_score"),
+        ntile4(F.col("__rk_m")).alias("m_score"),
     )
 
 
@@ -1247,14 +1275,19 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH rev AS (
             SELECT l_partkey, round(sum(l_extendedprice), 2) AS revenue
             FROM lineitem GROUP BY l_partkey
-        ), tot AS (SELECT sum(revenue) AS total FROM rev),
+        ), revd AS (
+            SELECT l_partkey, revenue,
+                   CAST(revenue AS DECIMAL(18,2)) AS rev_c
+            FROM rev
+        ), tot AS (SELECT sum(rev_c) AS total FROM revd),
         ranked AS (
             SELECT r.l_partkey, r.revenue,
-                   round(sum(r.revenue) OVER (ORDER BY r.revenue DESC,
-                                              r.l_partkey ASC
-                                              ROWS UNBOUNDED PRECEDING)
-                         / t.total, 6) AS cum_share
-            FROM rev r CROSS JOIN tot t
+                   round(CAST(sum(r.rev_c)
+                              OVER (ORDER BY r.revenue DESC,
+                                    r.l_partkey ASC
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                         / CAST(t.total AS DOUBLE), 6) AS cum_share
+            FROM revd r CROSS JOIN tot t
         )
         SELECT l_partkey, revenue, cum_share,
                CASE WHEN cum_share <= 0.8 THEN 'A'
@@ -1267,25 +1300,33 @@ def pareto_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification: parts ranked by revenue with
     cumulative share, classed A (top 80% of revenue), B (next 15%), C
     (tail) — the inventory-prioritization rollup. Revenue aggregates
-    map-side; the cumulative window runs over the per-part aggregate
-    with a unique (revenue, partkey) order so the running sum folds in
-    the same sequence on both engines. The global window is over the
-    part dimension, not the fact table."""
+    map-side. The cumulative sum is computed WITHOUT a single-partition
+    window (r5 VERDICT wrong-shape #2): the bucket two-pass prefix sum
+    in ``operators/distrank.py`` (within-bucket running sum + broadcast
+    bucket mass offsets) in exact DECIMAL cents — exact arithmetic on
+    BOTH engines makes the result independent of fold association, so
+    the decomposed Spark sum hash-matches DuckDB's sequential window
+    fold. Unique (revenue DESC, partkey ASC) order on both sides."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("revenue")
     )
-    tot = rev.agg(F.sum("revenue").alias("total"))
-    w = (
-        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    revd = rev.withColumn("rev_c", F.col("revenue").cast("decimal(18,2)"))
+    tot = revd.agg(F.sum("rev_c").alias("total"))
+    ranked = global_prefix_sum(
+        revd,
+        "revenue",
+        ["l_partkey"],
+        F.col("rev_c"),
+        ascending=False,
+        sum_col="__cum",
     )
-    ranked = rev.crossJoin(F.broadcast(tot)).select(
+    ranked = ranked.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "revenue",
-        F.round(F.sum("revenue").over(w) / F.col("total"), 6).alias(
-            "cum_share"
-        ),
+        F.round(
+            F.col("__cum").cast("double") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
     )
     return ranked.select(
         "l_partkey",
@@ -1443,7 +1484,7 @@ def graph_pagerank_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    edges_deg = edges.join(deg, "src").persist()
+    edges_deg = track_persist(edges.join(deg, "src"))
     n = deg.agg(F.count(F.lit(1)).alias("nn"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("r")
@@ -1531,8 +1572,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("src_d") == F.col("dst_d")) & (F.col("src") < F.col("dst")))
         )
         .select("src", "dst", "dst_d")
-        .persist()
     )
+    oriented = track_persist(oriented)
     wa, wb = oriented.alias("wa"), oriented.alias("wb")
     wedges = wa.join(
         wb,
@@ -1544,7 +1585,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("wa.dst") < F.col("wb.dst"))
             )
         ),
-    ).select(F.col("wa.dst").alias("y"), F.col("wb.dst").alias("z")).persist()
+    ).select(F.col("wa.dst").alias("y"), F.col("wb.dst").alias("z"))
+    wedges = track_persist(wedges)
     closer = oriented.select(
         F.col("src").alias("y"), F.col("dst").alias("z")
     )
@@ -2839,8 +2881,8 @@ def graph_label_propagation_communities(
         )
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
-        .persist()
     )
+    edges = track_persist(edges)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -2967,20 +3009,18 @@ def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_decay_engagement_score",
-    oracle="""
+_DECAY_SQL = """
         WITH anchor AS (
-            SELECT max(ts) AS now_ts FROM events
+            SELECT max(ts) AS now_ts FROM {ev}
         ),
         scored AS (
             SELECT e.user_id,
                    CAST(floor(
-                       exp(-CAST(date_diff('second', e.ts, a.now_ts)
+                       exp(-CAST({age_seconds}
                                  AS DOUBLE) / 604800.0)
                        * CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)
                        * 10000.0 + 0.5) AS BIGINT) AS s_micro
-            FROM events e CROSS JOIN anchor a
+            FROM {ev} e CROSS JOIN anchor a
         ),
         per_user AS (
             SELECT user_id, count(*) AS n_events,
@@ -2996,7 +3036,14 @@ def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per_user) t
         WHERE rnk <= 20
         ORDER BY rnk
-    """,
+"""
+
+
+@register(
+    "events_decay_engagement_score",
+    oracle=_DECAY_SQL.format(
+        ev="events", age_seconds="date_diff('second', e.ts, a.now_ts)"
+    ),
 )
 def events_decay_engagement_score(
     spark: SparkSession, sf_dir: str
@@ -3017,17 +3064,20 @@ def events_decay_engagement_score(
 
     Scale shape: a 1-row anchor broadcast, one map-side scoring
     projection, one user-keyed aggregation, a top-20 — the shuffle
-    carries |users| partial sums."""
+    carries |users| partial sums.
+
+    Both dialects render from the shared _DECAY_SQL template (only the
+    age-in-seconds expression differs) — r5 ADVICE #3 flagged the old
+    whitespace-exact str.replace derivation as silently no-op-ing if
+    the template is ever reformatted."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "decay_events"
     )
-    from parquet_playground_spark.registry import ORACLES
-
     return spark.sql(
-        ORACLES["events_decay_engagement_score"]
-        .replace("FROM events", "FROM decay_events")
-        .replace(
-            "CAST(date_diff('second', e.ts, a.now_ts)\n                                 AS DOUBLE)",
-            "CAST(unix_timestamp(a.now_ts) - unix_timestamp(e.ts) AS DOUBLE)",
+        _DECAY_SQL.format(
+            ev="decay_events",
+            age_seconds=(
+                "unix_timestamp(a.now_ts) - unix_timestamp(e.ts)"
+            ),
         )
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 SALT_BUCKETS = 8
@@ -291,13 +291,12 @@ def plan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint-the-expensive-stage pattern; production chooses
     MEMORY_AND_DISK or a parquet checkpoint by reuse count."""
     o = load_table(spark, sf_dir, "orders")
-    stats = (
+    stats = track_persist(
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 4).alias("spend"),
         )
-        .persist()
     )
     top = stats.agg(F.max("spend").alias("max_spend"))
     return (

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.operators.distrank import global_rank
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 
@@ -202,27 +203,27 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of revenue concentration across customers
     (Lorenz-curve rank formula G = 2·Σi·x_i/(n·Σx) − (n+1)/n over
     ascending revenue). The "do 1% of customers drive 50% of revenue"
-    audit. Per-customer revenue is the only raw-row shuffle; the ranked
-    pass runs over |customers| aggregate rows. Ties rank arbitrarily
-    within equal revenue but Σi·x_i is tie-invariant (x constant across
-    the tie run), so the custkey tie-break is belt-and-braces for the
-    oracle hash, not a correctness need."""
+    audit. Per-customer revenue is the only raw-row shuffle. The rank
+    i is EXACT but computed without a single-partition sort (r5
+    VERDICT wrong-shape #2): the bucket two-pass in
+    ``operators/distrank.py`` gives each customer its global
+    row_number via within-bucket windows + broadcast bucket offsets;
+    n and Σx fold in the final map-combinable aggregate instead of
+    global windows. Ties rank arbitrarily within equal revenue but
+    Σi·x_i is tie-invariant (x constant across the tie run), so the
+    custkey tie-break is belt-and-braces for the oracle hash, not a
+    correctness need."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
-    w = Window.orderBy("revenue", "o_custkey")
-    ranked = rev.select(
-        "revenue",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("revenue").over(Window.partitionBy()).alias("total"),
-    )
+    ranked = global_rank(rev, "revenue", ["o_custkey"], rank_col="i")
+    n = F.count(F.lit(1))
+    total = F.sum("revenue")
     return ranked.agg(
-        F.max("n").alias("n_customers"),
-        F.round(F.max("total"), 2).alias("total_revenue"),
+        n.alias("n_customers"),
+        F.round(total, 2).alias("total_revenue"),
         F.round(
-            F.lit(2.0) * F.sum(F.col("i") * F.col("revenue"))
-            / (F.max("n") * F.max("total"))
-            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            F.lit(2.0) * F.sum(F.col("i") * F.col("revenue")) / (n * total)
+            - (n + F.lit(1.0)) / n,
             4,
         ).alias("gini"),
     )
@@ -638,11 +639,15 @@ def ml_logistic_gradient_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count("*").cast("double").alias("n"))
     )
-    feat = o.join(licnt, o.o_orderkey == licnt.l_orderkey).select(
-        (F.col("o_totalprice") / 100000.0).alias("x1"),
-        (F.col("n") / 10.0).alias("x2"),
-        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
-    ).persist()
+    feat = track_persist(
+        o.join(licnt, o.o_orderkey == licnt.l_orderkey).select(
+            (F.col("o_totalprice") / 100000.0).alias("x1"),
+            (F.col("n") / 10.0).alias("x2"),
+            F.when(F.col("o_orderstatus") == "F", 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+    )
 
     def grad(wdf):
         f = feat.crossJoin(F.broadcast(wdf))
@@ -2067,7 +2072,8 @@ _PR_SQL = """
         ),
         terms AS (
             SELECT score, tp, fp, p_tot,
-                   (d_tp * tp * 1000000) {idiv} (tp + fp) AS term_micro
+                   (CAST(d_tp AS {bigint}) * tp * 1000000)
+                       {idiv} (tp + fp) AS term_micro
             FROM cum
         )
         SELECT CAST(score AS BIGINT) AS thr,
@@ -2084,7 +2090,10 @@ _PR_SQL = """
 """
 
 
-@register("ml_pr_curve_ap", oracle=_PR_SQL.format(li="lineitem", idiv="//"))
+@register(
+    "ml_pr_curve_ap",
+    oracle=_PR_SQL.format(li="lineitem", idiv="//", bigint="HUGEINT"),
+)
 def ml_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full precision-recall curve (one operating point per distinct
     score, descending — the ranked-retrieval view of the discount
@@ -2098,7 +2107,12 @@ def ml_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float accumulation over curve points.
 
     Determinism: integer counts, integer AP terms, single divisions
-    rounded at 6 dp; the term product stays under 2^63 through sf10.
+    rounded at 6 dp. The term PRODUCT is accumulated wide on both
+    engines — DECIMAL(38,0) on Spark, HUGEINT on DuckDB — because
+    d_tp*tp*1e6 passes 2^63 around sf10-positive counts and BIGINT
+    would wrap silently on the Spark side only (r5 ADVICE #1); the
+    integral-division QUOTIENT is ≤ d_tp*1e6 so it and the cross-point
+    sum stay comfortably in BIGINT range at any realistic SF.
 
     Scale shape: one map-combinable aggregation + windows over the
     |distinct scores| histogram (11 rows here, bounded by score
@@ -2106,7 +2120,9 @@ def ml_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "pr_lineitem"
     )
-    return spark.sql(_PR_SQL.format(li="pr_lineitem", idiv="div"))
+    return spark.sql(
+        _PR_SQL.format(li="pr_lineitem", idiv="div", bigint="DECIMAL(38,0)")
+    )
 
 
 # ---------------------------------------------------------------------------

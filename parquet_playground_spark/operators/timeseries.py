@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 
@@ -78,9 +78,11 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the DAG forks below (day_last + final join both consume intra);
     # persist so the scan→agg→spine-join→window subtree runs once
-    intra = joined.withColumn(
-        "locf_intra", F.last("sum_value", ignorenulls=True).over(w_day)
-    ).persist()
+    intra = track_persist(
+        joined.withColumn(
+            "locf_intra", F.last("sum_value", ignorenulls=True).over(w_day)
+        )
+    )
     # Pass 2: carry across day boundaries via a |days|-row aggregate:
     # each day's carry-in is the last non-null value of any PRIOR day.
     day_last = (

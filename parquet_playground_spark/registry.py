@@ -12,6 +12,7 @@ module is the main defense against alias/rounding drift (SURVEY.md
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Optional
 
@@ -22,6 +23,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# DataFrames persisted while building the CURRENT query's plan (via
+# track_persist below). A query function can't unpersist its own
+# frames — the caller materializes the returned DataFrame after the
+# function exits — so instead every registered query releases the
+# PREVIOUS query's tracked caches on entry. A sequential sweep (the
+# driver gate, verify_local, bench) therefore holds at most one
+# query's cached blocks at a time instead of accumulating all of them
+# across 424 queries in one session (r5 ADVICE #4). Unpersist is
+# correctness-neutral: a caller that somehow still holds the prior
+# lazy frame just recomputes it.
+_TRACKED_CACHES: list[DataFrame] = []
+# >0 while inside a registered query fn: composed queries (an outer
+# query building on an inner registered one, e.g. dedup_cluster_
+# survivors -> dedup_clusters) must NOT release the caches the outer
+# build just tracked.
+_QUERY_DEPTH = 0
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() a reused frame and track it for end-of-query release.
+
+    Default storage level (MEMORY_AND_DISK_DESER) — eviction spills,
+    never OOMs."""
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def release_tracked_caches() -> None:
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            # session may already be stopped (test teardown) — the
+            # blocks died with it, nothing to release
+            pass
+
 
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query (and optionally its DuckDB oracle)."""
@@ -29,10 +66,22 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _QUERY_DEPTH
+            if _QUERY_DEPTH == 0:
+                release_tracked_caches()
+            _QUERY_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _QUERY_DEPTH -= 1
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -94,125 +143,102 @@ def load_all() -> None:
 # through the never-driver-checked remainder. Long-green checked
 # queries sort last — the local full-repr sweep still covers them.
 _CHECK_ORDER = [
-    # ---- r5 slots 1-50 (driver checks the first 50 registered) ----
-    # r4's window came back 50/50 green (CORRECTNESS_r04), so those 50
-    # rotate off the list entirely (driver-green queries are unlisted
-    # and register last in module order). The 183 never-driver-checked
-    # queries promote, in the r4-set priority order: r4-new queries
-    # (TPC-H completions over derived partsupp + corpus additions)
-    # first — least soak time — then the remaining backlog. Queries
-    # whose code/oracle changed this round (ADVICE fixes:
-    # ts_alert_hysteresis, text_bigram_lm_perplexity) were already in
-    # the front block. New r5 operators are prepended here when they
-    # land so they get an official row immediately.
-    # changed semantics this round (60-bit fingerprints) -> fresh
-    # official rows ahead of never-checked backlog
-    "ts_peak_detection_local_maxima",
-    "dedup_simhash", "dedup_simhash_pairs",
-    "embedding_mean_pool", "udf_grouped_arrow",
-    "q1_pricing_summary", "q9_product_type_profit",
-    "events_anomaly_burst_poisson", "multimodal_dedup_content_hash",
-    "sql_group_order_by_all",
-    "text_lm_interpolation_tuning", "events_decay_engagement_score",
-    "dataset_split_leakage_check", "text_zipf_fit",
-    "events_markov_backtest", "ts_forecast_backtest_seasonal",
-    "stat_binomial_ci_wilson", "embedding_centroid_margin",
-    "ml_learning_curve_subsample",
-    "tokenizer_wordpiece_encode", "stat_two_proportion_ztest",
-    "ts_heartbeat_outage_intervals",
-    "stat_power_analysis_mde", "ml_feature_correlation_matrix",
-    "ts_decompose_additive",
-    "ml_cumulative_gains_lift", "stat_spearman_corr",
-    "stat_kendall_tau_b",
-    "stat_permutation_test", "ml_pr_curve_ap",
-    "dq_outlier_iqr_fences", "embedding_norm_outlier_screen",
-    "ml_gbdt_residual_boost", "dq_functional_dependency_profile",
-    "graph_label_propagation_communities", "text_ctfidf_class_terms",
-    "stat_anova_oneway", "stat_levene_brown_forsythe",
-    "ts_cross_correlation_lagged", "ts_rate_of_change_irregular",
-    "text_lm_kneser_ney", "corpus_perplexity_buckets",
-    "sim_search_mmr_rerank",
-    "dedup_prefix_filter_allpairs", "text_keyword_rake",
-    "ml_auc_roc", "ml_confusion_matrix_metrics",
-    "ml_target_encoding_kfold", "ml_calibration_bins",
-    "stat_welch_ttest", "ts_gapfill_interpolate_linear",
-    "tokenizer_unigram_em", "dedup_minhash_index_merge",
-    "dedup_paragraph_exact", "corpus_quality_ensemble",
-    "sim_search_ivf_pq", "ts_downsample_lttb",
-    "ts_kalman_filter_1d", "fn_interval_arithmetic",
-    "corpus_dedup_funnel", "ml_decision_stump",
-    "multimodal_webdataset_shards", "stream_windowed_topk",
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_stock", "q16_supplier_part_counts",
-    "q20_part_promotion", "dedup_prefix_boilerplate",
-    "text_vocab_freq_spectrum", "text_doc_entropy",
-    "ml_linear_normal_equation", "corpus_importance_resampling",
-    "events_uplift_cuped", "ts_changepoint_cusum",
-    "embedding_product_quantization", "ts_holt_linear_forecast",
-    "text_bigram_lm_perplexity", "dq_freshness_sla",
-    "sample_weighted_reservoir", "graph_link_prediction_cn",
-    "sql_scripting_control_flow", "stat_bootstrap_ci",
-    "dedup_winnowing_fingerprints", "ts_periodogram_dft",
-    "tokenizer_bpe_merges", "events_funnel_time_bounded",
-    "embedding_random_projection_jl", "ts_interval_union_coverage",
-    "stat_cohort_survival_km", "ml_kfold_cross_validation",
-    "dq_distribution_drift_psi", "corpus_source_divergence_jsd",
-    "text_ngram_novelty_rate", "stat_mann_whitney_u",
-    "ts_alert_hysteresis", "ts_theil_sen_slope",
-    "dedup_shingle_containment", "events_feature_hashing",
-    "corpus_token_budget_pack", "api_pandas_on_spark",
-    "text_repetition_rep_n", "join_shuffle_hash_hint",
-    "sketch_kll_quantiles", "fn_mask_redact", "agg_unpivot",
-    "set_union_byname", "ts_gapfill_locf", "ts_rollup_multires",
-    "agg_regression", "agg_approx_top_k", "fn_variant", "fn_higher_order",
-    "fn_binary_hash", "sketch_hll_union", "stream_foreachbatch_upsert",
-    "udf_cogrouped_pandas", "ts_window_time_range", "fn_calendar",
-    "agg_boolean_bitwise", "stream_python_source", "fn_try_arithmetic",
-    "fn_map_hof", "fn_string_predicates", "fn_array_outer",
-    "doc_chunk_overlap", "agg_listagg", "agg_width_bucket_histogram",
-    "fn_array_setops", "fn_collation", "window_nth_first_ignore",
-    "stream_dedup_within_watermark", "fn_regex_suite",
-    "join_bloom_runtime_filter", "fn_struct_ops", "ts_anomaly_zscore",
-    "fn_bitwise", "events_path_trigrams", "sql_modern_parameterized",
-    "corpus_lang_rebalance", "scd2_dimension_build", "compact_small_files",
-    "skew_diagnose_keys", "zorder_morton_layout", "fn_url_parse",
-    "fn_format_output", "sql_pivot_syntax", "pipeline_observe_metrics",
-    "scan_recursive_glob", "scan_metadata_columns", "tokenizer_vocab_build",
-    "seq_len_distribution", "anonymize_k_audit", "part_co_occurrence",
-    "udtf_analyze_dynamic", "agg_pivot_multi", "agg_covariance",
-    "sink_python_datasource", "udf_grouped_arrow", "ts_resample_ohlc",
-    "ts_ewma_bounded", "window_running_distinct",
-    "events_markov_transitions", "fn_aes_roundtrip", "customer_rfm_segments",
-    "pareto_abc_classes", "events_ab_test_lift", "fn_json_nested_roundtrip",
-    "stream_progress_metrics", "synthetic_data_generate",
-    "stream_checkpoint_recovery", "fn_try_datetime_parse", "fn_map_merge",
-    "topk_offset_pagination", "pipeline_dq_rules", "agg_mode_deterministic",
-    "sql_inline_values_dim", "set_intersect_all", "join_mark_existence",
-    "incremental_variance_merge", "fn_xpath_extract",
-    "fn_number_format_roundtrip", "zorder_prune_selectivity",
-    "udf_arrow_optimized", "corpus_dataset_card", "stream_stream_left_outer",
-    "events_wau_rolling", "join_asof_nearest", "ts_autocorrelation",
-    "ts_seasonal_baseline", "ts_anomaly_mad", "stat_crosstab",
-    "agg_bitmap_distinct", "join_interval_overlap", "set_except_all",
-    "fn_posexplode", "mv_incremental_refresh", "agg_session_window_batch",
-    "dataset_global_shuffle", "curriculum_quality_stages",
-    "join_asof_tolerance", "interval_stabbing_counts", "join_point_in_time",
-    "join_dpp_partitioned", "ts_sliding_windows_batch", "agg_grouping_id",
+    # ---- r6 window ----
+    # The driver checks the first ~50 registered queries each round.
+    # r5's window came back 50/50 green (CORRECTNESS_r05), so r6 leads
+    # with (a) the queries whose CODE changed this round — the
+    # incremental-LSH narrow-pair rewrite, q5's de-broadcast supplier
+    # edge, the rfm/pareto/gini distributed-rank rewrites, the
+    # ml_pr_curve_ap wide-accumulator fix — then (b) the four r5
+    # cross-scale-fix redemption keys (VERDICT r5 item 5), then (c)
+    # the 194-key never-driver-checked backlog in VERDICT-priority
+    # category order: L scale patterns (44) -> H scalars (25) ->
+    # I streaming (10) -> M stats (33) -> K (35) -> D (24) -> A (8)
+    # -> C (7) -> G (3) -> J (3) -> E (1) -> F (1). Long-green keys
+    # are unlisted and register last in module order; the local
+    # 424-query sweep still covers them every round. Surface growth is
+    # frozen this round (VERDICT r5 item 1): zero new @register calls.
+    "dedup_incremental_lsh", "q5_local_supplier",
+    "stat_gini_concentration", "customer_rfm_segments",
+    "pareto_abc_classes", "ml_pr_curve_ap",
+    "events_decay_engagement_score", "embedding_mean_pool",
+    "udf_grouped_arrow", "q1_pricing_summary", "q9_product_type_profit",
+    "sample_weighted_reservoir", "events_feature_hashing",
+    "events_funnel_time_bounded", "events_path_trigrams",
+    "ts_gapfill_locf", "ts_gapfill_interpolate_linear",
+    "ts_rollup_multires", "ts_window_time_range", "ts_anomaly_zscore",
+    "ts_resample_ohlc", "ts_ewma_bounded", "ts_holt_linear_forecast",
+    "window_running_distinct", "window_rolling_median",
+    "events_markov_transitions", "events_wau_rolling",
+    "events_ab_test_lift", "events_uplift_cuped", "scd2_dimension_build",
+    "compact_small_files", "skew_diagnose_keys", "zorder_morton_layout",
+    "zorder_prune_selectivity", "pipeline_observe_metrics",
+    "pipeline_dq_rules", "dq_freshness_sla", "dq_distribution_drift_psi",
+    "ts_autocorrelation", "ts_seasonal_baseline", "ts_periodogram_dft",
+    "ts_anomaly_mad", "ts_changepoint_cusum", "ts_alert_hysteresis",
+    "ts_theil_sen_slope", "interval_stabbing_counts",
+    "mv_incremental_refresh", "ts_sliding_windows_batch",
     "graph_pagerank_power", "graph_triangle_count",
-    "scan_ignore_corrupt_files", "fn_inline_struct_explode",
-    "sql_lateral_view_syntax", "sql_create_replace_view", "kpi_yoy_growth",
-    "customer_cohort_ltv", "window_rolling_median", "gdpr_delete_cascade",
+    "graph_link_prediction_cn", "kpi_yoy_growth", "customer_cohort_ltv",
+    "fn_variant", "fn_higher_order", "fn_binary_hash", "fn_mask_redact",
+    "fn_calendar", "fn_try_arithmetic", "fn_try_datetime_parse",
+    "fn_map_merge", "fn_map_hof", "fn_string_predicates", "fn_array_outer",
+    "fn_array_setops", "fn_regex_suite", "fn_struct_ops", "fn_bitwise",
+    "fn_collation", "fn_url_parse", "fn_aes_roundtrip",
+    "fn_json_nested_roundtrip", "fn_xpath_extract",
+    "fn_number_format_roundtrip", "fn_format_output", "fn_posexplode",
+    "fn_inline_struct_explode", "sql_lateral_view_syntax",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_running",
+    "stream_transform_with_state", "stream_foreachbatch_upsert",
+    "stream_python_source", "stream_dedup_within_watermark",
+    "stream_progress_metrics", "stream_checkpoint_recovery",
+    "stream_stream_left_outer", "agg_percentile_within_group",
+    "agg_weighted_median", "basket_association_lift", "df_transpose",
+    "api_pandas_on_spark", "events_attribution_touch",
+    "events_heatmap_hour_dow", "events_seq_pattern",
+    "ts_interval_union_coverage", "fn_from_csv_parse", "fn_timestamp_ntz",
+    "fn_unicode_lengths", "fn_uuid_deterministic", "geo_nearest_hub",
+    "join_natural_using", "recon_symmetric_diff", "skyline_dominance",
+    "sql_partition_hints", "stat_benford_digits", "stat_chi_square",
+    "stat_mahalanobis_outliers", "text_inverted_index", "ts_business_days",
+    "ts_time_weighted_avg", "udf_pandas_iterator", "stat_bootstrap_ci",
+    "stat_cohort_survival_km", "stat_mann_whitney_u",
     "text_classify_naive_bayes", "ml_logistic_gradient_steps",
-    "stream_watermark_late", "stream_dedup", "stream_transform_with_state",
-    "stream_stateful_running", "avro_ingest", "fn_uuid_deterministic",
-    "fn_unicode_lengths", "fn_from_csv_parse", "text_inverted_index",
-    "udf_pandas_iterator", "fn_timestamp_ntz", "agg_percentile_within_group",
-    "agg_weighted_median", "events_attribution_touch",
-    "events_heatmap_hour_dow", "skyline_dominance", "events_seq_pattern",
-    "basket_association_lift", "join_natural_using", "recon_symmetric_diff",
-    "df_transpose", "sql_partition_hints", "stat_benford_digits",
-    "stat_chi_square", "ts_time_weighted_avg", "geo_nearest_hub",
-    "stat_mahalanobis_outliers", "ts_business_days",
+    "ml_linear_normal_equation", "ml_kfold_cross_validation",
+    "embedding_random_projection_jl", "dedup_winnowing_fingerprints",
+    "dedup_shingle_containment", "dedup_prefix_boilerplate",
+    "embedding_product_quantization", "corpus_dataset_card",
+    "doc_chunk_overlap", "corpus_lang_rebalance",
+    "corpus_source_divergence_jsd", "text_bigram_lm_perplexity",
+    "text_repetition_rep_n", "text_vocab_freq_spectrum",
+    "text_ngram_novelty_rate", "text_doc_entropy", "tokenizer_vocab_build",
+    "tokenizer_bpe_merges", "tokenizer_unigram_em", "sim_search_ivf_pq",
+    "corpus_dedup_funnel", "stream_windowed_topk", "ml_decision_stump",
+    "multimodal_webdataset_shards", "ts_downsample_lttb",
+    "ts_kalman_filter_1d", "fn_interval_arithmetic",
+    "dedup_minhash_index_merge", "dedup_paragraph_exact",
+    "corpus_quality_ensemble", "seq_len_distribution", "anonymize_k_audit",
+    "part_co_occurrence", "corpus_importance_resampling",
+    "corpus_token_budget_pack", "dataset_global_shuffle",
+    "curriculum_quality_stages", "gdpr_delete_cascade", "agg_pivot_multi",
+    "agg_unpivot", "agg_regression", "agg_covariance",
+    "agg_mode_deterministic", "incremental_variance_merge",
+    "agg_approx_top_k", "sketch_hll_union", "sketch_kll_quantiles",
+    "agg_boolean_bitwise", "agg_listagg", "agg_width_bucket_histogram",
+    "sql_modern_parameterized", "sql_scripting_control_flow",
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_part_promotion", "sql_pivot_syntax",
+    "sql_inline_values_dim", "stat_crosstab", "agg_bitmap_distinct",
+    "agg_session_window_batch", "agg_grouping_id", "avro_ingest",
+    "scan_recursive_glob", "scan_metadata_columns",
+    "sink_python_datasource", "synthetic_data_generate",
+    "join_dpp_partitioned", "scan_ignore_corrupt_files",
+    "sql_create_replace_view", "join_asof_tolerance", "join_asof_nearest",
+    "join_mark_existence", "join_bloom_runtime_filter",
+    "join_shuffle_hash_hint", "join_interval_overlap",
+    "join_point_in_time", "set_union_byname", "set_intersect_all",
+    "set_except_all", "window_nth_first_ignore", "topk_offset_pagination",
+    "udf_arrow_optimized", "udf_cogrouped_pandas", "udtf_analyze_dynamic",
 ]
 
 

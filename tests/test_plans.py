@@ -927,3 +927,105 @@ def test_peak_detection_bounded_window(spark):
     plan = formatted_plan(_q("ts_peak_detection_local_maxima")(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- r6: global-window rewrites + shuffle-payload pins ----------------
+
+
+def test_q5_supplier_edge_not_broadcast(spark):
+    """supplier is fact-proportional (sf x 10k rows): its join must be
+    pinned to a shuffle join, never a broadcast build — broadcasting a
+    fact is the q9-class OOM-at-100x defect fixed in commit 0800661
+    (VERDICT r5 item 3). The constant dims (nation, region) may still
+    broadcast freely."""
+    plan = formatted_plan(_q("q5_local_supplier")(spark, SF_DIR))
+    # Section-scan the formatted detail blocks: every join section that
+    # mentions s_suppkey as a key must be a merge join.
+    sections = plan.split("\n\n")
+    supplier_joins = [
+        s
+        for s in sections
+        if "s_suppkey" in s and ("Left keys" in s or "Right keys" in s)
+    ]
+    assert supplier_joins, "expected a keyed join on s_suppkey"
+    for s in supplier_joins:
+        assert "SortMergeJoin" in s.splitlines()[0], s.splitlines()[0]
+
+
+def test_incremental_lsh_band_join_is_narrow(spark):
+    """The (band, bucket) candidate join must shuffle NARROW rows:
+    its probe/build sides carry (doc_id, band, bucket) only, the join
+    output is exactly the 2-column (batch_doc, corpus_doc) pair, and
+    the pair-dedup aggregate keys those 2 columns — the 2xN_HASHES
+    signature columns are re-fetched AFTER dedup (VERDICT r5 item 2;
+    the old plan dragged both signatures through the band join and
+    .distinct()'d the wide rows)."""
+    import re
+
+    plan = formatted_plan(_q("dedup_incremental_lsh")(spark, SF_DIR))
+    assert re.search(
+        r"Output \[2\]: \[doc_id#\d+L AS batch_doc#\d+L, "
+        r"doc_id#\d+L AS corpus_doc#\d+L\]",
+        plan,
+    ), "band join must project exactly (batch_doc, corpus_doc)"
+    assert re.search(
+        r"Keys \[2\]: \[batch_doc#\d+L, corpus_doc#\d+L\]", plan
+    ), "pair dedup must aggregate on the narrow 2-column key"
+    # no signature column may sit below the band-bucket exchange
+    for section in plan.split("\n\n"):
+        if "Left keys [2]: [band#" in section:
+            assert "mh" not in section, section
+
+
+def _single_partition_window_frames(plan):
+    """Columns each unpartitioned window orders by (the frames that
+    would serialize on one task at scale)."""
+    import re
+
+    frames = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # partitioned windows list partition cols BEFORE the first
+        # "col ASC/DESC" ordering token; a single-partition window's
+        # spec starts directly with an ordering token
+        first = args.split(",")[0].strip()
+        if first.endswith("NULLS FIRST") or first.endswith("NULLS LAST"):
+            frames.append(args)
+    return frames
+
+
+def test_rfm_quartiles_have_no_customer_scale_global_window(spark):
+    """ntile over all customers is gone (VERDICT r5 item 4): quartile
+    scores derive from the distrank bucket two-pass — every
+    row_number window is partitioned by a bucket column, and the only
+    unpartitioned windows left run over the <=64-row bucket-offset
+    frames (__dr_cnt sums)."""
+    plan = formatted_plan(_q("customer_rfm_segments")(spark, SF_DIR))
+    assert "ntile" not in plan.lower()
+    assert "__bkt___rk_r" in plan and "__bkt___rk_m" in plan
+    for frame in _single_partition_window_frames(plan):
+        assert "__bkt" in frame, (
+            "unpartitioned window over a non-bucket-offset frame: "
+            + frame
+        )
+
+
+def test_pareto_prefix_sum_is_bucket_decomposed(spark):
+    """The cumulative-revenue window must be the distrank two-pass
+    (within-bucket running sum + broadcast bucket-mass offsets), in
+    exact DECIMAL cents; the only unpartitioned window is over the
+    <=64-row bucket sums (VERDICT r5 item 4)."""
+    plan = formatted_plan(_q("pareto_abc_classes")(spark, SF_DIR))
+    assert "__bkt___cum" in plan
+    for frame in _single_partition_window_frames(plan):
+        assert "__bkt" in frame, frame
+
+
+def test_gini_rank_is_bucket_decomposed(spark):
+    """Exact Gini needs a global rank; it must come from the distrank
+    two-pass, not a single-partition row_number over all customers
+    (VERDICT r5 item 4)."""
+    plan = formatted_plan(_q("stat_gini_concentration")(spark, SF_DIR))
+    assert "__bkt_i" in plan
+    for frame in _single_partition_window_frames(plan):
+        assert "__bkt" in frame, frame
