@@ -355,8 +355,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are fetched once per side afterwards — at 100 TB the
     shuffle payload stays O(pairs), not O(pairs x 2 x N_HASHES). Per
     batch doc the output keeps (n_candidates, best match, admitted), so
-    the reject decision is auditable. Oracle = OR-of-bands spec join."""
-    sigs = _minhash_signatures(spark, sf_dir)
+    the reject decision is auditable. Oracle = OR-of-bands spec join.
+
+    The signature frame is materialized once (track_persist) — it
+    feeds the band explode AND both post-dedup re-fetch sides, and in
+    production it IS the stored index, not a recomputation."""
+    sigs = track_persist(_minhash_signatures(spark, sf_dir))
     n_bands = N_HASHES // BAND_ROWS
     bands = F.array(
         *[
@@ -405,8 +409,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"n_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
     ) / float(N_HASHES)
+    # the ingest batch is the small side by construction — broadcast
+    # its signatures; the corpus-side fetch stays a keyed shuffle join
     cand = (
-        pairs.join(sigs_n, pairs.batch_doc == sigs_n.n_doc)
+        pairs.join(F.broadcast(sigs_n), pairs.batch_doc == sigs_n.n_doc)
         .join(sigs_c, pairs.corpus_doc == sigs_c.c_doc)
         .select("batch_doc", "corpus_doc", est.alias("est"))
     )

@@ -187,15 +187,14 @@ def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ranked AS (
             SELECT revenue,
-                   row_number() OVER (ORDER BY revenue, o_custkey) AS i,
-                   count(*) OVER () AS n,
-                   sum(revenue) OVER () AS total
+                   row_number() OVER (ORDER BY revenue, o_custkey) AS i
             FROM rev
         )
-        SELECT max(n) AS n_customers,
-               round(max(total), 2) AS total_revenue,
-               round(2.0 * sum(i * revenue) / (max(n) * max(total))
-                     - (max(n) + 1.0) / max(n), 4) AS gini
+        SELECT count(*) AS n_customers,
+               round(sum(CAST(floor(revenue * 100.0 + 0.5) AS BIGINT))
+                     / 100.0, 2) AS total_revenue,
+               round(2.0 * sum(i * revenue) / (count(*) * sum(revenue))
+                     - (count(*) + 1.0) / count(*), 4) AS gini
         FROM ranked
     """,
 )
@@ -218,9 +217,17 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_rank(rev, "revenue", ["o_custkey"], rank_col="i")
     n = F.count(F.lit(1))
     total = F.sum("revenue")
+    # total_revenue sums EXACT integer cents (floor(x*100+0.5) is the
+    # bit-identical rule-1b round): a float global sum flips the 2nd
+    # decimal at sf1 magnitudes (~4e11) under reassociation. gini's
+    # own sums stay float — it divides two same-magnitude sums, so
+    # reassociation cancels to ~1e-13 against the 4-dp round.
+    total_cents = F.sum(
+        F.floor(F.col("revenue") * 100.0 + F.lit(0.5)).cast("bigint")
+    )
     return ranked.agg(
         n.alias("n_customers"),
-        F.round(total, 2).alias("total_revenue"),
+        F.round(total_cents / 100.0, 2).alias("total_revenue"),
         F.round(
             F.lit(2.0) * F.sum(F.col("i") * F.col("revenue")) / (n * total)
             - (n + F.lit(1.0)) / n,

@@ -484,3 +484,26 @@ def test_stream_partition_derivation():
     assert (
         f(None, env=None, master="yarn", default_parallelism=4) == "8"
     )
+
+
+def test_dual_dialect_templates_fail_loudly_on_drift():
+    """The dual-dialect ops derive the Spark SQL from the same template
+    as the oracle. A reformat must fail LOUDLY, not silently ship the
+    DuckDB dialect to Spark (ADVICE r5 #3): events_decay renders both
+    dialects from _DECAY_SQL placeholders (assert they actually
+    diverge where intended), and corrmat's prefix slice anchors on a
+    marker whose absence raises ValueError — pin the marker so drift
+    is caught here at test time, not at first query call."""
+    from parquet_playground_spark.operators import analytics, stats
+
+    spark_side = analytics._DECAY_SQL.format(
+        ev="decay_events",
+        age_seconds="unix_timestamp(a.now_ts) - unix_timestamp(e.ts)",
+    )
+    oracle_side = analytics._DECAY_SQL.format(
+        ev="events", age_seconds="date_diff('second', e.ts, a.now_ts)"
+    )
+    assert "date_diff" not in spark_side
+    assert "unix_timestamp" not in oracle_side
+    assert "{" not in spark_side and "{" not in oracle_side
+    assert "        pairs AS (" in stats._CORRMAT_SQL
