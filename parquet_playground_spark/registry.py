@@ -23,17 +23,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# DataFrames persisted while building the CURRENT query's plan (via
-# track_persist below). A query function can't unpersist its own
-# frames — the caller materializes the returned DataFrame after the
-# function exits — so instead every registered query releases the
-# PREVIOUS query's tracked caches on entry. A sequential sweep (the
-# driver gate, verify_local, bench) therefore holds at most one
-# query's cached blocks at a time instead of accumulating all of them
-# across 424 queries in one session (r5 ADVICE #4). Unpersist is
-# correctness-neutral: a caller that somehow still holds the prior
-# lazy frame just recomputes it.
-_TRACKED_CACHES: list[DataFrame] = []
+# Resources acquired while building the CURRENT query's plan —
+# persisted DataFrames (track_persist) and streaming memory-sink temp
+# views (track_temp_view). A query function can't release its own:
+# the caller materializes the returned DataFrame only after the
+# function exits. So every registered query releases the PREVIOUS
+# query's tracked resources on entry, and a sequential sweep (the
+# driver gate, verify_local, bench) holds at most one query's cached
+# blocks / sink tables at a time instead of accumulating 424 of them
+# in one session (r5 ADVICE #4; the sf1 streaming screen OOMed a 1g
+# session purely on leftover memory-sink tables). Both releases are
+# safe for stale frames: an unpersisted frame recomputes, and a
+# DataFrame returned by spark.table() was analyzed eagerly, so
+# dropping the temp view later only unregisters the name.
+_TRACKED_CLEANUPS: list[Callable[[], None]] = []
 # >0 while inside a registered query fn: composed queries (an outer
 # query building on an inner registered one, e.g. dedup_cluster_
 # survivors -> dedup_clusters) must NOT release the caches the outer
@@ -46,14 +49,24 @@ def track_persist(df: DataFrame) -> DataFrame:
 
     Default storage level (MEMORY_AND_DISK_DESER) — eviction spills,
     never OOMs."""
-    _TRACKED_CACHES.append(df.persist())
-    return df
+    persisted = df.persist()
+    _TRACKED_CLEANUPS.append(persisted.unpersist)
+    return persisted
+
+
+def track_temp_view(spark: SparkSession, name: str) -> None:
+    """Track a temp view (e.g. a streaming memory sink) for
+    end-of-query deregistration so its backing rows become
+    GC-reclaimable once the caller drops the result frame."""
+    _TRACKED_CLEANUPS.append(
+        lambda: spark.catalog.dropTempView(name)
+    )
 
 
 def release_tracked_caches() -> None:
-    while _TRACKED_CACHES:
+    while _TRACKED_CLEANUPS:
         try:
-            _TRACKED_CACHES.pop().unpersist()
+            _TRACKED_CLEANUPS.pop()()
         except Exception:
             # session may already be stopped (test teardown) — the
             # blocks died with it, nothing to release

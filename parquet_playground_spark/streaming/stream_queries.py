@@ -27,7 +27,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.registry import register, track_temp_view
 from parquet_playground_spark.tables import ensure_session_defaults, load_table
 
 EVENTS_SCHEMA = (
@@ -146,11 +146,25 @@ def _stream_shuffle_partitions(
     return str(max(int(dp), 8))
 
 
-def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Execute with availableNow into a memory sink; return the table.
+def _run_to_table(
+    stream_df: DataFrame, mode: str, sink: str = "memory"
+) -> DataFrame:
+    """Execute with availableNow into a sink; return the result frame.
+
+    sink="memory": the in-memory table sink — right for WINDOW-BOUNDED
+    results (hourly aggregates, top-k) whose cardinality does not grow
+    with the event count. sink="files": foreachBatch -> parquet
+    (overwrite per batch in complete mode — each batch re-emits the
+    full result — append otherwise), re-read as the result frame.
+    Event-SCALED results (dedup output, per-session rows, stream-join
+    matches) must use "files": a memory sink materializes the whole
+    result in driver heap, which is exactly the collect()-shaped
+    anti-pattern at 100 TB — the sf1 screen (6M events) OOMed a 1 GiB
+    session on it. This is also how a production job ships results: a
+    durable sink, never the driver.
 
     Streaming state partition count is pinned (default 2) for the
-    duration of the run: the HDFS-backed state store pays per-partition
+    duration of the run: the state store pays per-partition
     snapshot/maintenance overhead each micro-batch, which at local test
     scale dominates wall time (measured 10.3s -> 2.8s on the tumbling
     query going 32 -> 8 in r2; 3.0s -> 2.0s going 8 -> 2 in r4, with
@@ -167,11 +181,41 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         _stream_shuffle_partitions(spark),
     )
+    # RocksDB state store: streaming state lives in native memory /
+    # local disk, not the JVM heap. The default HDFSBackedStateStore
+    # keeps every partition's state map on-heap — measured OOM at the
+    # sf1 screen (6M events, session windows, 1g vanilla heap), and
+    # the same failure shape a 100 TB stateful job hits whenever state
+    # outgrows executor heap. Read at query start, so a per-run conf
+    # is sufficient; rocksdbjni ships with Spark 4.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     try:
-        sink = f"pp_sink_{uuid.uuid4().hex[:12]}"
+        if sink == "files":
+            out_dir = os.path.join(
+                tempfile.gettempdir(),
+                f"ppspark_sinkout_{uuid.uuid4().hex[:12]}_{os.getpid()}",
+            )
+            write_mode = "overwrite" if mode == "complete" else "append"
+
+            def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode(write_mode).parquet(out_dir)
+
+            q = (
+                stream_df.writeStream.foreachBatch(_write_batch)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(out_dir)
+        name = f"pp_sink_{uuid.uuid4().hex[:12]}"
         q = (
             stream_df.writeStream.format("memory")
-            .queryName(sink)
+            .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
             .start()
@@ -179,7 +223,12 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
+    out = spark.table(name)  # analyzed eagerly — survives the drop
+    # deregister the sink at the NEXT query's entry: back-to-back
+    # streaming queries in one session otherwise stack every sink's
+    # full result set in driver heap (OOMed the sf1 vanilla screen)
+    track_temp_view(spark, name)
+    return out
 
 
 @register(
@@ -280,7 +329,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = s.groupBy(
         F.session_window("ts", "10 minutes").alias("sw"), "user_id"
     ).agg(F.count("*").alias("n_events"))
-    out = _run_to_table(agg, "complete")
+    out = _run_to_table(agg, "complete", sink="files")
     return out.select(
         "user_id",
         F.date_trunc("second", F.col("sw.start")).alias("session_start"),
@@ -359,7 +408,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_events(spark, sf_dir, kind="dup")
     s = _read_stream(spark, staged).withWatermark("ts", "1 day")
     deduped = s.dropDuplicates(["event_id"])
-    result = _run_to_table(deduped, "append")
+    result = _run_to_table(deduped, "append", sink="files")
     return result.select(
         "event_id",
         F.date_trunc("second", "ts").alias("ts_s"),
@@ -390,7 +439,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.date_trunc("second", "ts").alias("ts_s"),
     )
-    return _run_to_table(joined, "append")
+    return _run_to_table(joined, "append", sink="files")
 
 
 @register(
@@ -507,7 +556,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_sec"),
     )
-    return _run_to_table(joined, "append")
+    return _run_to_table(joined, "append", sink="files")
 
 
 @register(
@@ -611,7 +660,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
 
-    emitted = _run_to_table(result, "append")
+    emitted = _run_to_table(result, "append", sink="files")
     final = F.max(F.struct("n_events", "sum_value")).alias("f")
     return emitted.groupBy("user_id").agg(final).select(
         "user_id", "f.n_events", "f.sum_value"
@@ -711,7 +760,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     staged = _stage_events(spark, sf_dir, kind="dup")
     s = _read_stream(spark, staged).withWatermark("ts", "1 day")
     deduped = s.dropDuplicatesWithinWatermark(["event_id"])
-    result = _run_to_table(deduped, "append")
+    result = _run_to_table(deduped, "append", sink="files")
     return result.select(
         "event_id",
         F.date_trunc("second", "ts").alias("ts_s"),
@@ -922,7 +971,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.unix_timestamp("v_ts").alias("v_sec"),
     )
-    out = _run_to_table(joined, "append")
+    out = _run_to_table(joined, "append", sink="files")
     # static cutoff from the same input (driver-side scalar, staging
     # plumbing like the other stream queries)
     mx = (
