@@ -38,6 +38,11 @@ from parquet_playground_spark.functions.dedup import (
     _minhash_signatures,
     _MINHASH_ORACLE,
 )
+from parquet_playground_spark.operators.distrank import (
+    global_rank,
+    global_running_agg,
+    ntile_from_rank,
+)
 from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
@@ -725,20 +730,29 @@ def dataset_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no RNG state (the property sample_hash_deterministic gives
     membership, extended here to ORDER). First 100 positions returned.
 
-    Scale shape: Spark plans a range-partitioned sort on the hash
-    (sampled boundaries, no single-reducer sort); with a LIMIT on top
-    it collapses to TakeOrderedAndProject — only the top-k crosses to
-    the driver. The md5 hex compare is byte-identical in DuckDB, so
-    the permutation is engine-portable; doc_id is unique so the order
-    has no ties."""
+    Scale shape: the top-100 by hash is taken FIRST — a distributed
+    TakeOrderedAndProject where every partition contributes at most
+    100 candidates — and row_number runs over the surviving 100-row
+    frame only. (The previous form put row_number over a global
+    window BEFORE the limit, which single-partition-sorts the whole
+    corpus; the limit cannot push below a window it didn't produce.)
+    The md5 hex compare is byte-identical in DuckDB, so the
+    permutation is engine-portable; doc_id is unique so the order has
+    no ties."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")))
-    return (
+    top = (
         d.select(
-            F.row_number().over(w).alias("pos"), "doc_id", "source"
+            F.md5(F.col("doc_id").cast("string")).alias("__h"),
+            "doc_id",
+            "source",
         )
-        .orderBy("pos")
+        .orderBy("__h")
         .limit(100)
+    )
+    w = Window.orderBy("__h")  # 100-row frame — tiny by construction
+    return (
+        top.select(F.row_number().over(w).alias("pos"), "doc_id", "source")
+        .orderBy("pos")
     )
 
 
@@ -765,15 +779,21 @@ def curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (n_chars, doc_id) compound order key makes tile boundaries
     deterministic under ties, so both engines cut identically.
 
-    Scale note: a global ntile is a single-partition window; at real
-    scale the same cut comes from approx percentile boundaries
-    broadcast as stage thresholds (see customer_rfm_segments for the
-    quartile variant) — this query pins the exact-ntile semantics the
-    approximation must converge to."""
+    Scale shape: exact ntile WITHOUT the single-partition ntile
+    window — the distrank bucket two-pass assigns each doc its global
+    rank distributedly and the tile is re-derived arithmetically from
+    (rank, n) (ntile_from_rank; same construction as
+    customer_rfm_segments). The oracle keeps the ntile window form."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    scored = d.select(
-        "doc_id", "n_chars", F.ntile(4).over(w).alias("stage")
+    ranked = global_rank(
+        d.select("doc_id", "n_chars"), "n_chars", ["doc_id"],
+        rank_col="__rk",
+    )
+    n_df = d.agg(F.count(F.lit(1)).alias("__n"))
+    scored = ranked.crossJoin(F.broadcast(n_df)).select(
+        "doc_id",
+        "n_chars",
+        ntile_from_rank(F.col("__rk"), F.col("__n"), 4).alias("stage"),
     )
     return scored.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -922,12 +942,12 @@ def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes after scoring. Output is the selection audit: budget,
     docs/tokens admitted, and the quality cut line.
 
-    Scale: the global quality-ordered running sum is a single-partition
-    window at sandbox size; at 100 TB the same cut comes from an
-    approx-quantile quality threshold broadcast as a filter, with the
-    exact running sum only over the boundary quantile's docs (the
-    curriculum_quality_stages note generalizes). Quality is an exact
-    integer ratio, so both engines rank identically."""
+    Scale: the quality-ordered running token sum is the distrank
+    bucket two-pass (within-bucket running sum + broadcast bucket mass
+    offsets) — token counts are exact integers, so the decomposed sum
+    is association-free and the frame never collapses to one
+    partition. Quality is an exact integer ratio, so both engines rank
+    identically."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id",
@@ -939,10 +959,16 @@ def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         (F.col("n_uniq").cast("double") / F.col("n_tok")).alias("quality"),
     )
-    w = Window.orderBy(F.col("quality").desc(), "doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = global_running_agg(
+        scored,
+        "quality",
+        ["doc_id"],
+        F.col("n_tok"),
+        agg="sum",
+        ascending=False,
+        inclusive=True,
+        out_col="cum_tok",
     )
-    ranked = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
     budget = t.agg(
         F.floor(F.sum("n_tok") * 0.5).cast("bigint").alias("budget")
     )
@@ -1524,10 +1550,9 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-doc sum is exact and the mean is one division.
 
     Scale shape: the LM stage is the fact-sized work (see
-    text_bigram_lm_perplexity); bucketing adds one rank over the
-    doc-count frame — at corpus scale the ntile becomes two
-    approx-percentile thresholds (33/66) broadcast against the score
-    column instead of a global sort, same downstream contract."""
+    text_bigram_lm_perplexity); tiles come from the distrank bucket
+    two-pass + arithmetic ntile (ntile_from_rank) — exact ntile
+    semantics without a single-partition sort over the doc frame."""
     from parquet_playground_spark.functions.text import (
         text_bigram_lm_perplexity,
     )
@@ -1535,8 +1560,11 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = text_bigram_lm_perplexity(spark, sf_dir).select(
         "doc_id", "n_bigrams", F.col("perplexity").alias("ppl")
     )
-    w = Window.orderBy("ppl", "doc_id")
-    bucketed = per_doc.withColumn("tile", F.ntile(3).over(w))
+    ranked = global_rank(per_doc, "ppl", ["doc_id"], rank_col="__rk")
+    n_df = per_doc.agg(F.count(F.lit(1)).alias("__n"))
+    bucketed = ranked.crossJoin(F.broadcast(n_df)).withColumn(
+        "tile", ntile_from_rank(F.col("__rk"), F.col("__n"), 3)
+    )
     return (
         bucketed.groupBy(
             F.when(F.col("tile") == 1, "head")

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from parquet_playground_spark.operators.distrank import (
     global_prefix_sum,
     global_rank,
+    global_running_agg,
+    ntile_from_rank,
 )
 from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
@@ -1244,28 +1246,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = global_rank(d, "monetary", ["o_custkey"], rank_col="__rk_m")
     n_df = base.agg(F.count(F.lit(1)).alias("__n"))
     d = d.crossJoin(F.broadcast(n_df))
-
-    def ntile4(rank: Column) -> Column:
-        n = F.col("__n")
-        q = F.floor(n / 4)
-        r0 = n % 4
-        boundary = r0 * (q + 1)
-        # lazily-evaluated else branch: q=0 (n<4) always takes the
-        # when branch (boundary == n >= rank), so q never divides 0
-        return (
-            F.when(rank <= boundary, F.ceil(rank / (q + 1)))
-            .otherwise(r0 + F.ceil((rank - boundary) / q))
-            .cast("bigint")
-        )
-
+    n = F.col("__n")
     return d.select(
         "o_custkey",
         "recency_day",
         "frequency",
         "monetary",
-        ntile4(F.col("__rk_r")).alias("r_score"),
-        ntile4(F.col("__rk_f")).alias("f_score"),
-        ntile4(F.col("__rk_m")).alias("m_score"),
+        ntile_from_rank(F.col("__rk_r"), n, 4).alias("r_score"),
+        ntile_from_rank(F.col("__rk_f"), n, 4).alias("f_score"),
+        ntile_from_rank(F.col("__rk_m"), n, 4).alias("m_score"),
     )
 
 
@@ -1986,23 +1975,23 @@ def skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     other order has >= price AND >= date with one strict. The classic
     sort-scan algorithm as ONE window: sort by price desc and keep a
     running max of date; a point is on the skyline exactly when its
-    date beats every better-priced point's date. O(n log n) with a
-    single global sort — at scale the sort shuffles once and the
-    running max is streaming state, vs the naive quadratic self-join.
-    The (price desc, date desc, key) ordering also settles price ties
-    identically in both engines."""
+    date beats every better-priced point's date. O(n log n), computed
+    WITHOUT a single-partition sort: the distrank bucket two-pass
+    (within-bucket exclusive running max + broadcast per-bucket max
+    offsets) — max is association-free, so the decomposition is exact,
+    and the frame stays distributed at any order count. The (price
+    desc, date desc, key) ordering also settles price ties identically
+    in both engines."""
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.orderBy(
-            F.desc("o_totalprice"), F.desc("o_orderdate"), F.asc("o_orderkey")
-        )
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    scanned = o.select(
-        "o_orderkey",
+    scanned = global_running_agg(
+        o.select("o_orderkey", "o_totalprice", "o_orderdate"),
         "o_totalprice",
-        "o_orderdate",
-        F.max("o_orderdate").over(w).alias("best_date_so_far"),
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        F.col("o_orderdate"),
+        agg="max",
+        ascending=False,
+        inclusive=False,
+        out_col="best_date_so_far",
     )
     return scanned.where(
         F.col("best_date_so_far").isNull()

@@ -72,10 +72,16 @@ def _with_bucket(
 
 
 def _order_cols(
-    metric: str, tiebreaks: Sequence[str], ascending: bool
+    metric: str, tiebreaks: Sequence, ascending: bool
 ) -> list[Column]:
+    """Full sort key: the bucketed metric, then tiebreaks — plain
+    strings sort ascending, Column objects pass through (for
+    descending or expression tiebreaks)."""
     head = F.col(metric).asc() if ascending else F.col(metric).desc()
-    return [head, *[F.col(c).asc() for c in tiebreaks]]
+    return [
+        head,
+        *[c if isinstance(c, Column) else F.col(c).asc() for c in tiebreaks],
+    ]
 
 
 def global_rank(
@@ -116,6 +122,68 @@ def global_rank(
     )
 
 
+_AGG_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
+_COMBINE = {
+    "sum": lambda run, off: run + off,
+    "max": F.greatest,
+    "min": F.least,
+}
+
+
+def global_running_agg(
+    df: DataFrame,
+    metric: str,
+    tiebreaks: Sequence[str],
+    value: Column,
+    *,
+    agg: str = "sum",
+    ascending: bool = True,
+    inclusive: bool = True,
+    n_buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "__cum",
+) -> DataFrame:
+    """Exact running sum/max/min of ``value`` in (metric, *tiebreaks)
+    order without a single-partition sort: within-bucket running agg
+    combined with the agg of all strictly-lower buckets (broadcast
+    offsets). ``inclusive=False`` gives the PRECEDING-rows frame
+    (``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``) — NULL on
+    each order's first row, matching the window-agg-over-empty-frame
+    convention. For ``agg="sum"`` pass an exact-arithmetic ``value``
+    (integer / DECIMAL cents) when the result must be independent of
+    fold association — the decomposition reassociates the sum; max/min
+    are association-free by nature."""
+    agg_fn, combine = _AGG_FNS[agg], _COMBINE[agg]
+    bkt = f"__bkt_{out_col}"
+    d = _with_bucket(
+        df, metric, ascending=ascending, n_buckets=n_buckets, bkt=bkt
+    ).withColumn("__dr_val", value)
+    sums = d.groupBy(bkt).agg(agg_fn("__dr_val").alias("__dr_bagg"))
+    off_w = (
+        Window.orderBy(bkt)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        bkt, agg_fn("__dr_bagg").over(off_w).alias("__dr_off")
+    )
+    w = (
+        Window.partitionBy(bkt)
+        .orderBy(*_order_cols(metric, tiebreaks, ascending))
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    run = agg_fn("__dr_val").over(w)
+    off = F.col("__dr_off")
+    return (
+        d.join(F.broadcast(offsets), bkt)
+        .withColumn(
+            out_col,
+            F.when(off.isNull(), run).otherwise(
+                F.when(run.isNull(), off).otherwise(combine(run, off))
+            ),
+        )
+        .drop(bkt, "__dr_off", "__dr_val")
+    )
+
+
 def global_prefix_sum(
     df: DataFrame,
     metric: str,
@@ -126,35 +194,32 @@ def global_prefix_sum(
     n_buckets: int = DEFAULT_BUCKETS,
     sum_col: str = "__cum",
 ) -> DataFrame:
-    """Exact inclusive running sum of ``value`` in (metric, *tiebreaks)
-    order without a single-partition sort. Pass an exact-arithmetic
-    ``value`` (e.g. DECIMAL cents) when the result must be independent
-    of fold association — this decomposition reassociates the sum."""
-    bkt = f"__bkt_{sum_col}"
-    d = _with_bucket(
-        df, metric, ascending=ascending, n_buckets=n_buckets, bkt=bkt
-    ).withColumn("__dr_val", value)
-    sums = d.groupBy(bkt).agg(F.sum("__dr_val").alias("__dr_bsum"))
-    off_w = (
-        Window.orderBy(bkt)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    """Exact inclusive running sum — see global_running_agg."""
+    return global_running_agg(
+        df,
+        metric,
+        tiebreaks,
+        value,
+        agg="sum",
+        ascending=ascending,
+        inclusive=True,
+        n_buckets=n_buckets,
+        out_col=sum_col,
     )
-    offsets = sums.select(
-        bkt, F.sum("__dr_bsum").over(off_w).alias("__dr_off")
-    )
-    w = (
-        Window.partitionBy(bkt)
-        .orderBy(*_order_cols(metric, tiebreaks, ascending))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run = F.sum("__dr_val").over(w)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL ntile(k) re-derived arithmetically from a global rank and
+    the row count: the first n%k tiles take ceil(n/k) rows, the rest
+    floor(n/k) — exactly ntile's split, without the single-partition
+    ntile window. The else branch never divides by zero: when
+    floor(n/k)=0, boundary=n covers every rank and CaseWhen evaluates
+    lazily per-row."""
+    q = F.floor(n / k)
+    r0 = n % k
+    boundary = r0 * (q + 1)
     return (
-        d.join(F.broadcast(offsets), bkt)
-        .withColumn(
-            sum_col,
-            F.when(F.col("__dr_off").isNull(), run).otherwise(
-                run + F.col("__dr_off")
-            ),
-        )
-        .drop(bkt, "__dr_off", "__dr_val")
+        F.when(rank <= boundary, F.ceil(rank / (q + 1)))
+        .otherwise(r0 + F.ceil((rank - boundary) / q))
+        .cast("bigint")
     )

@@ -176,6 +176,11 @@ _CHECK_ORDER = [
     "pareto_abc_classes", "ml_pr_curve_ap",
     "events_decay_engagement_score", "embedding_mean_pool",
     "udf_grouped_arrow", "q1_pricing_summary", "q9_product_type_profit",
+    # never-checked keys whose code ALSO changed this round (global-
+    # window rewrites wave 2) — official rows on the new plans first
+    "dataset_global_shuffle", "skyline_dominance",
+    "curriculum_quality_stages", "corpus_token_budget_pack",
+    "corpus_perplexity_buckets",
     "sample_weighted_reservoir", "events_feature_hashing",
     "events_funnel_time_bounded", "events_path_trigrams",
     "ts_gapfill_locf", "ts_gapfill_interpolate_linear",

@@ -1029,3 +1029,45 @@ def test_gini_rank_is_bucket_decomposed(spark):
     assert "__bkt_i" in plan
     for frame in _single_partition_window_frames(plan):
         assert "__bkt" in frame, frame
+
+
+def test_dataset_global_shuffle_limits_before_window(spark):
+    """The top-100-by-hash must be a distributed TakeOrderedAndProject
+    BELOW the row_number window, so the single-partition window sees
+    only the 100 survivors — not the whole corpus (the pre-r6 plan
+    sorted every doc on one task)."""
+    plan = formatted_plan(_q("dataset_global_shuffle")(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    lines = [ln for ln in tree.splitlines()]
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    take = next(
+        i for i, l in enumerate(lines) if "TakeOrderedAndProject" in l
+    )
+    assert take > win, "TakeOrdered must be a CHILD of (below) the window"
+
+
+def test_skyline_running_max_is_bucket_decomposed(spark):
+    """The sort-scan running max must be the distrank two-pass: the
+    only unpartitioned window runs over the <=64-row bucket-offset
+    frame, never over all orders."""
+    plan = formatted_plan(_q("skyline_dominance")(spark, SF_DIR))
+    assert "__bkt_best_date_so_far" in plan
+    for frame in _single_partition_window_frames(plan):
+        assert "__bkt" in frame, frame
+
+
+def test_curriculum_and_perplexity_tiles_have_no_global_ntile(spark):
+    """Equal-frequency tiles derive from distrank + arithmetic ntile;
+    the ntile window function must be gone from both plans."""
+    for name in ("curriculum_quality_stages", "corpus_perplexity_buckets"):
+        plan = formatted_plan(_q(name)(spark, SF_DIR))
+        assert "ntile" not in plan.lower(), name
+        for frame in _single_partition_window_frames(plan):
+            assert "__bkt" in frame, (name, frame)
+
+
+def test_token_budget_prefix_sum_is_bucket_decomposed(spark):
+    plan = formatted_plan(_q("corpus_token_budget_pack")(spark, SF_DIR))
+    assert "__bkt_cum_tok" in plan
+    for frame in _single_partition_window_frames(plan):
+        assert "__bkt" in frame, frame
