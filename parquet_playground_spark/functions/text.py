@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_playground_spark.functions.dedup import _fanout
+from parquet_playground_spark.operators.distrank import global_rank
 from parquet_playground_spark.registry import register
 from parquet_playground_spark.tables import load_table
 
@@ -553,10 +554,11 @@ def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary construction: corpus term frequencies above
     a floor, assigned dense token ids by (freq desc, term asc) — the
     deterministic id assignment a tokenizer build needs so two runs
-    (or two engines) emit the same vocab file. The id window runs over
-    the VOCABULARY (small), not the corpus: token counting shuffles on
-    the term, the global sort touches only surviving terms — at 100 TB
-    the corpus pass is map-combinable counts and the sort is trivial."""
+    (or two engines) emit the same vocab file. Ids rank over the
+    VOCABULARY, not the corpus, and via the distrank bucket two-pass —
+    a web-scale vocabulary (heaps-law growth, 100M+ types at 100 TB)
+    never collapses onto one sort task; the corpus pass itself is
+    map-combinable counts shuffled on the term."""
     d = load_table(spark, sf_dir, "documents")
     freq = (
         _fanout(d)
@@ -572,9 +574,12 @@ def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
         .agg(F.count(F.lit(1)).alias("total"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    ranked = global_rank(
+        freq, "n", ["term"], ascending=False, rank_col="__rk"
+    )
     return (
-        freq.withColumn("token_id", (F.row_number().over(w) - 1).cast("bigint"))
+        ranked.withColumn("token_id", (F.col("__rk") - 1).cast("bigint"))
+        .drop("__rk")
         .crossJoin(F.broadcast(tot))
         .select(
             "term",
@@ -2416,7 +2421,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope/R^2 are fixed-order expressions rounded at 4 dp.
 
     Scale shape: one token count (the fact-sized shuffle), one
-    vocabulary-sized rank window, one moment aggregate."""
+    vocabulary-sized distributed rank (distrank bucket two-pass — no
+    single-partition sort over the vocab), one moment aggregate."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
@@ -2424,9 +2430,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = vocab.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")),
+    ranked = global_rank(
+        vocab, "freq", ["tok"], ascending=False, rank_col="rnk"
     )
     pts = ranked.select(
         F.floor(F.log(F.col("rnk").cast("double")) * 1000000.0 + 0.5)

@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.operators.distrank import global_rank
+from parquet_playground_spark.operators.distrank import (
+    global_rank,
+    global_running_agg,
+)
 from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
@@ -536,12 +539,12 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the raw rows collapse to per-distinct-value counts first
     (map-combinable groupBy, shuffle carries |distinct prices| not
-    |orders|), then the ECDF difference is one cumulative window over
-    that aggregate. The unpartitioned window is the textbook KS
-    bottleneck; it runs over the value-cardinality frame, not the fact
-    table, and D-statistic extraction is a scalar aggregate. Counts
-    are integers so the ECDF is exact; only the final ratio is
-    floating (rounded at 6dp)."""
+    |orders|), then both ECDF cumulatives come from the distrank
+    bucket two-pass — prices are near-continuous, so the
+    distinct-value frame is order-scaled and the textbook
+    single-partition KS window would serialize it. D-statistic
+    extraction is a scalar aggregate. Counts are integers so the ECDF
+    is exact; only the final ratio is floating (rounded at 6dp)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
@@ -553,10 +556,20 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("n2"),
     )
-    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    ecdf = pts.select(
-        F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2")
-    )
+    # both ECDF cumulative counts via the distrank bucket two-pass —
+    # o_totalprice is near-continuous, so the distinct-value frame is
+    # order-scaled and a single-partition window would serialize it;
+    # the sums are exact integers, so the decomposition is exact
+    ecdf = global_running_agg(
+        global_running_agg(
+            pts, "v", [], F.col("n1"), agg="sum", out_col="c1"
+        ),
+        "v",
+        [],
+        F.col("n2"),
+        agg="sum",
+        out_col="c2",
+    ).select("c1", "c2")
     tot = pts.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
     return (
         ecdf.crossJoin(F.broadcast(tot))

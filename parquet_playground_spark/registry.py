@@ -181,6 +181,7 @@ _CHECK_ORDER = [
     "dataset_global_shuffle", "skyline_dominance",
     "curriculum_quality_stages", "corpus_token_budget_pack",
     "corpus_perplexity_buckets",
+    "stat_ks_test", "tokenizer_vocab_build", "text_zipf_fit",
     "sample_weighted_reservoir", "events_feature_hashing",
     "events_funnel_time_bounded", "events_path_trigrams",
     "ts_gapfill_locf", "ts_gapfill_interpolate_linear",

@@ -1071,3 +1071,23 @@ def test_token_budget_prefix_sum_is_bucket_decomposed(spark):
     assert "__bkt_cum_tok" in plan
     for frame in _single_partition_window_frames(plan):
         assert "__bkt" in frame, frame
+
+
+def test_ks_ecdf_is_bucket_decomposed(spark):
+    """Both ECDF cumulative counts must come from the distrank
+    two-pass — the distinct-price frame is order-scaled, so the
+    textbook single-partition KS window would serialize it."""
+    plan = formatted_plan(_q("stat_ks_test")(spark, SF_DIR))
+    assert "__bkt_c1" in plan and "__bkt_c2" in plan
+    for frame in _single_partition_window_frames(plan):
+        assert "__bkt" in frame, frame
+
+
+def test_vocab_ranks_are_bucket_decomposed(spark):
+    """Token-id assignment and the Zipf rank run over the vocabulary
+    via distrank — a web-scale vocab never collapses onto one sort
+    task."""
+    for name in ("tokenizer_vocab_build", "text_zipf_fit"):
+        plan = formatted_plan(_q(name)(spark, SF_DIR))
+        for frame in _single_partition_window_frames(plan):
+            assert "__bkt" in frame, (name, frame)
