@@ -243,3 +243,72 @@ def test_preround_decimal_cast_parity(spark, oracle_con, seed):
         ).fetchall()
     )
     assert spark_res == duck_res
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_distrank_equals_single_partition_windows(spark, seed):
+    """The distrank bucket two-pass must equal Spark's own
+    single-partition window functions on arbitrary data with heavy
+    ties: global_rank == row_number, inclusive/exclusive
+    global_running_agg == the corresponding framed window agg, and
+    ntile_from_rank == ntile — same total order, any bucket layout."""
+    import random as _random
+
+    from pyspark.sql import Window
+    from parquet_playground_spark.operators.distrank import (
+        global_rank,
+        global_running_agg,
+        ntile_from_rank,
+    )
+
+    rng = _random.Random(seed)
+    n = rng.randint(1, 60)
+    rows = [
+        # metric drawn from a tiny domain => many ties; unique key
+        (i, rng.randint(0, 6), rng.randint(0, 100))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k int, m int, v int")
+    w = Window.orderBy("m", "k")
+
+    expected = df.select(
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(3).over(w).cast("bigint").alias("nt"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cs"
+        ),
+        F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias(
+            "pm"
+        ),
+    )
+    got = global_rank(df, "m", ["k"], n_buckets=4, rank_col="rn")
+    got = global_running_agg(
+        got, "m", ["k"], F.col("v"), agg="sum", n_buckets=4, out_col="cs"
+    )
+    got = global_running_agg(
+        got,
+        "m",
+        ["k"],
+        F.col("v"),
+        agg="max",
+        inclusive=False,
+        n_buckets=4,
+        out_col="pm",
+    )
+    n_df = df.agg(F.count(F.lit(1)).alias("__n"))
+    got = got.crossJoin(F.broadcast(n_df)).select(
+        "k",
+        F.col("rn").cast("int").alias("rn"),
+        ntile_from_rank(F.col("rn"), F.col("__n"), 3).alias("nt"),
+        "cs",
+        "pm",
+    )
+    exp = {r["k"]: (r["rn"], r["nt"], r["cs"], r["pm"]) for r in expected.collect()}
+    act = {r["k"]: (r["rn"], r["nt"], r["cs"], r["pm"]) for r in got.collect()}
+    assert act == exp
