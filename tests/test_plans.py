@@ -870,10 +870,14 @@ def test_split_leakage_pair_join_is_equi(spark):
 
 
 def test_zipf_windows_over_vocab_only(spark):
-    """The rank window runs over the vocabulary aggregate; no joins,
-    no Python anywhere."""
+    """The rank runs over the vocabulary aggregate via the distrank
+    two-pass; its stats/offset frames are tiny, so every join the
+    decomposition introduces must be a broadcast — a shuffled join
+    would mean the rank regressed to joining vocab-scale frames. No
+    Python anywhere."""
     plan = formatted_plan(_q("text_zipf_fit")(spark, SF_DIR))
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan
 
 
