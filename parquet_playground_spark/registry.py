@@ -217,7 +217,7 @@ _CHECK_ORDER = [
     "events_heatmap_hour_dow", "events_seq_pattern",
     "ts_interval_union_coverage", "fn_from_csv_parse", "fn_timestamp_ntz",
     "fn_unicode_lengths", "fn_uuid_deterministic", "geo_nearest_hub",
-    "join_natural_using", "recon_symmetric_diff", "skyline_dominance",
+    "join_natural_using", "recon_symmetric_diff",
     "sql_partition_hints", "stat_benford_digits", "stat_chi_square",
     "stat_mahalanobis_outliers", "text_inverted_index", "ts_business_days",
     "ts_time_weighted_avg", "udf_pandas_iterator", "stat_bootstrap_ci",
@@ -230,7 +230,7 @@ _CHECK_ORDER = [
     "doc_chunk_overlap", "corpus_lang_rebalance",
     "corpus_source_divergence_jsd", "text_bigram_lm_perplexity",
     "text_repetition_rep_n", "text_vocab_freq_spectrum",
-    "text_ngram_novelty_rate", "text_doc_entropy", "tokenizer_vocab_build",
+    "text_ngram_novelty_rate", "text_doc_entropy",
     "tokenizer_bpe_merges", "tokenizer_unigram_em", "sim_search_ivf_pq",
     "corpus_dedup_funnel", "stream_windowed_topk", "ml_decision_stump",
     "multimodal_webdataset_shards", "ts_downsample_lttb",
@@ -238,8 +238,7 @@ _CHECK_ORDER = [
     "dedup_minhash_index_merge", "dedup_paragraph_exact",
     "corpus_quality_ensemble", "seq_len_distribution", "anonymize_k_audit",
     "part_co_occurrence", "corpus_importance_resampling",
-    "corpus_token_budget_pack", "dataset_global_shuffle",
-    "curriculum_quality_stages", "gdpr_delete_cascade", "agg_pivot_multi",
+    "gdpr_delete_cascade", "agg_pivot_multi",
     "agg_unpivot", "agg_regression", "agg_covariance",
     "agg_mode_deterministic", "incremental_variance_merge",
     "agg_approx_top_k", "sketch_hll_union", "sketch_kll_quantiles",
