@@ -598,10 +598,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
+    # part is FACT-PROPORTIONAL (sf x 200k rows): pin its join to
+    # shuffle (q5/q9 defect class — a forced broadcast OOMs at 100x)
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -635,8 +637,9 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-side implied filters (brand IN (...), quantity <= 40) so the
     scans prune before the join — the OR never forces a nested loop."""
     li = load_table(spark, sf_dir, "lineitem")
+    # part is fact-proportional — shuffle-pinned like q5/q14
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
     bracket = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1025,9 +1028,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(stats, "l_orderkey")
         .filter("n_supp >= 2 AND n_late = 1")
     )
-    dim = F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    # supplier is fact-proportional (sf x 10k): its nation lookup
+    # broadcasts the 25-row nation, but the supplier edge itself is
+    # shuffle-pinned — cand is already reduced to the rare
+    # one-late-supplier orders, so this join is small-by-small at any
+    # SF while never risking a 100x supplier broadcast (q5 class).
+    dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     return (
-        cand.join(dim, cand.l_suppkey == F.col("s_suppkey"))
+        cand.join(dim.hint("merge"), cand.l_suppkey == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -1620,9 +1628,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp table the testdata doesn't ship).
 
     Plan: the two selective filters (p_type, region membership) reach
-    their scans; part/supplier/customer/nation/region all broadcast
-    (each dimension-sized at any SF), so lineitem->orders is the only
-    shuffled join; the CASE'd ratio folds into one hash aggregate by
+    their scans; nation/region broadcast (constant 25/5 rows), but
+    part, supplier and customer are FACT-PROPORTIONAL (sf x 200k /
+    10k / 150k rows), so their edges are shuffle-pinned with merge
+    hints (q5/q9 defect class — forced broadcasts of sf-scaled frames
+    OOM at 100x); the CASE'd ratio folds into one hash aggregate by
     year."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -1653,10 +1663,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_nation")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     flat = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(cust_region.hint("merge"), o.o_custkey == F.col("c_custkey"))
+        .join(supp_nation.hint("merge"), li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             volume.alias("volume"),
@@ -2102,9 +2112,10 @@ def basket_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING floor models min-support pruning, which is what bounds the
     rule lattice at scale."""
     li = load_table(spark, sf_dir, "lineitem")
+    # part is fact-proportional — the brand lookup shuffle-pins
     p = load_table(spark, sf_dir, "part")
     baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )

@@ -795,20 +795,26 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately broken one — user 0 has no matching custkey, so the
     audit is non-vacuous). Each relationship reduces the child to its
     DISTINCT keys BEFORE the parent lookup, so the join carries key
-    cardinality, not fact-table rows; parents here are dims, so every
-    lookup broadcasts. This is the promotion gate that runs before a
+    cardinality, not fact-table rows; the constant-size nation parent
+    broadcasts, while orders/customer parents (fact-scaled key sets)
+    shuffle on the key. This is the promotion gate that runs before a
     snapshot is published downstream."""
 
     def _audit(child: DataFrame, fk: str, parent: DataFrame, pk: str,
-               label: str) -> DataFrame:
+               label: str, small_parent: bool = False) -> DataFrame:
         keys = (
             child.select(F.col(fk).cast("bigint").alias("fk"))
             .where(F.col("fk").isNotNull())
             .distinct()
         )
         pkeys = parent.select(F.col(pk).cast("bigint").alias("pk")).distinct()
+        # only constant-size dims (nation) broadcast; fact-scaled
+        # parents (orders, customer) shuffle on the key — their
+        # distinct-key sets grow with SF and a forced broadcast is
+        # the q5/q9 defect class
+        pside = F.broadcast(pkeys) if small_parent else pkeys.hint("merge")
         flagged = keys.join(
-            F.broadcast(pkeys), keys.fk == pkeys.pk, "left"
+            pside, keys.fk == pkeys.pk, "left"
         ).select(
             "fk", F.col("pk").isNotNull().cast("int").alias("has_parent")
         )
@@ -833,7 +839,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                "lineitem.l_orderkey->orders"),
         _audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
         _audit(c, "c_nationkey", n, "n_nationkey",
-               "customer.c_nationkey->nation"),
+               "customer.c_nationkey->nation", small_parent=True),
         _audit(e, "user_id", c, "c_custkey", "events.user_id->customer"),
     ]
     out = parts[0]

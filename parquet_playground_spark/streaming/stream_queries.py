@@ -427,14 +427,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join: streaming events against the
-    static customer dimension, dimension broadcast into every
-    micro-batch (no state store, no watermark needed — the standard
-    streaming enrichment pattern). availableNow replay makes the
-    result equal the batch join."""
+    static customer table (no state store, no watermark needed — the
+    standard streaming enrichment pattern). customer is
+    FACT-PROPORTIONAL (sf x 150k rows), so the join strategy is left
+    to the planner's size estimate per micro-batch: it broadcasts
+    while the table fits the threshold and falls back to a shuffled
+    join beyond it — never force-broadcast an sf-scaled side (q5
+    class). availableNow replay makes the result equal the batch
+    join."""
     staged = _stage_events(spark, sf_dir)
     s = _read_stream(spark, staged).filter(F.col("event_id") <= 3000)
     c = load_table(spark, sf_dir, "customer")
-    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey).select(
+    joined = s.join(c, s.user_id == c.c_custkey).select(
         "event_id",
         "c_mktsegment",
         F.date_trunc("second", "ts").alias("ts_s"),

@@ -349,12 +349,14 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark):
     assert "dynamicpruning" in plan.lower()
 
 
-def test_q8_broadcasts_dims_single_fact_shuffle(spark):
-    """All five dimension sides must broadcast; lineitem->orders is
-    the only shuffled join, and the selective part filter must reach
-    its scan."""
+def test_q8_broadcasts_dims_pins_fact_scaled_edges(spark):
+    """nation/region (constant-size) broadcast, but the three
+    fact-proportional sides — part, supplier-nation, customer-region —
+    must be shuffle joins (SortMergeJoin; the q5/q9 defect class), and
+    the selective part filter must reach its scan."""
     plan = formatted_plan(_q("q8_market_share")(spark, SF_DIR))
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2   # n into c / n into s
+    assert plan.count("SortMergeJoin") >= 3       # p, cust_region, supp_nation
     assert "CartesianProduct" not in plan
     assert "PROMO" in plan  # p_type filter pushed toward the part scan
 
