@@ -1427,12 +1427,20 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # the eval split is benchmark-BOUNDED (a real bench set is a few
+    # thousand docs; the %97 modulo is the fixture stand-in), so its
+    # distinct grams broadcast and the corpus-side gram stream never
+    # shuffles. NOTE the hint wraps the post-distinct frame — hinting
+    # before .distinct() buries the hint under the Aggregate where the
+    # join planner never sees it.
     contam = (
         grams.filter(F.col("doc_id") % 97 != 0)
         .join(
             F.broadcast(
-                grams.filter(F.col("doc_id") % 97 == 0).select("g")
-            ).distinct(),
+                grams.filter(F.col("doc_id") % 97 == 0)
+                .select("g")
+                .distinct()
+            ),
             "g",
         )
         .select("doc_id")

@@ -6,7 +6,7 @@ Five dedup families over `documents` (BASELINE.json north star):
                        so the DuckDB oracle computes identical hashes)
   * minhash LSH      — banded signature -> candidate near-dup pairs
   * n-gram jaccard   — exact shingle-set jaccard via self-join
-  * simhash          — 16-bit bit-majority fingerprint
+  * simhash          — 60-bit bit-majority fingerprint (15-bit bands)
 
 Scale notes: every pipeline is explode -> hash -> groupBy, shuffling
 on doc_id or (band, bucket) — never a full cross join. The LSH

@@ -399,8 +399,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms — the classic keyword extractor
     (and the weighting BM25 refines). Three aggregations, each
     map-combinable: term counts shuffle on (doc, term), document
-    frequencies on term (a vocab-sized table that broadcasts back),
-    and the corpus size is one scalar. Scores are rounded to 6
+    frequencies on term, and the corpus size is one scalar. The idf
+    table is VOCAB-sized — Heaps-law growth means an unbounded frame
+    at 100 TB (typos/numbers/URLs push distinct terms into the
+    billions), so it shuffle-joins back on term instead of
+    force-broadcasting (q5/q9 defect class); the term exchange it
+    already produced for its own aggregate is reused. Scores are rounded to 6
     decimals BEFORE ranking so the per-doc top-3 is engine-stable,
     with the term as the deterministic tie-break."""
     d = load_table(spark, sf_dir, "documents")
@@ -414,7 +418,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(idf), "term")
+        tf.join(idf.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -667,8 +671,11 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity filtering, Wenzek et al. 2020): average negative
     log-likelihood of each doc's tokens under the corpus unigram
     distribution — high avg_nll = unusual token mix = candidate for
-    filtering. The LM is the vocab-sized frequency table (broadcast);
-    the doc pass joins against it and reduces. Both engines run the
+    filtering. The LM is the vocab-sized frequency table — unbounded
+    under Heaps' law at 100 TB, so the doc pass shuffle-joins against
+    it on the token (reusing the token exchange the LM's own
+    aggregate produced) rather than force-broadcasting a
+    corpus-scaled frame (q5/q9 defect class) — and reduces. Both engines run the
     same ln on the same ratios (shared libm on one box; at 1e-6
     rounding the summation-order drift is far below the canon)."""
     d = load_table(spark, sf_dir, "documents")
@@ -678,7 +685,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
     tot = lm.agg(F.sum("tf").alias("n_tokens"))
     return (
-        tok.join(F.broadcast(lm), "t")
+        tok.join(lm.hint("merge"), "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -1967,7 +1974,9 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     wstat = kept.groupBy("tok").agg(
         F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("deg")
     )
-    scored = kept.join(F.broadcast(wstat), "tok").withColumn(
+    # wstat is vocab-sized (one row per kept word type) — unbounded at
+    # corpus scale, so shuffle-join on tok, never force-broadcast
+    scored = kept.join(wstat.hint("merge"), "tok").withColumn(
         "ws_micro", F.expr("deg * 1000000L div freq")
     )
     phrases = scored.groupBy("doc_id", "pid").agg(

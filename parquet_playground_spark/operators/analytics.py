@@ -223,8 +223,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose first stage-event strictly follows their previous stage's
     first event. Three aggregates chained by joins on user_id — every
     join key is the user, so at scale the whole funnel is user-
-    partitioned pipeline work; the per-stage tables are tiny (<= one
-    row per user) and broadcast."""
+    partitioned pipeline work. The per-stage tables hold one row PER
+    USER — user-cardinality grows with the corpus, so they are
+    shuffle-joined on user_id (same exchange the stage aggregates
+    already produce, reused), never force-broadcast (the q5/q9 defect
+    class: a per-user frame at 100 TB is hundreds of millions of
+    rows)."""
     from parquet_playground_spark.tables import load_table as _lt
 
     e = _lt(spark, sf_dir, "events").select(
@@ -236,13 +240,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias("t_view")
     )
     c = (
-        e.join(F.broadcast(v), "user_id")
+        e.join(v.hint("merge"), "user_id")
         .filter((F.col("event_type") == "click") & (F.col("sec") > F.col("t_view")))
         .groupBy("user_id")
         .agg(F.min("sec").alias("t_click"))
     )
     p = (
-        e.join(F.broadcast(c), "user_id")
+        e.join(c.hint("merge"), "user_id")
         .filter(
             (F.col("event_type") == "purchase") & (F.col("sec") > F.col("t_click"))
         )
@@ -279,9 +283,12 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity day, distinct
     active users per (cohort, week offset). cohort assignment is a
     min-aggregate on user_id; the activity join is user-keyed and the
-    cohort table is one row per user (broadcast). The count-distinct
-    shuffles (cohort_day, week_offset, user) — at 100 TB this is the
-    standard two-level distinct aggregate AQE handles."""
+    cohort table is one row PER USER — user-cardinality, so it
+    shuffle-joins on user_id (reusing the exchange its own aggregate
+    produced) rather than force-broadcasting a corpus-scaled frame
+    (q5/q9 defect class). The count-distinct shuffles (cohort_day,
+    week_offset, user) — at 100 TB this is the standard two-level
+    distinct aggregate AQE handles."""
     from parquet_playground_spark.tables import load_table as _lt
 
     e = _lt(spark, sf_dir, "events").select(
@@ -289,7 +296,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
-        e.join(F.broadcast(cohort), "user_id")
+        e.join(cohort.hint("merge"), "user_id")
         .select(
             "user_id",
             "cohort_day",

@@ -619,13 +619,31 @@ def test_prefix_filter_join_is_hash_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_rake_word_scores_broadcast(spark):
-    """RAKE's word-score join keys on the token (vocabulary-sized) and
-    must broadcast; candidate extraction stays JVM-side."""
-    df = _q("text_keyword_rake")(spark, SF_DIR)
-    plan = formatted_plan(df)
-    assert uses_broadcast_join(df)
+def test_rake_word_scores_shuffle_join(spark):
+    """RAKE's word-score join keys on the token. The word-stat frame
+    is VOCAB-sized — unbounded under Heaps' law at corpus scale — so
+    it must shuffle-join (SortMergeJoin), never force-broadcast (the
+    q5/q9 defect class); candidate extraction stays JVM-side."""
+    plan = formatted_plan(_q("text_keyword_rake")(spark, SF_DIR))
+    assert "SortMergeJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_vocab_and_user_scaled_frames_not_broadcast(spark):
+    """The per-user stage frames (funnel, retention cohort) and the
+    vocab-sized term tables (tf-idf idf, unigram-LM frequency table)
+    grow with the corpus: each must plan as a shuffle join on its key,
+    with no broadcast anywhere except genuinely bounded frames (the
+    1-row corpus-size scalars)."""
+    for name, n_smj in (
+        ("events_funnel", 2),        # v into e, c into e
+        ("events_retention", 1),     # cohort into e
+        ("text_tfidf_topterms", 1),  # idf into tf
+        ("text_perplexity_proxy", 1),  # lm into tok
+    ):
+        plan = formatted_plan(_q(name)(spark, SF_DIR))
+        assert plan.count("SortMergeJoin") >= n_smj, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_interp_gapfill_no_dense_spine_join(spark):
