@@ -181,6 +181,15 @@ _CHECK_ORDER = [
     "dataset_global_shuffle", "skyline_dominance",
     "curriculum_quality_stages", "corpus_token_budget_pack",
     "corpus_perplexity_buckets",
+    # de-broadcast wave 3 (fact-proportional part/supplier/customer
+    # edges, user-scaled funnel/cohort frames, vocab-scaled idf/LM/
+    # RAKE tables, the funnel eval-split hint fix): official rows on
+    # the new shuffle-join plans
+    "q8_market_share", "q14_promo_revenue", "q19_bracket_predicates",
+    "q21_waiting_supplier", "basket_association_lift",
+    "stream_static_join", "dq_referential_integrity", "events_funnel",
+    "events_retention", "text_tfidf_topterms", "text_perplexity_proxy",
+    "text_keyword_rake", "corpus_dedup_funnel",
     "stat_ks_test", "tokenizer_vocab_build", "text_zipf_fit",
     "sample_weighted_reservoir", "events_feature_hashing",
     "events_funnel_time_bounded", "events_path_trigrams",
@@ -212,7 +221,7 @@ _CHECK_ORDER = [
     "stream_python_source", "stream_dedup_within_watermark",
     "stream_progress_metrics", "stream_checkpoint_recovery",
     "stream_stream_left_outer", "agg_percentile_within_group",
-    "agg_weighted_median", "basket_association_lift", "df_transpose",
+    "agg_weighted_median", "df_transpose",
     "api_pandas_on_spark", "events_attribution_touch",
     "events_heatmap_hour_dow", "events_seq_pattern",
     "ts_interval_union_coverage", "fn_from_csv_parse", "fn_timestamp_ntz",
@@ -232,7 +241,7 @@ _CHECK_ORDER = [
     "text_repetition_rep_n", "text_vocab_freq_spectrum",
     "text_ngram_novelty_rate", "text_doc_entropy",
     "tokenizer_bpe_merges", "tokenizer_unigram_em", "sim_search_ivf_pq",
-    "corpus_dedup_funnel", "stream_windowed_topk", "ml_decision_stump",
+    "stream_windowed_topk", "ml_decision_stump",
     "multimodal_webdataset_shards", "ts_downsample_lttb",
     "ts_kalman_filter_1d", "fn_interval_arithmetic",
     "dedup_minhash_index_merge", "dedup_paragraph_exact",

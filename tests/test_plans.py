@@ -646,6 +646,25 @@ def test_vocab_and_user_scaled_frames_not_broadcast(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_global_topk_windows_compile_to_take_ordered(spark):
+    """The global-rank top-k family (row_number over an unpartitioned
+    window + filter rnk <= K) must compile to a distributed
+    TakeOrderedAndProject — per-partition top-K, merge of K*P rows —
+    so the single-partition window only ever sees <= K rows, never the
+    full entity-scaled frame (customers, part-pairs, vocab grams).
+    Pins the InferWindowGroupLimit/LimitPushDown rewrite these plans
+    rely on for 100x scale."""
+    for name in (
+        "skew_diagnose_keys",      # per-customer counts
+        "part_co_occurrence",      # part-pair frame
+        "dedup_char_ngram_repeats",  # char-gram vocab
+        "text_pmi_collocations",   # bigram vocab
+        "text_keyword_rake",       # phrase vocab
+    ):
+        plan = formatted_plan(_q(name)(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+
+
 def test_interp_gapfill_no_dense_spine_join(spark):
     """Linear gapfill emits each gap from its observed-pair row
     (sequence+explode) — the plan must contain NO join at all: neighbor
