@@ -19,6 +19,9 @@ Fixed-size dimensions (region, nation) are copied unscaled, as in
 TPC-H. Output: /root/repo/.localdata/sf1/*.parquet (gitignored).
 
 Usage: python tools/make_sf1.py [n_replicas]
+n_replicas defaults to 10 (sf1). Pass 30 for an sf3 point (second
+measured decade-ish step above the bench gate); the output dir is
+derived from the replica count (.localdata/sf1, .localdata/sf3, ...).
 """
 
 from __future__ import annotations
@@ -29,7 +32,6 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.localdata/sf1"
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
@@ -38,6 +40,10 @@ TABLES = (
 
 def main() -> None:
     n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    global DST
+    DST = f"/root/repo/.localdata/sf{n_rep // 10}" if n_rep != 10 else (
+        "/root/repo/.localdata/sf1"
+    )
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
