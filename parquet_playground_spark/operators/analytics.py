@@ -145,7 +145,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     oracle="""
         SELECT n.n_name AS nation,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+               CAST(sum(CAST(
+                   CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100.0 + 0.5)
+                                 AS BIGINT))
+               AS DECIMAL(38, 0))) AS DOUBLE) / 10000.0 AS revenue
         FROM region r
         JOIN nation n ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -164,7 +168,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned to shuffle with a merge hint — broadcasting it OOMs at 100x
     scale (same defect class as q9's estimate-driven fact broadcast,
     fixed in commit 0800661). AQE handles skew on the fact chain. One
-    aggregate of |nations| rows at the end."""
+    aggregate of |nations| rows at the end; revenue accumulates exact
+    1e-4-USD integers as DECIMAL(38,0) (q1/q19 pattern — per-nation
+    float sums grow with SF)."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -182,8 +188,20 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            (
+                F.sum(
+                    (
+                        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+                        .cast("bigint")
+                        * (
+                            100
+                            - F.floor(
+                                F.col("l_discount") * 100.0 + 0.5
+                            ).cast("bigint")
+                        )
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 10000.0
             ).alias("revenue")
         )
     )
@@ -392,11 +410,14 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
         SELECT supp_nation, cust_nation, l_year,
-               round(sum(volume), 4) AS revenue
+               CAST(sum(CAST(volume_4 AS DECIMAL(38, 0))) AS DOUBLE)
+                   / 10000.0 AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l.l_shipdate) AS l_year,
-                   l.l_extendedprice * (1 - l.l_discount) AS volume
+                   CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100.0 + 0.5)
+                                 AS BIGINT)) AS volume_4
             FROM supplier s
             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
             JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -439,15 +460,26 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, c.c_nationkey == n2.c_nkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
+    # exact 1e-4-USD integer volume units, DECIMAL(38,0) accumulation
+    # (q1 pattern): the per-pair-year float sum grows with SF
+    volume_4 = (
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint"))
+    )
     return (
         joined.select(
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            volume_4.alias("volume_4"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .agg(
+            (
+                F.sum(F.col("volume_4").cast("decimal(38,0)")).cast("double")
+                / 10000.0
+            ).alias("revenue")
+        )
     )
 
 
@@ -584,23 +616,34 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-        SELECT round(
-                   100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                    THEN l.l_extendedprice * (1 - l.l_discount)
-                                    ELSE 0 END)
-                   / sum(l.l_extendedprice * (1 - l.l_discount)), 4
-               ) AS promo_pct,
+        WITH rows_in AS (
+            SELECT CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100.0 + 0.5)
+                                 AS BIGINT)) AS rev_4,
+                   p.p_type
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        )
+        SELECT floor(100.0
+                     * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                          THEN rev_4 ELSE 0 END
+                                     AS DECIMAL(38, 0))) AS DOUBLE)
+                     / CAST(sum(CAST(rev_4 AS DECIMAL(38, 0))) AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS promo_pct,
                count(*) AS n_items
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-          AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        FROM rows_in
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q14-shaped: share of one month's revenue from PROMO
-    parts. The date filter pushes to the lineitem scan; part (2k rows
-    at sf0.01, dimension-sized always) broadcasts; one scalar
-    aggregate — a single narrow pass over the filtered month."""
+    parts. The date filter pushes to the lineitem scan; one scalar
+    aggregate — a single narrow pass over the filtered month.
+
+    Both revenue sums accumulate EXACT integer 1e-4-USD units as
+    DECIMAL(38,0) (q1 pattern), so the pct is one deterministic
+    division of identical integers on both engines, portable-rounded
+    — the float-sum form is the class the sf3 screen caught in q19."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -608,15 +651,23 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part is FACT-PROPORTIONAL (sf x 200k rows): pin its join to
     # shuffle (q5/q9 defect class — a forced broadcast OOMs at 100x)
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_4 = (
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint"))
+    )
+    promo_4 = F.when(F.col("p_type") == "PROMO", rev_4).otherwise(F.lit(0))
     return (
         li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
+            (
+                F.floor(
+                    100.0
+                    * F.sum(promo_4.cast("decimal(38,0)")).cast("double")
+                    / F.sum(rev_4.cast("decimal(38,0)")).cast("double")
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -626,8 +677,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_bracket_predicates",
     oracle="""
-        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
-                   AS revenue,
+        SELECT CAST(sum(CAST(
+                   CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100.0 + 0.5)
+                                 AS BIGINT))
+               AS DECIMAL(38, 0))) AS DOUBLE) / 10000.0 AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -642,7 +696,12 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q19-shaped: disjunction of conjunctive brackets spanning
     both join sides. Catalyst extracts the common join key AND the
     per-side implied filters (brand IN (...), quantity <= 40) so the
-    scans prune before the join — the OR never forces a nested loop."""
+    scans prune before the join — the OR never forces a nested loop.
+
+    Revenue is EXACT (q1 pattern): per-row integer cents x integer
+    discount points accumulate as DECIMAL(38,0), one final division —
+    the sf3 scale screen caught the float-sum form drifting in the
+    4th decimal at ~2.2e10 magnitude (summation-order ULP)."""
     li = load_table(spark, sf_dir, "lineitem")
     # part is fact-proportional — shuffle-pinned like q5/q14
     p = load_table(spark, sf_dir, "part")
@@ -664,9 +723,13 @@ def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 40)
         )
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_4 = (
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint"))
+    )
     return j.filter(bracket).agg(
-        F.round(F.sum(rev), 4).alias("revenue"),
+        (F.sum(rev_4.cast("decimal(38,0)")).cast("double") / 10000.0)
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -795,7 +858,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        SELECT CAST(sum(CAST(
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)
+               AS DECIMAL(38, 0))) AS DOUBLE) / 10000.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -807,15 +873,22 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q6: pure scan-filter-aggregate revenue forecast. All three
     predicates push to the parquet scan (row-group min/max skipping on
     the date); no shuffle at all beyond the final 1-row reduce — the
-    cheapest plan shape in the suite and the canonical pushdown test."""
+    cheapest plan shape in the suite and the canonical pushdown test.
+    Revenue accumulates exact cents x discount points as DECIMAL(38,0)
+    (q1 pattern — the global float sum grows with SF and drifts past
+    the 4-dp grid, the class the sf3 screen caught in q19)."""
     li = load_table(spark, sf_dir, "lineitem")
+    rev_4 = (
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+        * F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint")
+    )
     return li.filter(
         (F.col("l_shipdate") >= "1996-01-01")
         & (F.col("l_shipdate") < "1997-01-01")
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+        (F.sum(rev_4.cast("decimal(38,0)")).cast("double") / 10000.0).alias(
             "revenue"
         )
     )
@@ -944,7 +1017,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity",
     oracle="""
-        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        SELECT CAST(floor(CAST(sum(CAST(floor(l.l_extendedprice * 100.0
+                                         + 0.5) AS DECIMAL(38, 0)))
+                               AS DOUBLE)
+                          / 100.0 / 7.0 * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS avg_yearly
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#2'
           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -957,12 +1034,19 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correlated scalar subquery (per-part average quantity)
     decorrelates into an aggregate joined back on partkey; the brand
     filter broadcasts. The per-part averages are exact in double (small
-    integer quantities), so the threshold compare is engine-stable."""
+    integer quantities), so the threshold compare is engine-stable.
+    The revenue sum accumulates exact cents as DECIMAL(38,0) with one
+    portable-rounded final division (q1/q19 pattern — the global
+    float sum grows with SF)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q17_lineitem")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
     return spark.sql(
         """
-        SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+        SELECT CAST(floor(CAST(sum(CAST(floor(l.l_extendedprice * 100.0
+                                         + 0.5) AS DECIMAL(38, 0)))
+                               AS DOUBLE)
+                          / 100.0 / 7.0 * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS avg_yearly
         FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#2'
           AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -1054,7 +1138,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     oracle="""
         SELECT c.c_mktsegment, count(*) AS numcust,
-               round(sum(c.c_acctbal), 4) AS totacctbal
+               CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS totacctbal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                              WHERE c2.c_acctbal > 0)
@@ -1071,13 +1157,19 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     average broadcasts; the NOT EXISTS becomes a left-anti join
     against the date-filtered orders scan. Balance values sit ~0.01
     apart while cross-engine average drift is ~1e-10 relative, so the
-    raw-average threshold compare is stable."""
+    raw-average threshold compare is stable. The balance total sums
+    exact cents as DECIMAL(38,0) (q1/q19 pattern — the per-segment
+    float sum grows with customer count; floor(x*100+0.5) rounds
+    half-up toward +inf identically on both engines for the negative
+    balances too)."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("q22_customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("q22_orders")
     return spark.sql(
         """
         SELECT c.c_mktsegment, count(*) AS numcust,
-               round(sum(c.c_acctbal), 4) AS totacctbal
+               CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS totacctbal
         FROM q22_customer c
         WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM q22_customer c2
                              WHERE c2.c_acctbal > 0)
@@ -1605,7 +1697,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH flat AS (
             SELECT extract(year FROM o.o_orderdate) AS o_year,
-                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l.l_discount * 100.0 + 0.5)
+                                 AS BIGINT)) AS volume_4,
                    n2.n_name AS supp_nation
             FROM lineitem l
             JOIN part p ON p.p_partkey = l.l_partkey
@@ -1621,9 +1715,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         )
         SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 'NATION_7'
-                              THEN volume ELSE 0 END)
-                     / sum(volume), 4) AS mkt_share,
+               floor(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_7'
+                                        THEN volume_4 ELSE 0 END
+                                   AS DECIMAL(38, 0))) AS DOUBLE)
+                     / CAST(sum(CAST(volume_4 AS DECIMAL(38, 0)))
+                            AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS mkt_share,
                count(*) AS n_items
         FROM flat GROUP BY o_year
     """,
@@ -1668,7 +1765,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("s_nationkey") == F.col("nk2"),
     ).select("s_suppkey", "supp_nation")
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4-USD integer volume, DECIMAL(38,0) sums, one final
+    # portable-rounded division (q1/q19 pattern)
+    volume_4 = (
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint"))
+    )
     flat = (
         li.join(p.hint("merge"), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -1676,18 +1778,24 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp_nation.hint("merge"), li.l_suppkey == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            volume.alias("volume"),
+            volume_4.alias("volume_4"),
             "supp_nation",
         )
     )
+    num_4 = F.when(
+        F.col("supp_nation") == "NATION_7", F.col("volume_4")
+    ).otherwise(F.lit(0))
     return flat.groupBy("o_year").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
-                .otherwise(0.0)
+        (
+            F.floor(
+                F.sum(num_4.cast("decimal(38,0)")).cast("double")
+                / F.sum(F.col("volume_4").cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                * 10000.0
+                + 0.5
             )
-            / F.sum("volume"),
-            4,
+            / 10000.0
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
     )

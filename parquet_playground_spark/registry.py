@@ -190,6 +190,11 @@ _CHECK_ORDER = [
     "stream_static_join", "dq_referential_integrity", "events_funnel",
     "events_retention", "text_tfidf_topterms", "text_perplexity_proxy",
     "text_keyword_rake", "corpus_dedup_funnel",
+    # exact-money wave (sf3 screen caught q19's float revenue drifting
+    # at ~2.2e10; the q1 integer-units pattern applied to every
+    # SF-growing money sum): official rows on the exact values
+    "q6_forecast_revenue", "q7_volume_shipping", "q17_small_quantity",
+    "q22_idle_rich_customers",
     "stat_ks_test", "tokenizer_vocab_build", "text_zipf_fit",
     "sample_weighted_reservoir", "events_feature_hashing",
     "events_funnel_time_bounded", "events_path_trigrams",
