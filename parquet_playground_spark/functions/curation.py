@@ -809,7 +809,9 @@ def curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               round(sum(value), 4) AS value_sum
+               CAST(sum(CAST(floor(value * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS value_sum
         FROM events
         WHERE user_id NOT IN (7, 23, 88)
         GROUP BY event_type
@@ -829,10 +831,17 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(7,), (23,), (88,)], ["user_id"]
     )
     survivors = e.join(F.broadcast(requests), "user_id", "left_anti")
+    # value is exactly 2-dp: sum exact cents as DECIMAL(38,0) — the
+    # per-type float sum grows with SF past the 4-dp grid (q19 class)
     return survivors.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 4).alias("value_sum"),
+        (
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("decimal(38,0)")
+            ).cast("double")
+            / 100.0
+        ).alias("value_sum"),
     )
 
 
