@@ -143,16 +143,21 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS sum_price
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_price
         FROM orders
         GROUP BY o_orderpriority, o_orderstatus
     """,
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact cents accumulation (q1/q19 pattern): the per-group float
+    # sum grows with SF and drifted past the 4-dp grid at sf1
     o = load_table(spark, sf_dir, "orders")
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("decimal(38,0)")
     return o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_price"),
     )
 
 
@@ -179,17 +184,26 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-               round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 4) AS sum_bulk
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0)))
+                    FILTER (WHERE l_quantity >= 25) AS DOUBLE) / 100.0
+                   AS sum_bulk
         FROM lineitem
         GROUP BY l_returnflag
     """,
 )
 def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact cents (q1/q19 pattern): the filtered float sum drifted at
+    # sf1's ~5e10 magnitude
     li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast(
+        "decimal(38,0)"
+    )
     return li.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
-        F.round(
-            F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 4
+        (
+            F.sum(F.when(F.col("l_quantity") >= 25, price_c)).cast("double")
+            / 100.0
         ).alias("sum_bulk"),
     )
 
@@ -247,16 +261,21 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS sum_price
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact cents (q1/q19 pattern) — rollup totals reach the full-table
+    # magnitude where the float sum drifted at sf1
     o = load_table(spark, sf_dir, "orders")
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("decimal(38,0)")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        (F.sum(price_c).cast("double") / 100.0).alias("sum_price"),
     )
 
 

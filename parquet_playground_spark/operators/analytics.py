@@ -1276,10 +1276,14 @@ def part_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
-               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4)
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0
                    AS O_total,
                count(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
-               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4)
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0
                    AS F_total
         FROM orders
         GROUP BY o_orderpriority
@@ -1299,7 +1303,16 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F"])
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # exact cents (q1/q19 pattern): per-cell float sums
+            # drifted at sf1's ~2.5e10 magnitude
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("total"),
         )
     )
 

@@ -25,7 +25,9 @@ from parquet_playground_spark.tables import load_table
         WITH wide AS (
             SELECT l_returnflag,
                    round(sum(l_quantity), 4)      AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_price,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                 AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                                                  AS sum_price,
                    round(sum(l_discount), 4)      AS sum_disc
             FROM lineitem GROUP BY l_returnflag
         )
@@ -39,9 +41,19 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The expensive part (the aggregate) shuffles |groups| rows only;
     the melt is a map-side Expand and survives any scale."""
     li = load_table(spark, sf_dir, "lineitem")
+    # sum_price in exact cents (q1/q19 pattern — drifted at sf1);
+    # sum_qty is integer-exact and sum_disc is orders of magnitude
+    # below the drift band
     wide = li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        (
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("sum_price"),
         F.round(F.sum("l_discount"), 4).alias("sum_disc"),
     )
     return wide.unpivot(
