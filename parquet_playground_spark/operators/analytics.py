@@ -785,7 +785,9 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority AS priority,
                count(*) AS n,
-               round(sum(o_totalprice), 4) AS total
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS total
         FROM orders
         WHERE o_totalprice > 30000 AND o_orderstatus = 'O'
         GROUP BY o_orderpriority
@@ -805,7 +807,9 @@ def sql_modern_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority AS priority,
                count(*) AS n,
-               round(sum(o_totalprice), 4) AS total
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS total
         FROM IDENTIFIER(:tbl)
         WHERE o_totalprice > pp_price_thr AND o_orderstatus = :status
         GROUP BY ALL
@@ -1504,7 +1508,9 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_inline_values_dim",
     oracle="""
-        SELECT v.label, count(*) AS n, round(sum(o.o_totalprice), 4) AS total
+        SELECT v.label, count(*) AS n,
+               CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0 AS total
         FROM orders o
         JOIN (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
              AS v(code, label)
@@ -1521,7 +1527,9 @@ def sql_inline_values_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("iv_orders")
     return spark.sql(
         """
-        SELECT v.label, count(*) AS n, round(sum(o.o_totalprice), 4) AS total
+        SELECT v.label, count(*) AS n,
+               CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0 AS total
         FROM iv_orders o
         JOIN VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending')
              AS v(code, label)

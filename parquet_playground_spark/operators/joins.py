@@ -363,7 +363,9 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bloom_runtime_filter",
     oracle="""
         SELECT count(*) AS n_rows,
-               round(sum(l.l_extendedprice), 4) AS sum_price
+               CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_price
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE o.o_totalprice > 55000
     """,
@@ -391,9 +393,17 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") > 55000
         )
         joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        # exact cents (q1/q19 pattern — drifted at sf1's ~2.8e11)
         return joined.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
         )
     finally:
         for k, v in prev.items():

@@ -281,7 +281,9 @@ def zorder_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_rows,
                count(*) FILTER (WHERE o_totalprice <= 0) AS n_nonpositive,
-               round(sum(o_totalprice), 4) AS total_price,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS total_price,
                CAST(max(o_orderkey) AS BIGINT) AS max_key
         FROM orders
     """,
@@ -305,7 +307,13 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
             "n_nonpositive"
         ),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        # exact cents (q1/q19 pattern): the global float sum drifted
+        # at sf1's ~3.8e11 magnitude; one driver-side division below
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                "decimal(38,0)"
+            )
+        ).alias("total_price_c"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
     # the job's "real" output; materializing it populates the metrics
@@ -316,7 +324,7 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 m["n_rows"],
                 m["n_nonpositive"],
-                float(m["total_price"]),
+                float(m["total_price_c"]) / 100.0,
                 m["max_key"],
             )
         ],
