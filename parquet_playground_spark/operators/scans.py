@@ -143,7 +143,8 @@ def schema_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
                count(*) AS n,
-               round(sum(o_totalprice), 4) AS total
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0 AS total
         FROM unioned
         GROUP BY 1
     """,
@@ -179,7 +180,15 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # exact cents (q1/q19 pattern — drifted at sf1)
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("total"),
         )
     )
 

@@ -192,8 +192,8 @@ def window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cume_percent",
     oracle="""
         SELECT c_custkey, c_nationkey,
-               round(cume_dist() OVER w, 4) AS cd,
-               round(percent_rank() OVER w, 4) AS pr
+               floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cd,
+               floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pr
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -201,14 +201,21 @@ def window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_cume_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist/percent_rank per nation ordered by account balance
     (unique c_custkey tie-break keeps both engines' orderings
-    identical, §7.3 rule 5)."""
+    identical, §7.3 rule 5). Rounding is the portable floor form
+    (§7.3 rule 1b): at sf1 a rank/n ratio landed exactly on a .xxxx5
+    shortest-repr boundary where Spark's BigDecimal.valueOf round and
+    DuckDB's binary-value round disagree by one ulp of the grid."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 4).alias("cd"),
-        F.round(F.percent_rank().over(w), 4).alias("pr"),
+        (F.floor(F.cume_dist().over(w) * 10000.0 + 0.5) / 10000.0).alias(
+            "cd"
+        ),
+        (F.floor(F.percent_rank().over(w) * 10000.0 + 0.5) / 10000.0).alias(
+            "pr"
+        ),
     )
 
 

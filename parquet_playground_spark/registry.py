@@ -195,6 +195,16 @@ _CHECK_ORDER = [
     # SF-growing money sum): official rows on the exact values
     "q6_forecast_revenue", "q7_volume_shipping", "q17_small_quantity",
     "q22_idle_rich_customers",
+    # first FULL oracle sweep at sf1 (parallel 4-chunk run) caught 11
+    # latent cross-scale drifts — 10 float money sums + one round()
+    # shortest-repr boundary in cume_dist — all rewritten exact:
+    # official rows on the fixed forms
+    "agg_groupby", "agg_rollup", "agg_filtered", "agg_pivot_multi",
+    "agg_unpivot", "pipeline_observe_metrics", "sql_modern_parameterized",
+    "sql_inline_values_dim", "join_bloom_runtime_filter",
+    "join_bucketed_colocated", "write_partition_overwrite",
+    "write_partitioned_parquet", "scan_schema_evolution",
+    "window_cume_percent",
     "stat_ks_test", "tokenizer_vocab_build", "text_zipf_fit",
     "sample_weighted_reservoir", "events_feature_hashing",
     "events_funnel_time_bounded", "events_path_trigrams",
@@ -205,7 +215,7 @@ _CHECK_ORDER = [
     "events_markov_transitions", "events_wau_rolling",
     "events_ab_test_lift", "events_uplift_cuped", "scd2_dimension_build",
     "compact_small_files", "skew_diagnose_keys", "zorder_morton_layout",
-    "zorder_prune_selectivity", "pipeline_observe_metrics",
+    "zorder_prune_selectivity", 
     "pipeline_dq_rules", "dq_freshness_sla", "dq_distribution_drift_psi",
     "ts_autocorrelation", "ts_seasonal_baseline", "ts_periodogram_dft",
     "ts_anomaly_mad", "ts_changepoint_cusum", "ts_alert_hysteresis",
@@ -252,21 +262,21 @@ _CHECK_ORDER = [
     "dedup_minhash_index_merge", "dedup_paragraph_exact",
     "corpus_quality_ensemble", "seq_len_distribution", "anonymize_k_audit",
     "part_co_occurrence", "corpus_importance_resampling",
-    "gdpr_delete_cascade", "agg_pivot_multi",
-    "agg_unpivot", "agg_regression", "agg_covariance",
+    "gdpr_delete_cascade", 
+    "agg_regression", "agg_covariance",
     "agg_mode_deterministic", "incremental_variance_merge",
     "agg_approx_top_k", "sketch_hll_union", "sketch_kll_quantiles",
     "agg_boolean_bitwise", "agg_listagg", "agg_width_bucket_histogram",
-    "sql_modern_parameterized", "sql_scripting_control_flow",
+    "sql_scripting_control_flow",
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_supplier_part_counts", "q20_part_promotion", "sql_pivot_syntax",
-    "sql_inline_values_dim", "stat_crosstab", "agg_bitmap_distinct",
+    "stat_crosstab", "agg_bitmap_distinct",
     "agg_session_window_batch", "agg_grouping_id", "avro_ingest",
     "scan_recursive_glob", "scan_metadata_columns",
     "sink_python_datasource", "synthetic_data_generate",
     "join_dpp_partitioned", "scan_ignore_corrupt_files",
     "sql_create_replace_view", "join_asof_tolerance", "join_asof_nearest",
-    "join_mark_existence", "join_bloom_runtime_filter",
+    "join_mark_existence", 
     "join_shuffle_hash_hint", "join_interval_overlap",
     "join_point_in_time", "set_union_byname", "set_intersect_all",
     "set_except_all", "window_nth_first_ignore", "topk_offset_pagination",

@@ -32,7 +32,9 @@ def _tmp(name: str) -> str:
 @register(
     "write_partitioned_parquet",
     oracle="""
-        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0 AS total
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -45,9 +47,17 @@ def write_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _tmp("orders_partitioned")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
+    # exact cents (q1/q19 pattern — drifted at sf1's ~1.2e11)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("total"),
     )
 
 
@@ -142,7 +152,9 @@ def write_bucketed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bucketed_colocated",
     oracle="""
         SELECT c_mktsegment, count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS sum_price
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_price
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c_mktsegment
     """,
@@ -162,7 +174,15 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            # exact cents (q1/q19 pattern — drifted at sf1)
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
         )
     )
 
@@ -266,9 +286,11 @@ def write_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                count(*) AS n,
-               round(sum(CASE WHEN o_orderstatus = 'F'
-                              THEN o_totalprice * 0.5
-                              ELSE o_totalprice END), 4) AS total
+               CAST(sum(CAST(floor(CASE WHEN o_orderstatus = 'F'
+                                        THEN o_totalprice * 0.5
+                                        ELSE o_totalprice END
+                                   * 1000.0 + 0.5) AS DECIMAL(38, 0)))
+                    AS DOUBLE) / 1000.0 AS total
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -300,7 +322,17 @@ def write_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # 1e-3-USD integer units: the halved 'F' prices are exact
+            # half-cents, so milli-dollars integerize both branches
+            # (q1/q19 pattern — the float sum drifted at sf1)
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1000.0
+            ).alias("total"),
         )
     )
 
