@@ -1243,7 +1243,9 @@ def fn_from_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT) AS n_filled_pr,
                    CAST(sum(CASE WHEN pr = 'P1' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_p1,
-                   round(sum(tp), 2) AS sum_filled_tp
+                   CAST(sum(CAST(floor(tp * 100.0 + 0.5)
+                                 AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                       AS sum_filled_tp
             FROM repl
         )
         SELECT n_rows, n_filled_pr, n_p1, sum_filled_tp, n_after_drop
@@ -1278,10 +1280,15 @@ def fn_na_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum((F.col("pr") == "UNKNOWN").cast("long")).alias("n_filled_pr"),
         F.sum((F.col("pr") == "P1").cast("long")).alias("n_p1"),
-        # 2dp, not 4dp: the ~2.3e9-magnitude sum of exact-cent values is
-        # ~0.005 from any 2dp edge, so summation-order noise (~1e-5)
-        # can't flip the rounding; at 4dp it could (cross-engine flake).
-        F.round(F.sum("tp"), 2).alias("sum_filled_tp"),
+        # exact cents as DECIMAL(38,0): the 2dp headroom argument died
+        # at the sf3 screen (~1e12 magnitude drifted in the 2nd
+        # decimal) — q1/q19 pattern instead
+        (
+            F.sum(
+                F.floor(F.col("tp") * 100.0 + 0.5).cast("decimal(38,0)")
+            ).cast("double")
+            / 100.0
+        ).alias("sum_filled_tp"),
     )
     return stats.crossJoin(F.broadcast(dropped))
 

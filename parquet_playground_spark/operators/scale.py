@@ -45,7 +45,10 @@ def _portable_bucket(col: Column, modulus: int) -> Column:
     "join_skew_salted",
     oracle="""
         SELECT o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(sum(CAST(
+                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+               AS DECIMAL(38, 0))) AS DOUBLE) / 10000.0 AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
@@ -71,8 +74,14 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(
         o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt), "inner"
     )
+    # exact 1e-4-USD integer units (q1/q19 pattern — the float sum
+    # drifted at the sf3 screen's ~1.8e11 magnitude)
+    rev_4 = (
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint"))
+    )
     return joined.groupBy("o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        (F.sum(rev_4.cast("decimal(38,0)")).cast("double") / 10000.0).alias(
             "revenue"
         ),
         F.count(F.lit(1)).alias("n_items"),

@@ -71,7 +71,9 @@ def scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_rows,
                count(DISTINCT o_orderkey) AS n_keys,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_price
         FROM orders
     """,
 )
@@ -88,10 +90,18 @@ def write_roundtrip_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"ppspark_roundtrip_orders_{os.getpid()}")
     orders.write.mode("overwrite").option("compression", "snappy").parquet(out)
     back = spark.read.parquet(out)
+    # exact cents (q1/q19 pattern — drifted at the sf3 screen)
     return back.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("o_orderkey").alias("n_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("sum_price"),
     )
 
 
@@ -198,7 +208,9 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_rows,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-               round(sum(o_totalprice), 2) AS price_sum
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS price_sum
         FROM orders
     """,
 )
@@ -226,10 +238,18 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(root)
     )
+    # exact cents (q1/q19 pattern — drifted at the sf3 screen)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("price_sum"),
     )
 
 

@@ -487,7 +487,9 @@ def write_json_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_dpp_partitioned",
     oracle="""
         SELECT o_orderstatus, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS revenue
         FROM orders
         WHERE o_orderstatus = 'F'
         GROUP BY o_orderstatus
@@ -516,7 +518,15 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact cents (q1/q19 pattern — drifted at the sf3 screen)
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
         )
     )
 
