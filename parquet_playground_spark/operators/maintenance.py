@@ -101,11 +101,15 @@ _COMPACTED_FILES = 4
         SELECT 'small' AS phase, {_SMALL_FILES} AS n_files,
                count(*) AS n_rows,
                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-               round(sum(o_totalprice), 2) AS price_sum
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS price_sum
         FROM orders
         UNION ALL
         SELECT 'compacted', {_COMPACTED_FILES}, count(*),
-               CAST(sum(o_orderkey) AS BIGINT), round(sum(o_totalprice), 2)
+               CAST(sum(o_orderkey) AS BIGINT),
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
         FROM orders
     """,
 )
@@ -137,7 +141,16 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            # exact cents: a float sum drifts in the 2nd decimal at
+            # ~4e11 (caught by the r6 sf1 final-HEAD sweep)
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("price_sum"),
         ).select(F.lit(phase).alias("phase"), "n_files", "n_rows",
                  "key_sum", "price_sum")
 

@@ -41,9 +41,10 @@ TABLES = (
 def main() -> None:
     n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     global DST
-    DST = f"/root/repo/.localdata/sf{n_rep // 10}" if n_rep != 10 else (
-        "/root/repo/.localdata/sf1"
-    )
+    # label = replicas/10 of the sf0.1 source, exact (%g drops a
+    # trailing .0): 10 -> sf1, 30 -> sf3, 100 -> sf10, 12 -> sf1.2 —
+    # a non-decade count gets its own dir instead of clobbering sf1
+    DST = f"/root/repo/.localdata/sf{n_rep / 10:g}"
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:

@@ -45,6 +45,53 @@ ALLOWED_PYTHON = {
     "udf_python_scalar": "the declared row-at-a-time J-category demo",
 }
 
+# BroadcastNestedLoopJoin over a broadcast SCALAR/K-bounded frame (a
+# 1-row global aggregate, a K-centroid set, a quantile-grid constant):
+# the standard plan for `df.crossJoin(scalar_agg)` — per-row work is
+# O(K), not all-pairs, so it scales. Every name below was hand-audited
+# (r6: each BNLJ's build side is a driver-sized aggregate). A BNLJ in
+# any OTHER query hard-fails the audit: a new accidental cross join
+# (e.g. a dropped equi-join condition against a broadcastable side)
+# must either be fixed or explicitly audited into this list.
+SCALAR_BROADCAST_BNLJ = {
+    "basket_association_lift", "corpus_dataset_card",
+    "corpus_dedup_funnel", "corpus_importance_resampling",
+    "corpus_perplexity_buckets", "corpus_quality_ensemble",
+    "corpus_token_budget_pack", "curriculum_quality_stages",
+    "customer_rfm_segments", "dedup_embedding_cosine",
+    "dedup_semantic_clustered", "dq_freshness_sla",
+    "embedding_knn_classify", "embedding_matryoshka_truncate",
+    "embedding_pca_power_iteration",
+    "embedding_random_projection_jl",
+    "events_decay_engagement_score", "events_funnel",
+    "events_markov_backtest", "events_uplift_cuped",
+    "events_wau_rolling", "fn_na_handling", "geo_nearest_hub",
+    "graph_pagerank_power", "graph_triangle_count",
+    "incremental_variance_merge", "join_point_in_time",
+    "ml_calibration_bins", "ml_confusion_matrix_metrics",
+    "ml_gbdt_residual_boost", "ml_kfold_cross_validation",
+    "ml_learning_curve_subsample", "ml_linear_normal_equation",
+    "ml_logistic_gradient_steps", "ml_target_encoding_kfold",
+    "pareto_abc_classes", "plan_cache_reuse",
+    "seq_len_distribution", "sim_search_ann_ivf",
+    "sim_search_ann_recall", "sim_search_cosine_topk",
+    "sim_search_ivf_pq", "sketch_hll_union", "sketch_kll_quantiles",
+    "sketch_theta_setops", "skew_diagnose_keys",
+    "skyline_dominance", "stat_bootstrap_ci", "stat_chi_square",
+    "stat_cohort_survival_km", "stat_entropy_gini",
+    "stat_gini_concentration", "stat_kendall_tau_b", "stat_ks_test",
+    "stat_mahalanobis_outliers", "stat_permutation_test",
+    "text_bigram_lm_perplexity", "text_bm25_search",
+    "text_classify_naive_bayes", "text_ctfidf_class_terms",
+    "text_lm_interpolation_tuning", "text_lm_kneser_ney",
+    "text_perplexity_proxy", "text_pmi_collocations",
+    "text_tfidf_topterms", "text_zipf_fit", "tokenizer_bpe_merges",
+    "tokenizer_unigram_em", "tokenizer_vocab_build",
+    "tokenizer_wordpiece_encode", "ts_anomaly_mad",
+    "ts_autocorrelation", "ts_cross_correlation_lagged",
+    "ts_periodogram_dft",
+}
+
 
 def main() -> int:
     from parquet_playground_spark import registry
@@ -67,15 +114,15 @@ def main() -> int:
         if (
             "BroadcastNestedLoopJoin" in plan
             and name not in ALLOWED_NESTED_LOOP
+            and name not in SCALAR_BROADCAST_BNLJ
         ):
-            # BNLJ over a broadcast 1-row aggregate is the standard
-            # scalar crossJoin plan — only flag when the broadcast side
-            # is not an aggregate (heuristic: no HashAggregate or
-            # TakeOrderedAndProject feeding the BroadcastExchange would
-            # require deeper parsing; keep the audit conservative and
-            # list the query for human review instead).
+            # not in either audited list -> an unexplained nested-loop
+            # join: fail loudly (the docstring's exit-code contract)
             n_bnlj = plan.count("BroadcastNestedLoopJoin")
-            print(f"review {name}: {n_bnlj}x BroadcastNestedLoopJoin")
+            bad.append(
+                f"{name}: {n_bnlj}x BroadcastNestedLoopJoin not in "
+                "SCALAR_BROADCAST_BNLJ"
+            )
         if "BatchEvalPython" in plan and name not in ALLOWED_PYTHON:
             bad.append(f"{name}: BatchEvalPython")
     print(f"\naudited {len(names)} plans")

@@ -32,19 +32,22 @@ SF_DIR = os.environ.get(
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    passes = 2
-    if args and args[0] == "--passes":
-        passes = int(args[1])
-        args = args[2:]
-    if not args:
-        print("usage: scale_screen.py [--passes N] name [name ...]")
-        return 2
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("names", nargs="+")
+    ns = ap.parse_args()
+    passes, args = max(1, ns.passes), ns.names
 
     from parquet_playground_spark import registry
     from parquet_playground_spark.session import get_spark
 
     registry.load_all()
+    unknown = [n for n in args if n not in registry.QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
     spark = get_spark("scale-screen")
 
     def materialize(df) -> None:
