@@ -199,9 +199,13 @@ _CHECK_ORDER = [
     # money sums fixed AFTER the window was last set — official rows
     # on the exact-cents forms (join_skew_salted / write_roundtrip_
     # snappy / fn_na_handling previously passed on pre-fix code;
-    # scan_recursive_glob / join_dpp_partitioned were never checked)
+    # scan_recursive_glob / join_dpp_partitioned were never checked).
+    # compact_small_files is the sixth of the class, caught by the
+    # final-HEAD sf1 sweep — never driver-checked, code changed, so it
+    # takes the window slot (text_zipf_fit drops to 51; its portable-
+    # rounding fix class stays represented by window_cume_percent).
     "join_skew_salted", "write_roundtrip_snappy", "scan_recursive_glob",
-    "join_dpp_partitioned", "fn_na_handling",
+    "join_dpp_partitioned", "fn_na_handling", "compact_small_files",
     # first FULL oracle sweep at sf1 (parallel 4-chunk run) caught 11
     # latent cross-scale drifts — 10 float money sums + one round()
     # shortest-repr boundary in cume_dist — all rewritten exact:
@@ -226,7 +230,7 @@ _CHECK_ORDER = [
     "window_running_distinct", "window_rolling_median",
     "events_markov_transitions", "events_wau_rolling",
     "events_ab_test_lift", "events_uplift_cuped", "scd2_dimension_build",
-    "compact_small_files", "skew_diagnose_keys", "zorder_morton_layout",
+    "skew_diagnose_keys", "zorder_morton_layout",
     "zorder_prune_selectivity", 
     "pipeline_dq_rules", "dq_freshness_sla", "dq_distribution_drift_psi",
     "ts_autocorrelation", "ts_seasonal_baseline", "ts_periodogram_dft",
