@@ -188,7 +188,15 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band join: equi component (nationkey) carries the shuffle, the
     inequality is a post-join predicate — Catalyst plans this as a
-    hash/sort-merge join with extra condition, NOT a cartesian."""
+    hash/sort-merge join with extra condition, NOT a cartesian.
+
+    Scale note: the OUTPUT is inherently quadratic in SF (every
+    qualifying (s, c) pair is a row: 931.5k pairs at sf1 ->
+    93.15M at sf10, exactly 100x on the 10x step), so wall time
+    growing 71.7x across that decade (BENCH_local.md) is sublinear
+    PER OUTPUT ROW — the plan is not the bottleneck, the declared
+    all-pairs result is. A 100 TB deployment would aggregate or
+    top-k this wedge rather than materialize it."""
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
     cond = (s.s_nationkey == c.c_nationkey) & (
