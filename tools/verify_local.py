@@ -23,7 +23,18 @@ absent and every query must self-provision via
 --vanilla --strict together are the closest local approximation of the
 official gate.
 
-Usage: python tools/verify_local.py [--strict] [--vanilla] [names ...]
+--max-rows N guards large-output queries at high scale points (the
+pair-quadratic ops: theta-range all-pairs, dedup pair listings): the
+oracle is pre-counted with a COUNT(*) wrapper, and above the threshold
+the check degrades to Spark-count == DuckDB-count (reported `big`)
+instead of materializing tens of millions of rows into two pandas
+frames. Row-count equality at scale is still a real cross-engine
+signal for those ops; their value hashes are covered at lower SFs.
+
+--names-file F reads one query name per line (chunked parallel sweeps).
+
+Usage: python tools/verify_local.py [--strict] [--vanilla]
+           [--max-rows N] [--names-file F] [names ...]
 """
 
 from __future__ import annotations
@@ -31,6 +42,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 import traceback
 from datetime import date, datetime
 from decimal import Decimal
@@ -177,7 +189,21 @@ def main() -> int:
 
     strict = "--strict" in sys.argv
     vanilla = "--vanilla" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    max_rows = None
+    if "--max-rows" in argv:
+        i = argv.index("--max-rows")
+        max_rows = int(argv[i + 1])
+        del argv[i : i + 2]
+    names_file = None
+    if "--names-file" in argv:
+        i = argv.index("--names-file")
+        names_file = argv[i + 1]
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    if names_file:
+        with open(names_file) as fh:
+            args += [ln.strip() for ln in fh if ln.strip()]
 
     registry.load_all()
     if vanilla:
@@ -188,16 +214,68 @@ def main() -> int:
         spark = get_spark("verify-local")
 
     con = duckdb.connect()
+    # Parallel chunked sweeps: cap DuckDB's thread pool so N processes
+    # don't each claim every core (4x32 threads thrashes the host into
+    # 60%+ sys time; the sf10 sweep is where this bit).
+    duck_threads = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
+    if duck_threads:
+        con.execute(f"SET threads = {int(duck_threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
     names = args or sorted(registry.QUERIES)
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_rows_only = n_big = 0
     failures = []
     for name in names:
         fn = registry.QUERIES[name]
+        t_start = time.monotonic()
+        oracle_staged = False
+        if max_rows is not None and name in registry.ORACLES:
+            # Materialize the oracle ONCE into a temp table: the count
+            # guard and the value comparison then share one execution
+            # (heavy sf10 oracles — minhash SQL, pair joins — must not
+            # run twice).
+            try:
+                osql = registry.ORACLES[name].rstrip().rstrip(";")
+                con.execute(
+                    f"CREATE OR REPLACE TEMP TABLE __oracle AS ({osql})"
+                )
+                n_oracle_pre = con.sql(
+                    "SELECT count(*) FROM __oracle"
+                ).fetchone()[0]
+                oracle_staged = True
+            except Exception as exc:
+                print(f"FAIL  {name}: duckdb stage error: {str(exc)[:200]}")
+                n_fail += 1
+                failures.append(name)
+                continue
+            if n_oracle_pre > max_rows:
+                con.execute("DROP TABLE IF EXISTS __oracle")
+                try:
+                    n_spark = fn(spark, SF_DIR).count()
+                except Exception:
+                    print(f"FAIL  {name}: spark error")
+                    traceback.print_exc(limit=5)
+                    n_fail += 1
+                    failures.append(name)
+                    continue
+                dt = time.monotonic() - t_start
+                if n_spark != n_oracle_pre:
+                    print(
+                        f"FAIL  {name}: big-output rowcount "
+                        f"spark={n_spark} duckdb={n_oracle_pre} [{dt:.1f}s]"
+                    )
+                    n_fail += 1
+                    failures.append(name)
+                else:
+                    print(
+                        f"big   {name}: {n_spark} rows "
+                        f"(count-only above --max-rows) [{dt:.1f}s]"
+                    )
+                    n_big += 1
+                continue
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
@@ -216,7 +294,11 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            rel = con.sql(registry.ORACLES[name])
+            rel = con.sql(
+                "SELECT * FROM __oracle"
+                if oracle_staged
+                else registry.ORACLES[name]
+            )
             ocols = [c for c in rel.columns]
             if strict:
                 opdf = rel.df()
@@ -252,15 +334,19 @@ def main() -> int:
             if sc != oc:
                 diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        if oracle_staged:
+            con.execute("DROP TABLE IF EXISTS __oracle")
+        dt = time.monotonic() - t_start
         if problems:
             print(f"FAIL  {name}: {'; '.join(p[:400] for p in problems)}")
             n_fail += 1
             failures.append(name)
         else:
-            print(f"ok    {name}: {n_spark} rows")
+            print(f"ok    {name}: {n_spark} rows [{dt:.1f}s]")
             n_pass += 1
     print(
-        f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, {n_fail} FAIL"
+        f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, "
+        f"{n_big} big-count-only, {n_fail} FAIL"
         + (f": {failures}" if failures else "")
     )
     return 1 if n_fail else 0
