@@ -208,7 +208,9 @@ def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS total_price
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -219,19 +221,26 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     named agg → to_spark, equal to the plain SQL GROUP BY. This is the
     migration path for single-node pandas pipelines: same code shape,
     Catalyst underneath (no driver materialization; the groupby is a
-    normal shuffled hash aggregate)."""
+    normal shuffled hash aggregate).
+
+    Money is summed as exact integer cents (q1/q19 pattern — the sf10
+    sweep caught the float sum flipping the 2nd decimal at ~7.5e11 per
+    group). ps lacks a decimal cast, so the cents column floors via
+    float `// 1.0`; integer-valued doubles add exactly below 2^53, so
+    the ps float sum stays exact through ~sf1000 (7.5e14 cents)."""
     import os
 
     import pyspark.pandas as ps
 
     psdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    psdf["price_c"] = (psdf["o_totalprice"] * 100.0 + 0.5) // 1.0
     agg = (
         psdf.groupby("o_orderpriority")
-        .agg(n_orders=("o_orderkey", "count"), total=("o_totalprice", "sum"))
+        .agg(n_orders=("o_orderkey", "count"), total=("price_c", "sum"))
         .reset_index()
     )
     return agg.to_spark().select(
         "o_orderpriority",
         F.col("n_orders").cast("long").alias("n_orders"),
-        F.round("total", 2).alias("total_price"),
+        (F.col("total").cast("double") / 100.0).alias("total_price"),
     )
