@@ -337,13 +337,21 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate lands within 5x the requested 1% rsd — as a boolean
     the oracle pins to TRUE. A broken sketch flips the hash. At 100 TB
     only the sketch column survives; the exact twin is the small-scale
-    ground truth."""
+    ground truth.
+
+    The two aggregates run as SEPARATE single-row jobs cross-joined at
+    the end: mixing approx_count_distinct with count(DISTINCT) in one
+    agg triggers RewriteDistinctAggregates' Expand plan, where the
+    2^14-register HLL++ buffer is MERGED once per input row instead of
+    updated — ~1000x slower; the sf10 sweep found it grinding 21 min
+    per task on 60M rows. Split, each is a clean 2-stage partial/final
+    aggregate (HLL update per row; exact distinct via hash shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
     )
-    return agg.select(
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    return exact.crossJoin(approx).select(
         "exact_parts",
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts"))

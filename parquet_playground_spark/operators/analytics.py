@@ -1933,22 +1933,23 @@ def kpi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         rev AS (
             SELECT o_custkey, extract(year FROM o_orderdate) AS yr,
-                   sum(o_totalprice) AS rev
+                   sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                            AS DECIMAL(38, 0))) AS rev_c
             FROM orders GROUP BY 1, 2
         ),
         cell AS (
             SELECT f.cohort, r.yr - f.cohort AS offset_yrs,
-                   sum(r.rev) AS rev,
+                   sum(r.rev_c) AS rev_c,
                    count(DISTINCT r.o_custkey) AS n_cust
             FROM rev r JOIN firsts f USING (o_custkey)
             GROUP BY 1, 2
         )
         SELECT cohort, offset_yrs,
-               round(rev, 2) AS revenue,
-               round(sum(rev) OVER (
+               CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+               CAST(sum(rev_c) OVER (
                    PARTITION BY cohort ORDER BY offset_yrs
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS cum_revenue,
+               ) AS DOUBLE) / 100.0 AS cum_revenue,
                n_cust
         FROM cell
     """,
@@ -1960,18 +1961,23 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable aggregates (per customer-year, then per cohort
     cell) and a window over the |cohorts| x |offsets| matrix; the
     customer-sized first-order aggregate joins on the key both sides
-    already shuffle on."""
+    already shuffle on. Revenue accumulates as exact integer cents
+    (q1/q19 pattern — the sf10 sweep caught the twice-summed float
+    flipping its 2nd decimal at ~1.9e12 cumulative magnitudes)."""
     o = load_table(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+        "decimal(38,0)"
+    )
     firsts = o.groupBy("o_custkey").agg(F.min(yr).alias("cohort"))
     rev = o.groupBy("o_custkey", yr.alias("yr")).agg(
-        F.sum("o_totalprice").alias("rev")
+        F.sum(price_c).alias("rev_c")
     )
     cell = (
         rev.join(firsts, "o_custkey")
         .groupBy("cohort", (F.col("yr") - F.col("cohort")).alias("offset_yrs"))
         .agg(
-            F.sum("rev").alias("rev"),
+            F.sum("rev_c").alias("rev_c"),
             F.count_distinct("o_custkey").alias("n_cust"),
         )
     )
@@ -1983,8 +1989,8 @@ def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell.select(
         "cohort",
         "offset_yrs",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.sum("rev").over(w), 2).alias("cum_revenue"),
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.sum("rev_c").over(w).cast("double") / 100.0).alias("cum_revenue"),
         "n_cust",
     )
 
