@@ -1131,7 +1131,12 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ),
-        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        k AS (
+            SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS kk
+            FROM e
+        ),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id < (SELECT kk FROM k)),
         assigned AS (
             SELECT vec_id, v, cid FROM (
                 SELECT e.vec_id, e.v, c.cid,
@@ -1162,25 +1167,37 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shape semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
     deduplication"): assign every embedding to its nearest centroid
-    (deterministic init: vec_id < 8, the same coarse quantizer seed as
-    the IVF index), then run the pairwise cosine check ONLY within each
-    cluster — the clustering bounds the quadratic stage to
-    sum(|cluster|^2) instead of n^2, which is the whole trick at
-    100 TB (K scales with corpus so clusters stay bounded). Greedy
-    keep-lowest-id policy: each above-threshold vector reports its
-    strongest smaller-id partner as keeper. Threshold 0.3 matches the
-    synthetic corpus's cosine range (dedup_embedding_cosine ibid.).
+    (deterministic init: the first K vec_ids, the same coarse
+    quantizer seed as the IVF index), then run the pairwise cosine
+    check ONLY within each cluster — the clustering bounds the
+    quadratic stage to sum(|cluster|^2) instead of n^2, which is the
+    whole trick at 100 TB. K = max(8, ceil(sqrt(n))): sqrt scaling
+    minimizes assignment + pair work (nK + n^2/K) and keeps clusters
+    bounded as the corpus grows — the sf10 sweep caught the previous
+    fixed K=8 grinding for over an hour (25k-vector clusters -> ~2.5B
+    interpreted-HOF cosine pairs). Greedy keep-lowest-id policy: each
+    above-threshold vector reports its strongest smaller-id partner as
+    keeper. Threshold 0.3 matches the synthetic corpus's cosine range
+    (dedup_embedding_cosine ibid.).
 
     Scale: centroids broadcast (K x dim), assignment is a narrow pass,
     and the self-join shuffles on cluster_id so each task sees one
-    cluster's vectors — no all-pairs stage anywhere. Spark replays the
-    uncached assignment subtree once per self-join side; a production
-    run persists (or writes) the assignment before the pair stage so
-    the corpus scans once."""
+    cluster's vectors — no all-pairs stage anywhere. Vectors are
+    L2-normalized ONCE before the self-join, so each candidate pair
+    costs a single higher-order dot product instead of dot + two norms
+    (3x fewer interpreted evals in the only quadratic stage; the 4dp
+    floor convention absorbs the op-reorder ulps exactly as it absorbs
+    the Spark/DuckDB split). Spark replays the uncached assignment
+    subtree once per self-join side; a production run persists (or
+    writes) the assignment before the pair stage so the corpus scans
+    once."""
+    import math
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = e.filter(F.col("vec_id") < 8).select(
+    k_cent = max(8, math.ceil(math.sqrt(e.count())))
+    cent = e.filter(F.col("vec_id") < k_cent).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     d2 = F.aggregate(
@@ -1200,30 +1217,33 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "v")
     )
-    a = assigned.select(
-        F.col("vec_id").alias("ka"), F.col("cid").alias("cid_a"),
-        F.col("v").alias("va"),
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("kb"), F.col("cid").alias("cid_b"),
-        F.col("v").alias("vb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    normed = assigned.withColumn("l2", nrm(F.col("v"))).select(
+        "vec_id",
+        "cid",
+        F.transform("v", lambda x: x / F.col("l2")).alias("nv"),
+    )
+    a = normed.select(
+        F.col("vec_id").alias("ka"), F.col("cid").alias("cid_a"),
+        F.col("nv").alias("nva"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("kb"), F.col("cid").alias("cid_b"),
+        F.col("nv").alias("nvb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("nva", "nvb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     # round-before-rank (same convention as sim_search_cosine_topk):
     # the two engines compute the cosine by different op orderings
-    # (~1 ulp apart), so threshold and keeper-rank comparisons run on
+    # (~ulps apart), so threshold and keeper-rank comparisons run on
     # the floor-convention 4dp value — near-ties become exact ties
     # broken deterministically by ka
-    cs_r4 = F.floor(
-        (dot / (nrm(F.col("va")) * nrm(F.col("vb")))) * 10000.0 + 0.5
-    ) / 10000.0
+    cs_r4 = F.floor(dot * 10000.0 + 0.5) / 10000.0
     pairs = (
         a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("ka") < F.col("kb")))
         .withColumn("cs_r4", cs_r4)
