@@ -1138,14 +1138,14 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         c AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id < (SELECT kk FROM k)),
         assigned AS (
-            SELECT vec_id, v, cid FROM (
-                SELECT e.vec_id, e.v, c.cid,
-                       row_number() OVER (
-                           PARTITION BY e.vec_id
-                           ORDER BY list_distance(e.v, c.cv), c.cid
-                       ) AS rn
+            SELECT vec_id, cid, v FROM (
+                SELECT e.vec_id,
+                       (min(struct_pack(
+                            d := list_distance(e.v, c.cv),
+                            cid := c.cid))).cid AS cid
                 FROM e CROSS JOIN c
-            ) WHERE rn = 1
+                GROUP BY e.vec_id
+            ) JOIN e USING (vec_id)
         ),
         pairs AS (
             SELECT a.vec_id AS ka, b.vec_id AS kb, a.cid AS cid,
@@ -1205,16 +1205,17 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # arg-min AGGREGATION on narrow (vec_id, cid, d2) rows, vector
+    # joined back afterward: the previous row_number window carried the
+    # 64-double array through an n*K-row shuffle (~50 GB at sf10; the
+    # DuckDB twin OOM-killed at 90 GB). min_by partial-aggregates
+    # map-side, so the shuffle is n rows of (vec_id, cid).
     assigned = (
         e.crossJoin(F.broadcast(cent))
-        .withColumn("d2", d2)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "cid")
-            ),
-        )
-        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+        .join(e, "vec_id")
         .select("vec_id", "cid", "v")
     )
     nrm = lambda c: F.sqrt(  # noqa: E731
