@@ -1853,7 +1853,8 @@ def sql_lateral_view_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_create_replace_view",
     oracle="""
         SELECT o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0 AS total
         FROM orders WHERE o_totalprice > 200000
         GROUP BY o_orderpriority
     """,
@@ -1862,7 +1863,9 @@ def sql_create_replace_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View DDL surface: CREATE OR REPLACE TEMPORARY VIEW, twice — the
     query must see the SECOND definition (threshold 200000), pinning
     that REPLACE actually replaces. Views are unmaterialized named
-    subqueries: the filter still pushes through them to the scan."""
+    subqueries: the filter still pushes through them to the scan.
+    Money sums as exact integer cents (q1/q19 pattern; the sf10 sweep
+    caught the float sum drifting at ~6e11 per group)."""
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("pp_view_src")
     spark.sql(
@@ -1875,7 +1878,9 @@ def sql_create_replace_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         """SELECT o_orderpriority, count(*) AS n,
-                  round(sum(o_totalprice), 2) AS total
+                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                      AS total
            FROM pp_hot_orders GROUP BY o_orderpriority"""
     )
 
@@ -1886,12 +1891,15 @@ def sql_create_replace_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
             SELECT extract(year FROM o_orderdate) AS yr,
                    extract(month FROM o_orderdate) AS mo,
-                   sum(o_totalprice) AS rev
+                   sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                            AS DECIMAL(38, 0))) AS rev_c
             FROM orders GROUP BY 1, 2
         )
         SELECT a.yr, a.mo,
-               round(a.rev, 2) AS revenue,
-               round(100.0 * (a.rev - b.rev) / b.rev, 2) AS yoy_pct
+               CAST(a.rev_c AS DOUBLE) / 100.0 AS revenue,
+               floor(100.0 * CAST(a.rev_c - b.rev_c AS DOUBLE)
+                     / CAST(b.rev_c AS DOUBLE) * 100.0 + 0.5) / 100.0
+                   AS yoy_pct
         FROM m a LEFT JOIN m b ON b.yr = a.yr - 1 AND b.mo = a.mo
     """,
 )
@@ -1903,23 +1911,32 @@ def kpi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and months missing a prior year surface NULL growth (lag(12)
     would silently mis-align across gaps)."""
     o = load_table(spark, sf_dir, "orders")
+    # exact integer cents (q1/q19 pattern — per-month sums reach ~1e11
+    # at sf10, past the 2-dp double grid); the growth ratio rounds via
+    # the portable floor convention (SURVEY §7.3 rule 1b)
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+        "decimal(38,0)"
+    )
     m = o.groupBy(
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(price_c).alias("rev_c"))
     a, b = m.alias("a"), m.alias("b")
     j = a.join(
         b,
         (F.col("b.yr") == F.col("a.yr") - 1) & (F.col("b.mo") == F.col("a.mo")),
         "left",
     )
+    pct_raw = (
+        100.0
+        * (F.col("a.rev_c") - F.col("b.rev_c")).cast("double")
+        / F.col("b.rev_c").cast("double")
+    )
     return j.select(
         F.col("a.yr").alias("yr"),
         F.col("a.mo").alias("mo"),
-        F.round(F.col("a.rev"), 2).alias("revenue"),
-        F.round(
-            100.0 * (F.col("a.rev") - F.col("b.rev")) / F.col("b.rev"), 2
-        ).alias("yoy_pct"),
+        (F.col("a.rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.floor(pct_raw * 100.0 + 0.5) / 100.0).alias("yoy_pct"),
     )
 
 
