@@ -546,7 +546,9 @@ def zorder_prune_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS revenue
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS revenue
         FROM orders GROUP BY 1
     """,
 )
@@ -567,12 +569,18 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     month = F.date_trunc("month", "o_orderdate").cast("date").alias("month")
     cutoff = F.lit("1997-07-01").cast("timestamp")
+    # partials in exact integer cents (q1/q19 pattern): the merged sum
+    # must match the from-scratch oracle bit-for-bit at every SF, and
+    # DECIMAL partials stay additive across the MV merge
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+        "decimal(38,0)"
+    )
     mv_old = (
         o.filter(F.col("o_orderdate") < cutoff)
         .groupBy(month)
         .agg(
             F.count(F.lit(1)).alias("cnt_b"),
-            F.sum("o_totalprice").alias("sum_b"),
+            F.sum(price_c).alias("sum_b"),
         )
     )
     delta = (
@@ -580,17 +588,21 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(month)
         .agg(
             F.count(F.lit(1)).alias("cnt_d"),
-            F.sum("o_totalprice").alias("sum_d"),
+            F.sum(price_c).alias("sum_d"),
         )
     )
     merged = mv_old.join(delta, "month", "full_outer")
+    zero_c = F.lit(0).cast("decimal(38,0)")
     return merged.select(
         "month",
         (F.coalesce("cnt_b", F.lit(0)) + F.coalesce("cnt_d", F.lit(0))).alias(
             "n_orders"
         ),
-        F.round(
-            F.coalesce("sum_b", F.lit(0.0)) + F.coalesce("sum_d", F.lit(0.0)), 2
+        (
+            (F.coalesce("sum_b", zero_c) + F.coalesce("sum_d", zero_c)).cast(
+                "double"
+            )
+            / 100.0
         ).alias("revenue"),
     )
 
