@@ -625,6 +625,15 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v
             WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
         ),
+        dim2 AS (
+            -- zero-width versions (duplicate valid_from seconds) can
+            -- never match the range predicate; drop them explicitly so
+            -- the ASOF join below is deterministic on ties
+            SELECT * FROM dim
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, valid_from
+                ORDER BY version_seq DESC) = 1
+        ),
         spine AS (
             SELECT CAST(epoch(ts) AS BIGINT) AS probe_sec
             FROM generate_series(TIMESTAMP '2024-01-05 00:00:00',
@@ -635,11 +644,16 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT u.user_id, s.probe_sec
             FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s
         )
+        -- ASOF (greatest valid_from <= probe) == the SCD2 range
+        -- predicate valid_from <= p < valid_to when versions are
+        -- contiguous (valid_to = lead(valid_from)); DuckDB executes it
+        -- sort-based in seconds where the declarative range join's
+        -- IEJoin ground for hours at sf10 (equivalence checked both
+        -- ways with EXCEPT ALL at sf0.01 and sf1)
         SELECT p.user_id, p.probe_sec,
                d.event_type AS regime, d.version_seq
-        FROM probes p LEFT JOIN dim d
+        FROM probes p ASOF LEFT JOIN dim2 d
           ON d.user_id = p.user_id AND d.valid_from <= p.probe_sec
-         AND (d.valid_to IS NULL OR p.probe_sec < d.valid_to)
     """,
 )
 def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
