@@ -1558,7 +1558,10 @@ def ts_kalman_filter_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH per_min AS (
             SELECT date_trunc('minute', ts) AS minute,
-                   round(avg(value), 4) AS v
+                   floor(CAST(sum(CAST(floor(value * 100.0 + 0.5)
+                                       AS DECIMAL(38, 0))) AS DOUBLE)
+                         / (100.0 * count(*)) * 10000.0 + 0.5) / 10000.0
+                       AS v
             FROM events GROUP BY 1
         ),
         seq AS (
@@ -1608,15 +1611,33 @@ def ts_gapfill_interpolate_linear(
     partitions by day with a |days|-row boundary carry, exactly the
     ts_gapfill_locf two-pass shape).
 
-    Determinism: endpoints are pre-rounded at 4 dp, the interpolation
-    is the same left-to-right IEEE expression on both engines
-    ((v1-v0)*i then /gap), and the result rounds at 6 dp. The final
-    observed minute (no successor) is emitted separately so the spine
-    is exactly [min, max]."""
+    Determinism: endpoints average EXACT integer cents (value is 2 dp;
+    sum_c and n are exact, so the quotient is bit-identical on both
+    engines) then pre-round at 4 dp via the portable floor — the sf10
+    sweep caught engine round(avg(value), 4) splitting on a .xxxx5
+    boundary and the divergent endpoint fanning out across its whole
+    interpolated gap. The interpolation is the same left-to-right IEEE
+    expression on both engines ((v1-v0)*i then /gap), and the result
+    rounds at 6 dp. The final observed minute (no successor) is
+    emitted separately so the spine is exactly [min, max]."""
     e = load_table(spark, sf_dir, "events")
-    per_min = e.groupBy(
-        F.date_trunc("minute", "ts").alias("minute")
-    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    v_c = F.floor(F.col("value") * 100.0 + 0.5).cast("decimal(38,0)")
+    per_min = (
+        e.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.sum(v_c).alias("s_c"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "minute",
+            (
+                F.floor(
+                    F.col("s_c").cast("double")
+                    / (100.0 * F.col("n"))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("v"),
+        )
+    )
     # Single-partition window over the calendar-bounded aggregate
     # (8961 observed minutes at any SF for the fixed month; see
     # docstring for the per-day partitioned production variant).

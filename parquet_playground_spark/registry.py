@@ -179,7 +179,7 @@ _CHECK_ORDER = [
     # summary / embedding_mean_pool / udf_grouped_arrow — each
     # officially green in r5 on code unchanged since.)
     "agg_approx_count_distinct", "api_pandas_on_spark",
-    "customer_cohort_ltv",
+    "customer_cohort_ltv", "ts_gapfill_interpolate_linear",
     "dedup_incremental_lsh", "q5_local_supplier",
     "stat_gini_concentration", "customer_rfm_segments",
     "pareto_abc_classes", "ml_pr_curve_ap",
@@ -223,7 +223,7 @@ _CHECK_ORDER = [
     "sql_inline_values_dim", "join_bloom_runtime_filter",
     "join_bucketed_colocated",
     "window_cume_percent",
-    "stat_ks_test", "tokenizer_vocab_build", "text_zipf_fit",
+    "stat_ks_test", "text_zipf_fit", "tokenizer_vocab_build",
     # same sf1-drift class, demoted just below the 50-window to make
     # room for the sf3 wave above (the integer-cents pattern is still
     # represented in-window by agg_groupby / join_bucketed_colocated /
@@ -232,7 +232,7 @@ _CHECK_ORDER = [
     "write_partitioned_parquet", "scan_schema_evolution",
     "sample_weighted_reservoir", "events_feature_hashing",
     "events_funnel_time_bounded", "events_path_trigrams",
-    "ts_gapfill_locf", "ts_gapfill_interpolate_linear",
+    "ts_gapfill_locf",
     "ts_rollup_multires", "ts_window_time_range", "ts_anomaly_zscore",
     "ts_resample_ohlc", "ts_ewma_bounded", "ts_holt_linear_forecast",
     "window_running_distinct", "window_rolling_median",
