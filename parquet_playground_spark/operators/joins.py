@@ -674,7 +674,8 @@ def join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o.o_orderpriority,
                count(*) AS n,
-               round(sum(o.o_totalprice), 2) AS total
+               CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0 AS total
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_acctbal > 0
         GROUP BY o.o_orderpriority
@@ -690,11 +691,16 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py pins the ShuffledHashJoin node."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    # exact cents (q1/q19 pattern): the sf10 sweep caught this float
+    # sum drifting in the 2nd decimal at ~6.8e11 per group
+    price_c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+        "decimal(38,0)"
+    )
     return (
         o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(price_c).cast("double") / 100.0).alias("total"),
         )
     )
