@@ -112,7 +112,9 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                date_trunc('hour', ts) AS hour,
                count(*) AS cnt,
-               round(sum(value), 4) AS sum_value
+               CAST(sum(CAST(floor(value * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_value
         FROM events
         GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE),
                          date_trunc('hour', ts))
@@ -129,9 +131,12 @@ def ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"),
         "value",
     )
+    # exact integer cents (q1/q19 pattern): the sf10 sweep caught the
+    # grand-total rollup row drifting off the 4-dp grid at ~5e8
+    v_c = F.floor(F.col("value") * 100.0 + 0.5).cast("decimal(38,0)")
     return e.rollup("day", "hour").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        (F.sum(v_c).cast("double") / 100.0).alias("sum_value"),
     )
 
 

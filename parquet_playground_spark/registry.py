@@ -180,6 +180,9 @@ _CHECK_ORDER = [
     # officially green in r5 on code unchanged since.)
     "agg_approx_count_distinct", "api_pandas_on_spark",
     "customer_cohort_ltv", "ts_gapfill_interpolate_linear",
+    "join_shuffle_hash_hint", "ts_rollup_multires",
+    "sql_create_replace_view", "kpi_yoy_growth", "mv_incremental_refresh",
+    "dedup_semantic_clustered", "join_point_in_time",
     "dedup_incremental_lsh", "q5_local_supplier",
     "stat_gini_concentration", "customer_rfm_segments",
     "pareto_abc_classes", "ml_pr_curve_ap",
@@ -195,14 +198,17 @@ _CHECK_ORDER = [
     # the new shuffle-join plans
     "q8_market_share", "q14_promo_revenue", "q19_bracket_predicates",
     "q21_waiting_supplier", "basket_association_lift",
-    "stream_static_join", "dq_referential_integrity", "events_funnel",
-    "events_retention", "text_tfidf_topterms", "text_perplexity_proxy",
+    "stream_static_join", "dq_referential_integrity",
+    "text_tfidf_topterms", "text_perplexity_proxy",
     "text_keyword_rake", "corpus_dedup_funnel",
     # exact-money wave (sf3 screen caught q19's float revenue drifting
     # at ~2.2e10; the q1 integer-units pattern applied to every
-    # SF-growing money sum): official rows on the exact values
-    "q6_forecast_revenue", "q7_volume_shipping", "q17_small_quantity",
-    "q22_idle_rich_customers",
+    # SF-growing money sum). q6/q7/q17/q22 and events_funnel/
+    # events_retention/agg_groupby were displaced below the 50-window
+    # by the sf10-sweep fixes (each previously driver-green, and their
+    # fix classes stay represented in-window by q5/q8/q14/q19/q21/
+    # basket_association_lift for de-broadcast and join_bucketed_
+    # colocated/window_cume_percent/stat_ks_test for exact money).
     # sf3 second screen (2nd-decimal drift at ~1e11-1e12): the five
     # money sums fixed AFTER the window was last set — official rows
     # on the exact-cents forms (join_skew_salted / write_roundtrip_
@@ -218,7 +224,7 @@ _CHECK_ORDER = [
     # latent cross-scale drifts — 10 float money sums + one round()
     # shortest-repr boundary in cume_dist — all rewritten exact:
     # official rows on the fixed forms
-    "agg_groupby", "agg_pivot_multi",
+    "agg_pivot_multi",
     "agg_unpivot", "pipeline_observe_metrics", "sql_modern_parameterized",
     "sql_inline_values_dim", "join_bloom_runtime_filter",
     "join_bucketed_colocated",
@@ -228,12 +234,15 @@ _CHECK_ORDER = [
     # room for the sf3 wave above (the integer-cents pattern is still
     # represented in-window by agg_groupby / join_bucketed_colocated /
     # window_cume_percent); first in line for r7
+    "q6_forecast_revenue", "q7_volume_shipping", "q17_small_quantity",
+    "q22_idle_rich_customers", "events_funnel", "events_retention",
+    "agg_groupby",
     "agg_rollup", "agg_filtered", "write_partition_overwrite",
     "write_partitioned_parquet", "scan_schema_evolution",
     "sample_weighted_reservoir", "events_feature_hashing",
     "events_funnel_time_bounded", "events_path_trigrams",
     "ts_gapfill_locf",
-    "ts_rollup_multires", "ts_window_time_range", "ts_anomaly_zscore",
+    "ts_window_time_range", "ts_anomaly_zscore",
     "ts_resample_ohlc", "ts_ewma_bounded", "ts_holt_linear_forecast",
     "window_running_distinct", "window_rolling_median",
     "events_markov_transitions", "events_wau_rolling",
@@ -244,9 +253,9 @@ _CHECK_ORDER = [
     "ts_autocorrelation", "ts_seasonal_baseline", "ts_periodogram_dft",
     "ts_anomaly_mad", "ts_changepoint_cusum", "ts_alert_hysteresis",
     "ts_theil_sen_slope", "interval_stabbing_counts",
-    "mv_incremental_refresh", "ts_sliding_windows_batch",
+    "ts_sliding_windows_batch",
     "graph_pagerank_power", "graph_triangle_count",
-    "graph_link_prediction_cn", "kpi_yoy_growth",
+    "graph_link_prediction_cn",
     "fn_variant", "fn_higher_order", "fn_binary_hash", "fn_mask_redact",
     "fn_calendar", "fn_try_arithmetic", "fn_try_datetime_parse",
     "fn_map_merge", "fn_map_hof", "fn_string_predicates", "fn_array_outer",
@@ -299,10 +308,10 @@ _CHECK_ORDER = [
     "scan_metadata_columns",
     "sink_python_datasource", "synthetic_data_generate",
     "scan_ignore_corrupt_files",
-    "sql_create_replace_view", "join_asof_tolerance", "join_asof_nearest",
+    "join_asof_tolerance", "join_asof_nearest",
     "join_mark_existence", 
-    "join_shuffle_hash_hint", "join_interval_overlap",
-    "join_point_in_time", "set_union_byname", "set_intersect_all",
+    "join_interval_overlap",
+    "set_union_byname", "set_intersect_all",
     "set_except_all", "window_nth_first_ignore", "topk_offset_pagination",
     "udf_arrow_optimized", "udf_cogrouped_pandas", "udtf_analyze_dynamic",
 ]
