@@ -54,6 +54,9 @@ ALLOWED_PYTHON = {
 # (e.g. a dropped equi-join condition against a broadcastable side)
 # must either be fixed or explicitly audited into this list.
 SCALAR_BROADCAST_BNLJ = {
+    # two 1-row global aggregates cross-joined (the split that avoids
+    # the RewriteDistinctAggregates HLL merge-per-row plan)
+    "agg_approx_count_distinct",
     "basket_association_lift", "corpus_dataset_card",
     "corpus_dedup_funnel", "corpus_importance_resampling",
     "corpus_perplexity_buckets", "corpus_quality_ensemble",
