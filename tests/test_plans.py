@@ -1134,3 +1134,30 @@ def test_vocab_ranks_are_bucket_decomposed(spark):
         plan = formatted_plan(_q(name)(spark, SF_DIR))
         for frame in _single_partition_window_frames(plan):
             assert "__bkt" in frame, (name, frame)
+
+
+def test_approx_count_distinct_avoids_hll_expand_plan(spark):
+    """approx_count_distinct must NEVER share an aggregate with
+    count(DISTINCT): RewriteDistinctAggregates' Expand plan merges the
+    2^14-register HLL++ buffer once per input row — the sf10 sweep
+    measured 21 min/task at 60M rows. The split form (two single-row
+    jobs cross-joined) keeps both aggregates partial/final; this pin
+    fails if the Expand pathology ever comes back."""
+    plan = formatted_plan(_q("agg_approx_count_distinct")(spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree  # the 1-row x 1-row join
+
+
+def test_semantic_dedup_assignment_is_aggregated_narrow(spark):
+    """Nearest-centroid assignment must be the min_by AGGREGATION over
+    narrow (vec_id, cid, d2) rows — a row_number window here carries
+    the embedding array through an n*K-row shuffle (~50 GB at sf10).
+    The only windows allowed in this plan are the <= n-row keeper
+    ranking (partitioned by kb) downstream of the pair join."""
+    plan = formatted_plan(_q("dedup_semantic_clustered")(spark, SF_DIR))
+    # expression details (min_by) live in the detail section, not the
+    # node-summary tree
+    assert "min_by" in plan, plan.split("\n\n")[0]
+    for frame in _single_partition_window_frames(plan.split("\n\n")[0]):
+        raise AssertionError(f"unexpected global window: {frame}")
