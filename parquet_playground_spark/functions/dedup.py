@@ -1138,21 +1138,40 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         c AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id < (SELECT kk FROM k)),
         assigned AS (
+            -- tie-break on the SAME quantity as Spark's min_by: the
+            -- SQUARED distance, accumulated left-to-right (list_sum
+            -- folds in list order) — list_distance's sqrt can collapse
+            -- two distinct d2 values to an equal double and flip the
+            -- cid tiebreak across engines
             SELECT vec_id, cid, v FROM (
                 SELECT e.vec_id,
                        (min(struct_pack(
-                            d := list_distance(e.v, c.cv),
+                            d2 := list_sum(list_transform(
+                                      list_zip(e.v, c.cv),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2]))),
                             cid := c.cid))).cid AS cid
                 FROM e CROSS JOIN c
                 GROUP BY e.vec_id
             ) JOIN e USING (vec_id)
         ),
+        normed AS (
+            -- normalize-then-dot in the SAME op order as the Spark
+            -- side (each vector scaled by its own L2 norm first, then
+            -- one left-to-right dot) — list_cosine_similarity's
+            -- dot/(|a||b|) ordering differs by ulps, and the 4dp
+            -- round-before-rank can split on a .xxxx5 boundary
+            SELECT vec_id, cid,
+                   list_transform(
+                       v, x -> x / sqrt(list_sum(
+                                    list_transform(v, y -> y * y)))) AS nv
+            FROM assigned
+        ),
         pairs AS (
             SELECT a.vec_id AS ka, b.vec_id AS kb, a.cid AS cid,
-                   floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5)
+                   floor(list_dot_product(a.nv, b.nv) * 10000.0 + 0.5)
                        / 10000.0 AS cs_r4
-            FROM assigned a
-            JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            FROM normed a
+            JOIN normed b ON a.cid = b.cid AND a.vec_id < b.vec_id
         )
         SELECT kb AS vec_id, CAST(cid AS BIGINT) AS cluster_id,
                ka AS keeper_id, cs_r4 AS cos_sim
@@ -1190,15 +1209,26 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark/DuckDB split). Spark replays the uncached assignment
     subtree once per self-join side; a production run persists (or
     writes) the assignment before the pair stage so the corpus scans
-    once."""
-    import math
+    once.
 
+    K is derived LAZILY as a broadcast scalar aggregate (mirroring the
+    oracle's scalar subquery) rather than an eager ``e.count()`` at
+    DataFrame-construction time — plan-only consumers (plan audits,
+    pin tests) must not trigger a real scan, and a literal K baked at
+    build time goes stale if the frame is rebuilt against a different
+    snapshot."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    k_cent = max(8, math.ceil(math.sqrt(e.count())))
-    cent = e.filter(F.col("vec_id") < k_cent).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    kdf = e.agg(
+        F.greatest(
+            F.lit(8).cast("long"), F.ceil(F.sqrt(F.count(F.lit(1))))
+        ).alias("kk")
+    )
+    cent = (
+        e.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     d2 = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),

@@ -156,164 +156,99 @@ def load_all() -> None:
 # through the never-driver-checked remainder. Long-green checked
 # queries sort last — the local full-repr sweep still covers them.
 _CHECK_ORDER = [
-    # ---- r6 window ----
+    # ---- r7 window: pure backlog burn-down ----
     # The driver checks the first ~50 registered queries each round.
-    # r5's window came back 50/50 green (CORRECTNESS_r05), so r6 leads
-    # with (a) the queries whose CODE changed this round — the
-    # incremental-LSH narrow-pair rewrite, q5's de-broadcast supplier
-    # edge, the rfm/pareto/gini distributed-rank rewrites, the
-    # ml_pr_curve_ap wide-accumulator fix — then (b) the four r5
-    # cross-scale-fix redemption keys (VERDICT r5 item 5), then (c)
-    # the 194-key never-driver-checked backlog in VERDICT-priority
-    # category order: L scale patterns (44) -> H scalars (25) ->
-    # I streaming (10) -> M stats (33) -> K (35) -> D (24) -> A (8)
-    # -> C (7) -> G (3) -> J (3) -> E (1) -> F (1). Long-green keys
-    # are unlisted and register last in module order; the local
-    # 424-query sweep still covers them every round. Surface growth is
-    # frozen this round (VERDICT r5 item 1): zero new @register calls.
-    # first FULL oracle sweep at sf10 (two decades above the gate)
-    # caught three real defects — the HLL merge-per-row Expand plan,
-    # the ps-API float money sum, the cohort-LTV twice-summed floats —
-    # all fixed + strict-verified at sf0.01 AND sf10: official rows on
-    # the fixed forms first. (Displaced to make room: q1_pricing_
-    # summary / embedding_mean_pool / udf_grouped_arrow — each
-    # officially green in r5 on code unchanged since.)
-    "agg_approx_count_distinct", "api_pandas_on_spark",
-    "customer_cohort_ltv", "ts_gapfill_interpolate_linear",
-    "join_shuffle_hash_hint", "ts_rollup_multires",
-    "sql_create_replace_view", "kpi_yoy_growth", "mv_incremental_refresh",
-    "dedup_semantic_clustered", "join_point_in_time",
-    "dedup_incremental_lsh", "q5_local_supplier",
-    "stat_gini_concentration", "customer_rfm_segments",
-    "pareto_abc_classes", "ml_pr_curve_ap",
-    "events_decay_engagement_score", "q9_product_type_profit",
-    # never-checked keys whose code ALSO changed this round (global-
-    # window rewrites wave 2) — official rows on the new plans first
-    "dataset_global_shuffle", "skyline_dominance",
-    "curriculum_quality_stages", "corpus_token_budget_pack",
-    "corpus_perplexity_buckets",
-    # de-broadcast wave 3 (fact-proportional part/supplier/customer
-    # edges, user-scaled funnel/cohort frames, vocab-scaled idf/LM/
-    # RAKE tables, the funnel eval-split hint fix): official rows on
-    # the new shuffle-join plans
-    "q8_market_share", "q14_promo_revenue", "q19_bracket_predicates",
-    "q21_waiting_supplier", "basket_association_lift",
-    "stream_static_join", "dq_referential_integrity",
-    "text_tfidf_topterms", "text_perplexity_proxy",
-    "text_keyword_rake", "corpus_dedup_funnel",
-    # exact-money wave (sf3 screen caught q19's float revenue drifting
-    # at ~2.2e10; the q1 integer-units pattern applied to every
-    # SF-growing money sum). q6/q7/q17/q22 and events_funnel/
-    # events_retention/agg_groupby were displaced below the 50-window
-    # by the sf10-sweep fixes (each previously driver-green, and their
-    # fix classes stay represented in-window by q5/q8/q14/q19/q21/
-    # basket_association_lift for de-broadcast and join_bucketed_
-    # colocated/window_cume_percent/stat_ks_test for exact money).
-    # sf3 second screen (2nd-decimal drift at ~1e11-1e12): the five
-    # money sums fixed AFTER the window was last set — official rows
-    # on the exact-cents forms (join_skew_salted / write_roundtrip_
-    # snappy / fn_na_handling previously passed on pre-fix code;
-    # scan_recursive_glob / join_dpp_partitioned were never checked).
-    # compact_small_files is the sixth of the class, caught by the
-    # final-HEAD sf1 sweep — never driver-checked, code changed, so it
-    # takes the window slot (text_zipf_fit drops to 51; its portable-
-    # rounding fix class stays represented by window_cume_percent).
-    "join_skew_salted", "write_roundtrip_snappy", "scan_recursive_glob",
-    "join_dpp_partitioned", "fn_na_handling", "compact_small_files",
-    # first FULL oracle sweep at sf1 (parallel 4-chunk run) caught 11
-    # latent cross-scale drifts — 10 float money sums + one round()
-    # shortest-repr boundary in cume_dist — all rewritten exact:
-    # official rows on the fixed forms
-    "agg_pivot_multi",
-    "agg_unpivot", "pipeline_observe_metrics", "sql_modern_parameterized",
-    "sql_inline_values_dim", "join_bloom_runtime_filter",
-    "join_bucketed_colocated",
-    "window_cume_percent",
-    "stat_ks_test", "text_zipf_fit", "tokenizer_vocab_build",
-    # same sf1-drift class, demoted just below the 50-window to make
-    # room for the sf3 wave above (the integer-cents pattern is still
-    # represented in-window by agg_groupby / join_bucketed_colocated /
-    # window_cume_percent); first in line for r7
-    "q6_forecast_revenue", "q7_volume_shipping", "q17_small_quantity",
-    "q22_idle_rich_customers", "events_funnel", "events_retention",
-    "agg_groupby",
-    "agg_rollup", "agg_filtered", "write_partition_overwrite",
-    "write_partitioned_parquet", "scan_schema_evolution",
-    "sample_weighted_reservoir", "events_feature_hashing",
-    "events_funnel_time_bounded", "events_path_trigrams",
-    "ts_gapfill_locf",
-    "ts_window_time_range", "ts_anomaly_zscore",
-    "ts_resample_ohlc", "ts_ewma_bounded", "ts_holt_linear_forecast",
-    "window_running_distinct", "window_rolling_median",
-    "events_markov_transitions", "events_wau_rolling",
-    "events_ab_test_lift", "events_uplift_cuped", "scd2_dimension_build",
-    "skew_diagnose_keys", "zorder_morton_layout",
-    "zorder_prune_selectivity", 
-    "pipeline_dq_rules", "dq_freshness_sla", "dq_distribution_drift_psi",
-    "ts_autocorrelation", "ts_seasonal_baseline", "ts_periodogram_dft",
-    "ts_anomaly_mad", "ts_changepoint_cusum", "ts_alert_hysteresis",
-    "ts_theil_sen_slope", "interval_stabbing_counts",
-    "ts_sliding_windows_batch",
+    # r6 came back 50/50 green (CORRECTNESS_r06) and the surface is
+    # frozen at 424, so this round's window is spent entirely on the
+    # 168 keys that have never received a driver-official correctness
+    # row (VERDICT r6 item 1), in the verdict's category-priority
+    # order: H scalars (25 of 34 unchecked) -> I streaming (10 of 15)
+    # -> L scale patterns (35) -> M stats (30) -> K LLM-pipeline (31)
+    # -> D aggregations (20) -> A (5) -> C (4) -> G (3) -> J (3) ->
+    # E (1) -> F (1); alphabetical within category. The ONE redemption
+    # slot leads the list: dedup_semantic_clustered's code changed
+    # this round (r6 ADVICE: lazy-K scalar aggregate, oracle rewritten
+    # to squared-distance tie-break + normalize-then-dot cosine), and
+    # changed code always re-certifies before backlog.
+    #
+    # Burn-down schedule (driver window ~50/round, list is consumed
+    # head-first; after each round the freshly-checked heads drop off
+    # and the list shifts up):
+    #   r7: slots 1-50   = semantic_clustered + H(25) + I(10) + L(1-14)
+    #                      (L alphabetical through pipeline_dq_rules)
+    #   r8: slots 51-100 = L(15-35) + M(1-29)
+    #   r9: slots 101-150 = M(30) + K(31) + D(1-18)
+    #   r10: slots 151-169 = D(19-20) + A(5) + C(4) + G(3) + J(3)
+    #                      + E(1) + F(1)  — backlog fully retired
+    # (168 > 3x50, so full retirement lands in r10, not r9; every key
+    # stays covered by the local 424-query strict sweep meanwhile.)
+    # Long-green keys are unlisted and register last in module order.
+    "dedup_semantic_clustered", "fn_aes_roundtrip", "fn_array_outer",
+    "fn_array_setops", "fn_binary_hash", "fn_bitwise", "fn_calendar",
+    "fn_collation", "fn_format_output", "fn_higher_order",
+    "fn_inline_struct_explode", "fn_json_nested_roundtrip", "fn_map_hof",
+    "fn_map_merge", "fn_mask_redact", "fn_number_format_roundtrip",
+    "fn_posexplode", "fn_regex_suite", "fn_string_predicates",
+    "fn_struct_ops", "fn_try_arithmetic", "fn_try_datetime_parse",
+    "fn_url_parse", "fn_variant", "fn_xpath_extract",
+    "sql_lateral_view_syntax", "stream_checkpoint_recovery", "stream_dedup",
+    "stream_dedup_within_watermark", "stream_foreachbatch_upsert",
+    "stream_progress_metrics", "stream_python_source",
+    "stream_stateful_running", "stream_stream_left_outer",
+    "stream_transform_with_state", "stream_watermark_late",
+    "dq_distribution_drift_psi", "dq_freshness_sla", "events_ab_test_lift",
+    "events_feature_hashing", "events_funnel_time_bounded",
+    "events_markov_transitions", "events_path_trigrams",
+    "events_uplift_cuped", "events_wau_rolling", "graph_link_prediction_cn",
     "graph_pagerank_power", "graph_triangle_count",
-    "graph_link_prediction_cn",
-    "fn_variant", "fn_higher_order", "fn_binary_hash", "fn_mask_redact",
-    "fn_calendar", "fn_try_arithmetic", "fn_try_datetime_parse",
-    "fn_map_merge", "fn_map_hof", "fn_string_predicates", "fn_array_outer",
-    "fn_array_setops", "fn_regex_suite", "fn_struct_ops", "fn_bitwise",
-    "fn_collation", "fn_url_parse", "fn_aes_roundtrip",
-    "fn_json_nested_roundtrip", "fn_xpath_extract",
-    "fn_number_format_roundtrip", "fn_format_output", "fn_posexplode",
-    "fn_inline_struct_explode", "sql_lateral_view_syntax",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_running",
-    "stream_transform_with_state", "stream_foreachbatch_upsert",
-    "stream_python_source", "stream_dedup_within_watermark",
-    "stream_progress_metrics", "stream_checkpoint_recovery",
-    "stream_stream_left_outer", "agg_percentile_within_group",
-    "agg_weighted_median", "df_transpose",
-    "events_attribution_touch",
-    "events_heatmap_hour_dow", "events_seq_pattern",
-    "ts_interval_union_coverage", "fn_from_csv_parse", "fn_timestamp_ntz",
-    "fn_unicode_lengths", "fn_uuid_deterministic", "geo_nearest_hub",
-    "join_natural_using", "recon_symmetric_diff",
-    "sql_partition_hints", "stat_benford_digits", "stat_chi_square",
-    "stat_mahalanobis_outliers", "text_inverted_index", "ts_business_days",
-    "ts_time_weighted_avg", "udf_pandas_iterator", "stat_bootstrap_ci",
-    "stat_cohort_survival_km", "stat_mann_whitney_u",
-    "text_classify_naive_bayes", "ml_logistic_gradient_steps",
-    "ml_linear_normal_equation", "ml_kfold_cross_validation",
-    "embedding_random_projection_jl", "dedup_winnowing_fingerprints",
-    "dedup_shingle_containment", "dedup_prefix_boilerplate",
-    "embedding_product_quantization", "corpus_dataset_card",
-    "doc_chunk_overlap", "corpus_lang_rebalance",
-    "corpus_source_divergence_jsd", "text_bigram_lm_perplexity",
-    "text_repetition_rep_n", "text_vocab_freq_spectrum",
-    "text_ngram_novelty_rate", "text_doc_entropy",
-    "tokenizer_bpe_merges", "tokenizer_unigram_em", "sim_search_ivf_pq",
-    "stream_windowed_topk", "ml_decision_stump",
-    "multimodal_webdataset_shards", "ts_downsample_lttb",
-    "ts_kalman_filter_1d", "fn_interval_arithmetic",
+    "interval_stabbing_counts", "pipeline_dq_rules",
+    "sample_weighted_reservoir", "scd2_dimension_build",
+    "skew_diagnose_keys", "ts_alert_hysteresis", "ts_anomaly_mad",
+    "ts_anomaly_zscore", "ts_autocorrelation", "ts_changepoint_cusum",
+    "ts_ewma_bounded", "ts_gapfill_locf", "ts_holt_linear_forecast",
+    "ts_periodogram_dft", "ts_resample_ohlc", "ts_seasonal_baseline",
+    "ts_sliding_windows_batch", "ts_theil_sen_slope", "ts_window_time_range",
+    "window_rolling_median", "window_running_distinct",
+    "zorder_morton_layout", "zorder_prune_selectivity",
+    "agg_percentile_within_group", "agg_weighted_median", "df_transpose",
+    "embedding_random_projection_jl", "events_attribution_touch",
+    "events_heatmap_hour_dow", "events_seq_pattern", "fn_from_csv_parse",
+    "fn_timestamp_ntz", "fn_unicode_lengths", "fn_uuid_deterministic",
+    "geo_nearest_hub", "join_natural_using", "ml_kfold_cross_validation",
+    "ml_linear_normal_equation", "ml_logistic_gradient_steps",
+    "recon_symmetric_diff", "sql_partition_hints", "stat_benford_digits",
+    "stat_bootstrap_ci", "stat_chi_square", "stat_cohort_survival_km",
+    "stat_mahalanobis_outliers", "stat_mann_whitney_u",
+    "text_classify_naive_bayes", "text_inverted_index", "ts_business_days",
+    "ts_interval_union_coverage", "ts_time_weighted_avg",
+    "udf_pandas_iterator", "anonymize_k_audit", "corpus_dataset_card",
+    "corpus_importance_resampling", "corpus_lang_rebalance",
+    "corpus_quality_ensemble", "corpus_source_divergence_jsd",
     "dedup_minhash_index_merge", "dedup_paragraph_exact",
-    "corpus_quality_ensemble", "seq_len_distribution", "anonymize_k_audit",
-    "part_co_occurrence", "corpus_importance_resampling",
-    "gdpr_delete_cascade", 
-    "agg_regression", "agg_covariance",
-    "agg_mode_deterministic", "incremental_variance_merge",
-    "agg_approx_top_k", "sketch_hll_union", "sketch_kll_quantiles",
-    "agg_boolean_bitwise", "agg_listagg", "agg_width_bucket_histogram",
-    "sql_scripting_control_flow",
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q16_supplier_part_counts", "q20_part_promotion", "sql_pivot_syntax",
-    "stat_crosstab", "agg_bitmap_distinct",
-    "agg_session_window_batch", "agg_grouping_id", "avro_ingest",
-    "scan_metadata_columns",
-    "sink_python_datasource", "synthetic_data_generate",
-    "scan_ignore_corrupt_files",
-    "join_asof_tolerance", "join_asof_nearest",
-    "join_mark_existence", 
-    "join_interval_overlap",
-    "set_union_byname", "set_intersect_all",
-    "set_except_all", "window_nth_first_ignore", "topk_offset_pagination",
+    "dedup_prefix_boilerplate", "dedup_shingle_containment",
+    "dedup_winnowing_fingerprints", "doc_chunk_overlap",
+    "embedding_product_quantization", "fn_interval_arithmetic",
+    "gdpr_delete_cascade", "ml_decision_stump",
+    "multimodal_webdataset_shards", "part_co_occurrence",
+    "seq_len_distribution", "sim_search_ivf_pq", "stream_windowed_topk",
+    "text_bigram_lm_perplexity", "text_doc_entropy",
+    "text_ngram_novelty_rate", "text_repetition_rep_n",
+    "text_vocab_freq_spectrum", "tokenizer_bpe_merges",
+    "tokenizer_unigram_em", "tokenizer_vocab_build", "ts_downsample_lttb",
+    "ts_kalman_filter_1d", "agg_approx_top_k", "agg_bitmap_distinct",
+    "agg_boolean_bitwise", "agg_covariance", "agg_grouping_id",
+    "agg_listagg", "agg_mode_deterministic", "agg_regression",
+    "agg_session_window_batch", "agg_width_bucket_histogram",
+    "incremental_variance_merge", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_part_promotion", "q2_min_cost_supplier",
+    "sketch_hll_union", "sketch_kll_quantiles", "sql_pivot_syntax",
+    "sql_scripting_control_flow", "stat_crosstab", "avro_ingest",
+    "scan_ignore_corrupt_files", "scan_metadata_columns",
+    "sink_python_datasource", "synthetic_data_generate", "join_asof_nearest",
+    "join_asof_tolerance", "join_interval_overlap", "join_mark_existence",
+    "set_except_all", "set_intersect_all", "set_union_byname",
     "udf_arrow_optimized", "udf_cogrouped_pandas", "udtf_analyze_dynamic",
+    "window_nth_first_ignore", "topk_offset_pagination",
 ]
 
 

@@ -301,9 +301,12 @@ ORACLE_QUERIES = [
     "events_feature_hashing",  # scale: dictionary-free featurization
 ]
 
-# rows-only queries: assert they run and return sane row counts
+# Queries additionally smoke-checked for sane row counts. NOTE: since
+# r4 every registered query has a DuckDB oracle (ORACLES covers all
+# 424; zero rows-only in the driver sense) — this set just keeps a
+# direct execution test on keys with non-trivial streaming lifecycles.
 ROWS_ONLY_QUERIES = {
-    "stream_watermark_late": None,  # >0; the one remaining rows-only query
+    "stream_watermark_late": None,  # >0
 }
 
 

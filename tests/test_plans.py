@@ -441,10 +441,12 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
     plan = formatted_plan(_q("dedup_semantic_clustered")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     tree = plan.split("\n\n")[0]
-    # assignment's 8-row centroid broadcast appears once per self-join
-    # side (Spark duplicates the uncached subtree); anything more means
-    # the pair stage itself went nested-loop
-    assert tree.count("BroadcastNestedLoopJoin") <= 2
+    # each self-join side replays the uncached assignment subtree,
+    # which carries TWO scalar/bounded broadcasts: the lazy 1-row K
+    # aggregate (r6 ADVICE — no eager count at plan-build time) and
+    # the K-row centroid set. 2 sides x 2 = 4; anything more means the
+    # pair stage itself went nested-loop
+    assert tree.count("BroadcastNestedLoopJoin") <= 4
 
 
 def test_shuffle_hash_hint_forces_shj(spark):

@@ -98,13 +98,34 @@ SCALAR_BROADCAST_BNLJ = {
 
 def main() -> int:
     from parquet_playground_spark import registry
-    from parquet_playground_spark.plans.inspect import formatted_plan
     from parquet_playground_spark.session import get_spark
 
     registry.load_all()
     spark = get_spark("plan-audit")
 
     names = sys.argv[1:] or list(registry.QUERIES)
+    bad = audit(spark, names)
+    print(f"\naudited {len(names)} plans")
+    if bad:
+        print("FAILED:")
+        for b in bad:
+            print(" ", b)
+        return 1
+    print("no unexplained CartesianProduct / BatchEvalPython")
+    return 0
+
+
+def audit(spark, names: list[str]) -> list[str]:
+    """Audit the named queries' plans; return the violation list.
+
+    Importable so the sweep runs both as a CLI tool and as the
+    `tests/test_plan_audit.py` pytest (r6 VERDICT item 5 — the
+    allowlist discipline is enforced by the suite, not by remembering
+    to run a tool)."""
+    from parquet_playground_spark import registry
+    from parquet_playground_spark.plans.inspect import formatted_plan
+
+    registry.load_all()
     bad: list[str] = []
     for name in names:
         try:
@@ -128,14 +149,7 @@ def main() -> int:
             )
         if "BatchEvalPython" in plan and name not in ALLOWED_PYTHON:
             bad.append(f"{name}: BatchEvalPython")
-    print(f"\naudited {len(names)} plans")
-    if bad:
-        print("FAILED:")
-        for b in bad:
-            print(" ", b)
-        return 1
-    print("no unexplained CartesianProduct / BatchEvalPython")
-    return 0
+    return bad
 
 
 if __name__ == "__main__":

@@ -185,24 +185,25 @@ def canon_pdf_strict(pdf) -> tuple[list[str], dict[str, str]]:
 
 
 def main() -> int:
+    import argparse
+
     from parquet_playground_spark import get_spark, registry
 
-    strict = "--strict" in sys.argv
-    vanilla = "--vanilla" in sys.argv
-    argv = sys.argv[1:]
-    max_rows = None
-    if "--max-rows" in argv:
-        i = argv.index("--max-rows")
-        max_rows = int(argv[i + 1])
-        del argv[i : i + 2]
-    names_file = None
-    if "--names-file" in argv:
-        i = argv.index("--names-file")
-        names_file = argv[i + 1]
-        del argv[i : i + 2]
-    args = [a for a in argv if not a.startswith("--")]
-    if names_file:
-        with open(names_file) as fh:
+    # argparse (r6 ADVICE): the hand-rolled parser raised IndexError
+    # when a flag's value was missing, and silently ate unknown flags.
+    parser = argparse.ArgumentParser(
+        description="Local mirror of the driver's correctness gate."
+    )
+    parser.add_argument("--strict", action="store_true")
+    parser.add_argument("--vanilla", action="store_true")
+    parser.add_argument("--max-rows", type=int, default=None)
+    parser.add_argument("--names-file", default=None)
+    parser.add_argument("names", nargs="*")
+    ns = parser.parse_args()
+    strict, vanilla, max_rows = ns.strict, ns.vanilla, ns.max_rows
+    args = list(ns.names)
+    if ns.names_file:
+        with open(ns.names_file) as fh:
             args += [ln.strip() for ln in fh if ln.strip()]
 
     registry.load_all()
@@ -276,74 +277,90 @@ def main() -> int:
                     )
                     n_big += 1
                 continue
+        # finally-drop (r6 ADVICE): the staged __oracle used to leak on
+        # the spark-error/duckdb-error continue paths — harmless only
+        # because the next staging used CREATE OR REPLACE, but a leaked
+        # sf10-sized temp table pins memory for the rest of the sweep.
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            if strict:
-                spdf = sdf.toPandas()
-            srows = [tuple(r) for r in sdf.collect()] if not strict else []
-        except Exception:
-            print(f"FAIL  {name}: spark error")
-            traceback.print_exc(limit=5)
-            n_fail += 1
-            failures.append(name)
-            continue
-        n_spark = len(spdf) if strict else len(srows)
-        if name not in registry.ORACLES:
-            print(f"rows  {name}: {n_spark} rows (rows-only)")
-            n_rows_only += 1
-            continue
-        try:
-            rel = con.sql(
-                "SELECT * FROM __oracle"
-                if oracle_staged
-                else registry.ORACLES[name]
-            )
-            ocols = [c for c in rel.columns]
-            if strict:
-                opdf = rel.df()
-                orows = []
+            try:
+                sdf = fn(spark, SF_DIR)
+                scols = sdf.columns
+                if strict:
+                    spdf = sdf.toPandas()
+                srows = (
+                    [tuple(r) for r in sdf.collect()] if not strict else []
+                )
+            except Exception:
+                print(f"FAIL  {name}: spark error")
+                traceback.print_exc(limit=5)
+                n_fail += 1
+                failures.append(name)
+                continue
+            n_spark = len(spdf) if strict else len(srows)
+            if name not in registry.ORACLES:
+                print(f"rows  {name}: {n_spark} rows (rows-only)")
+                n_rows_only += 1
+                continue
+            try:
+                rel = con.sql(
+                    "SELECT * FROM __oracle"
+                    if oracle_staged
+                    else registry.ORACLES[name]
+                )
+                ocols = [c for c in rel.columns]
+                if strict:
+                    opdf = rel.df()
+                    orows = []
+                else:
+                    orows = rel.fetchall()
+            except Exception as exc:
+                print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
+                n_fail += 1
+                failures.append(name)
+                continue
+            n_oracle = len(opdf) if strict else len(orows)
+            problems = []
+            if n_spark != n_oracle:
+                problems.append(
+                    f"rowcount spark={n_spark} duckdb={n_oracle}"
+                )
+            if sorted(scols) != sorted(ocols):
+                problems.append(
+                    f"schema spark={sorted(scols)} duckdb={sorted(ocols)}"
+                )
+            if not problems and strict:
+                sc, skinds = canon_pdf_strict(spdf)
+                oc, okinds = canon_pdf_strict(opdf)
+                kind_skew = {
+                    c: (skinds[c], okinds[c])
+                    for c in skinds
+                    if skinds[c] != okinds.get(c)
+                }
+                if kind_skew:
+                    problems.append(f"dtype-kind skew: {kind_skew}")
+                elif sc != oc:
+                    diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                    problems.append(
+                        f"strict values differ, first diffs: {diff}"
+                    )
+            elif not problems:
+                sc, oc = canon_rows(scols, srows), canon_rows(ocols, orows)
+                if sc != oc:
+                    diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
+                    problems.append(f"values differ, first diffs: {diff}")
+            dt = time.monotonic() - t_start
+            if problems:
+                print(
+                    f"FAIL  {name}: {'; '.join(p[:400] for p in problems)}"
+                )
+                n_fail += 1
+                failures.append(name)
             else:
-                orows = rel.fetchall()
-        except Exception as exc:
-            print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
-            n_fail += 1
-            failures.append(name)
-            continue
-        n_oracle = len(opdf) if strict else len(orows)
-        problems = []
-        if n_spark != n_oracle:
-            problems.append(f"rowcount spark={n_spark} duckdb={n_oracle}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema spark={sorted(scols)} duckdb={sorted(ocols)}")
-        if not problems and strict:
-            sc, skinds = canon_pdf_strict(spdf)
-            oc, okinds = canon_pdf_strict(opdf)
-            kind_skew = {
-                c: (skinds[c], okinds[c])
-                for c in skinds
-                if skinds[c] != okinds.get(c)
-            }
-            if kind_skew:
-                problems.append(f"dtype-kind skew: {kind_skew}")
-            elif sc != oc:
-                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-                problems.append(f"strict values differ, first diffs: {diff}")
-        elif not problems:
-            sc, oc = canon_rows(scols, srows), canon_rows(ocols, orows)
-            if sc != oc:
-                diff = [(a, b) for a, b in zip(sc, oc) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
-        if oracle_staged:
-            con.execute("DROP TABLE IF EXISTS __oracle")
-        dt = time.monotonic() - t_start
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(p[:400] for p in problems)}")
-            n_fail += 1
-            failures.append(name)
-        else:
-            print(f"ok    {name}: {n_spark} rows [{dt:.1f}s]")
-            n_pass += 1
+                print(f"ok    {name}: {n_spark} rows [{dt:.1f}s]")
+                n_pass += 1
+        finally:
+            if oracle_staged:
+                con.execute("DROP TABLE IF EXISTS __oracle")
     print(
         f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, "
         f"{n_big} big-count-only, {n_fail} FAIL"
