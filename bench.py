@@ -64,6 +64,19 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _prewarm_page_cache() -> None:
+    """Read every input parquet once so pass 1 doesn't pay cold
+    page-cache penalties pass 2 never sees (r6 VERDICT item 4: the
+    0.7 s round-over-round drift was disk-cache churn, not plans).
+    The bench measures plan quality; disk cold-start on a 100-TB
+    cluster is a provisioning question, not a query-plan one."""
+    for fname in os.listdir(SF_DIR):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(SF_DIR, fname), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from parquet_playground_spark import registry
@@ -73,6 +86,7 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    _prewarm_page_cache()
     # warmup: JVM + codegen + parquet footer caches
     _materialize(registry.QUERIES["agg_global"](spark, SF_DIR))
 
@@ -100,7 +114,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "protocol": "min_of_2_passes",
+        "protocol": "min_of_2_passes_page_cache_prewarmed",
         "pass_totals": [
             round(sum(p.values()), 3) for p in passes
         ],

@@ -146,6 +146,39 @@ def _stream_shuffle_partitions(
     return str(max(int(dp), 8))
 
 
+def _maybe_report_state_metrics(q) -> None:
+    """Opt-in (SPARK_GRAFT_STREAM_METRICS=1): print the last
+    state-bearing micro-batch's state-store metrics to stderr — rows
+    held, on-heap/native memory used, and the RocksDB custom metrics
+    (SST file bytes = what spills to local disk). This is how the
+    cross-scale streaming screens record that state stays bounded as
+    events grow (r6 VERDICT item 3); off by default so the driver's
+    stdout JSON contract is untouched."""
+    if os.environ.get("SPARK_GRAFT_STREAM_METRICS") != "1":
+        return
+    import sys as _sys
+
+    for p in reversed(q.recentProgress):
+        ops = p.stateOperators or []
+        if not ops:
+            continue
+        for op in ops:
+            custom = op.customMetrics or {}
+            disk = {
+                k: v
+                for k, v in sorted(custom.items())
+                if "sst" in k.lower() or "bytes" in k.lower()
+            }
+            print(
+                f"[stream-state] {op.operatorName}: "
+                f"rowsTotal={op.numRowsTotal} "
+                f"memUsedBytes={op.memoryUsedBytes} "
+                f"rocksdb={disk}",
+                file=_sys.stderr,
+            )
+        break
+
+
 def _run_to_table(
     stream_df: DataFrame, mode: str, sink: str = "memory"
 ) -> DataFrame:
@@ -211,6 +244,7 @@ def _run_to_table(
                 .start()
             )
             q.awaitTermination()
+            _maybe_report_state_metrics(q)
             return spark.read.parquet(out_dir)
         name = f"pp_sink_{uuid.uuid4().hex[:12]}"
         q = (
@@ -221,6 +255,7 @@ def _run_to_table(
             .start()
         )
         q.awaitTermination()
+        _maybe_report_state_metrics(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)  # analyzed eagerly — survives the drop
