@@ -24,6 +24,13 @@ from parquet_playground_spark.registry import register
 from parquet_playground_spark.tables import ensure_session_defaults
 
 ROWS_PER_PARTITION = 2000
+# cap on partitions per micro-batch: availableNow replays the whole
+# file in one batch, and a fixed 2000-row chunk at 10M rows means 5000
+# Python-worker tasks of pure overhead. A production connector sizes
+# fetches to the broker; here the chunk grows with the batch so task
+# count stays bounded while small batches keep the multi-partition
+# offset algebra exercised.
+MAX_PARTITIONS_PER_BATCH = 64
 
 
 def make_stream_datasource():
@@ -61,19 +68,45 @@ def make_stream_datasource():
 
         def partitions(self, start: dict, end: dict):
             lo, hi = start["row"], end["row"]
+            chunk = max(
+                ROWS_PER_PARTITION,
+                -(-(hi - lo) // MAX_PARTITIONS_PER_BATCH),
+            )
             return [
-                _RangePartition(self._path, s, min(s + ROWS_PER_PARTITION, hi))
-                for s in range(lo, hi, ROWS_PER_PARTITION)
+                _RangePartition(self._path, s, min(s + chunk, hi))
+                for s in range(lo, hi, chunk)
             ] or [_RangePartition(self._path, lo, lo)]
 
         def read(self, partition):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(
-                partition.path,
+            # Read ONLY the row groups covering [start, end): the first
+            # form of this reader read the WHOLE file per partition and
+            # sliced, which is O(n^2 / chunk) total I/O across a batch —
+            # the sf10 streaming screen measured it superlinear (24x
+            # wall for 10x rows). Row-group pruning is what the offset
+            # algebra is FOR: a broker connector fetches only its range,
+            # and the parquet twin must too.
+            pf = pq.ParquetFile(partition.path)
+            md = pf.metadata
+            groups, first_row = [], 0
+            for g in range(md.num_row_groups):
+                n = md.row_group(g).num_rows
+                if first_row + n > partition.start and first_row < partition.end:
+                    if not groups:
+                        groups_base = first_row
+                    groups.append(g)
+                first_row += n
+            if not groups:
+                return
+            tbl = pf.read_row_groups(
+                groups,
                 columns=["event_id", "ts", "user_id", "event_type", "value"],
-            ).slice(partition.start, partition.end - partition.start)
+            ).slice(
+                partition.start - groups_base,
+                partition.end - partition.start,
+            )
             # the file stores timestamp[ns] naive; Spark's Arrow bridge
             # needs tz-aware micros for a session-UTC timestamp column
             i = tbl.schema.get_field_index("ts")
@@ -82,14 +115,10 @@ def make_stream_datasource():
                 pa.field("ts", pa.timestamp("us", tz="UTC")),
                 tbl.column("ts").cast(pa.timestamp("us", tz="UTC"), safe=False),
             )
-            for row in tbl.to_pylist():
-                yield (
-                    row["event_id"],
-                    row["ts"],
-                    row["user_id"],
-                    row["event_type"],
-                    row["value"],
-                )
+            # yield arrow RecordBatches (the API's vectorized path) —
+            # per-row Python tuples cost ~100x more interpreter time at
+            # event scale and carry no extra fidelity for this source
+            yield from tbl.to_batches()
 
         def commit(self, end: dict) -> None:
             pass
