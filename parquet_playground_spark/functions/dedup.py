@@ -1216,10 +1216,22 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame-construction time — plan-only consumers (plan audits,
     pin tests) must not trigger a real scan, and a literal K baked at
     build time goes stale if the frame is rebuilt against a different
-    snapshot."""
+    snapshot.
+
+    The embedding scan is REPARTITIONED to the session's core count
+    before the centroid cross-join: the assignment stage is n*K
+    higher-order distance evals (~3e10 at sf30) that otherwise run at
+    the parquet SPLIT parallelism — a 150 MB embeddings file is 1-2
+    splits, so the heaviest stage of the whole query ground on 1-2
+    cores (the r7 sf30 probe measured the un-repartitioned form at
+    >50 min; cluster sizes were BALANCED — max 2.3x mean — so the fix
+    is scan parallelism, not skew salting). One narrow n-row shuffle
+    buys a 32x-parallel assignment; on a real cluster the same knob is
+    executor cores."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     kdf = e.agg(
         F.greatest(
             F.lit(8).cast("long"), F.ceil(F.sqrt(F.count(F.lit(1))))
