@@ -156,52 +156,31 @@ def load_all() -> None:
 # through the never-driver-checked remainder. Long-green checked
 # queries sort last — the local full-repr sweep still covers them.
 _CHECK_ORDER = [
-    # ---- r7 window: pure backlog burn-down ----
+    # ---- r8 window: backlog burn-down, tranche 2 of 4 ----
     # The driver checks the first ~50 registered queries each round.
-    # r6 came back 50/50 green (CORRECTNESS_r06) and the surface is
-    # frozen at 424, so this round's window is spent entirely on the
-    # 168 keys that have never received a driver-official correctness
-    # row (VERDICT r6 item 1), in the verdict's category-priority
-    # order: H scalars (25 of 34 unchecked) -> I streaming (10 of 15)
-    # -> L scale patterns (35) -> M stats (30) -> K LLM-pipeline (31)
-    # -> D aggregations (20) -> A (5) -> C (4) -> G (3) -> J (3) ->
-    # E (1) -> F (1); alphabetical within category. The ONE redemption
-    # slot leads the list: dedup_semantic_clustered's code changed
-    # this round (r6 ADVICE: lazy-K scalar aggregate, oracle rewritten
-    # to squared-distance tie-break + normalize-then-dot cosine), and
-    # changed code always re-certifies before backlog.
+    # r7 came back 50/50 green (CORRECTNESS_r07): H scalars and I
+    # streaming are fully retired and L is checked through
+    # pipeline_dq_rules (L 1-14). Those 50 heads drop off the list;
+    # this round's window is the next 50 never-driver-checked keys per
+    # the r7 VERDICT item 1 schedule: L(15-35) — sample_weighted_
+    # reservoir alphabetically through the zorder_* pair — then
+    # M(1-29) — agg_percentile_within_group through
+    # ts_time_weighted_avg. Surface stays frozen at 424; ever-checked
+    # reaches ~355 after this window. Any key whose code changes in r8
+    # takes a redemption slot at the head, displacing the tail of the
+    # window to the next round.
     #
     # Burn-down schedule (driver window ~50/round, list is consumed
     # head-first; after each round the freshly-checked heads drop off
     # and the list shifts up):
-    #   r7: slots 1-50   = semantic_clustered + H(25) + I(10) + L(1-14)
-    #                      (L alphabetical through pipeline_dq_rules)
-    #   r8: slots 51-100 = L(15-35) + M(1-29)
-    #   r9: slots 101-150 = M(30) + K(31) + D(1-18)
-    #   r10: slots 151-169 = D(19-20) + A(5) + C(4) + G(3) + J(3)
+    #   r7: DONE — semantic_clustered + H(25) + I(10) + L(1-14)
+    #   r8: slots 1-50  = L(15-35) + M(1-29)
+    #   r9: slots 51-100 = M(30) + K(31) + D(1-18)
+    #   r10: slots 101-119 = D(19-20) + A(5) + C(4) + G(3) + J(3)
     #                      + E(1) + F(1)  — backlog fully retired
-    # (168 > 3x50, so full retirement lands in r10, not r9; every key
-    # stays covered by the local 424-query strict sweep meanwhile.)
+    # (119 left after r7; every key stays covered by the local
+    # 424-query strict sweep meanwhile.)
     # Long-green keys are unlisted and register last in module order.
-    "dedup_semantic_clustered", "fn_aes_roundtrip", "fn_array_outer",
-    "fn_array_setops", "fn_binary_hash", "fn_bitwise", "fn_calendar",
-    "fn_collation", "fn_format_output", "fn_higher_order",
-    "fn_inline_struct_explode", "fn_json_nested_roundtrip", "fn_map_hof",
-    "fn_map_merge", "fn_mask_redact", "fn_number_format_roundtrip",
-    "fn_posexplode", "fn_regex_suite", "fn_string_predicates",
-    "fn_struct_ops", "fn_try_arithmetic", "fn_try_datetime_parse",
-    "fn_url_parse", "fn_variant", "fn_xpath_extract",
-    "sql_lateral_view_syntax", "stream_checkpoint_recovery", "stream_dedup",
-    "stream_dedup_within_watermark", "stream_foreachbatch_upsert",
-    "stream_progress_metrics", "stream_python_source",
-    "stream_stateful_running", "stream_stream_left_outer",
-    "stream_transform_with_state", "stream_watermark_late",
-    "dq_distribution_drift_psi", "dq_freshness_sla", "events_ab_test_lift",
-    "events_feature_hashing", "events_funnel_time_bounded",
-    "events_markov_transitions", "events_path_trigrams",
-    "events_uplift_cuped", "events_wau_rolling", "graph_link_prediction_cn",
-    "graph_pagerank_power", "graph_triangle_count",
-    "interval_stabbing_counts", "pipeline_dq_rules",
     "sample_weighted_reservoir", "scd2_dimension_build",
     "skew_diagnose_keys", "ts_alert_hysteresis", "ts_anomaly_mad",
     "ts_anomaly_zscore", "ts_autocorrelation", "ts_changepoint_cusum",
