@@ -69,10 +69,21 @@ def _prewarm_page_cache() -> None:
     page-cache penalties pass 2 never sees (r6 VERDICT item 4: the
     0.7 s round-over-round drift was disk-cache churn, not plans).
     The bench measures plan quality; disk cold-start on a 100-TB
-    cluster is a provisioning question, not a query-plan one."""
-    for fname in os.listdir(SF_DIR):
-        if fname.endswith(".parquet"):
-            with open(os.path.join(SF_DIR, fname), "rb") as fh:
+    cluster is a provisioning question, not a query-plan one.
+
+    Walks recursively and skips non-files so a dataset stored as a
+    partitioned DIRECTORY named *.parquet (or nested part files)
+    neither raises IsADirectoryError nor silently stays cold (r7
+    ADVICE #2). For the flat testdata layout this touches the exact
+    same bytes as the r7 flat listdir, so the protocol is unchanged."""
+    for root, _dirs, files in os.walk(SF_DIR):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fname)
+            if not os.path.isfile(path):
+                continue
+            with open(path, "rb") as fh:
                 while fh.read(1 << 22):
                     pass
 

@@ -513,7 +513,8 @@ def anonymize_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(DISTINCT t.lang) AS n_langs,
                CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
                CAST(sum(t.n_chars) AS BIGINT) AS total_chars,
-               round(avg(t.n_tokens), 4) AS avg_doc_tokens,
+               floor(CAST(sum(t.n_tokens) AS DOUBLE) / count(*)
+                     * 10000.0 + 0.5) / 10000.0 AS avg_doc_tokens,
                round(quantile_cont(t.n_tokens, 0.5), 4) AS p50_tokens,
                round(quantile_cont(t.n_tokens, 0.9), 4) AS p90_tokens,
                count(*) - count(DISTINCT t.chash) AS n_exact_dups,
@@ -552,7 +553,17 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").alias("n_langs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_doc_tokens"),
+        # exact-integer mean + portable floor (q1/q19 pattern): engine
+        # round(avg(..)) is the one order/rounding-sensitive cell on
+        # this card (r7 VERDICT item 6 — key enters the r9 window)
+        (
+            F.floor(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("avg_doc_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
         (F.count(F.lit(1)) - F.count_distinct("chash")).alias("n_exact_dups"),

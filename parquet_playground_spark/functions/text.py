@@ -1200,11 +1200,17 @@ _LM_K = 0.5
         )
         SELECT b.doc_id,
                count(*) AS n_bigrams,
-               round(avg(-ln((bc.c12 + {_LM_K})
-                             / (cc.c1 + {_LM_K} * vocab.v))), 4) AS avg_nll,
-               round(exp(avg(-ln((bc.c12 + {_LM_K})
-                                 / (cc.c1 + {_LM_K} * vocab.v)))), 4)
-                   AS perplexity
+               floor(CAST(sum(CAST(floor(
+                       -ln((bc.c12 + {_LM_K})
+                           / (cc.c1 + {_LM_K} * vocab.v))
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100000.0 + 0.5) / 10000.0 AS avg_nll,
+               floor(exp(CAST(sum(CAST(floor(
+                       -ln((bc.c12 + {_LM_K})
+                           / (cc.c1 + {_LM_K} * vocab.v))
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / count(*) / 1000000000.0) * 10000.0 + 0.5)
+                   / 10000.0 AS perplexity
         FROM big b
         JOIN bg_counts bc ON bc.bg = b.bg
         JOIN ctx_counts cc ON cc.w1 = string_split(b.bg, ' ')[1]
@@ -1225,9 +1231,18 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     web corpus), so the join strategy is left to AQE: it broadcasts
     when the LM table is genuinely small and falls back to a shuffled
     hash join when it isn't, instead of OOMing the driver on a forced
-    hint. Only the 1-row vocab size is explicitly broadcast. The
-    per-doc NLL sum has at most |doc| terms of magnitude ~ln|V²|, so
-    4-dp rounding absorbs summation-order drift."""
+    hint. Only the 1-row vocab size is explicitly broadcast.
+
+    Determinism (r7 VERDICT item 6, key enters the r9 driver window):
+    each bigram's NLL term is floor-quantized to integer NANO-units
+    before summing, so the per-doc accumulation is an exact
+    order-independent integer add — measured on this host, JVM and
+    DuckDB ln()/exp() are bit-DIFFERENT on ~8-10% of inputs, and a
+    raw float avg additionally drifts with partial-aggregation order.
+    The 4-dp outputs are then single identical IEEE expressions of
+    that integer sum (portable floor, never engine round); perplexity
+    stays O(10^2) (add-k bigram LM, grows ~ln V), so exp's own
+    ulp-level divergence sits ~9 orders below the rounding grid."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("t")
@@ -1252,9 +1267,11 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .agg(F.countDistinct("tok").cast("double").alias("v"))
     )
-    nll = -F.log(
-        (F.col("c12") + _LM_K) / (F.col("c1") + _LM_K * F.col("v"))
-    )
+    nll_u = F.floor(
+        -F.log((F.col("c12") + _LM_K) / (F.col("c1") + _LM_K * F.col("v")))
+        * 1000000000.0
+        + 0.5
+    ).cast("long")
     return (
         bigrams.join(bg_counts, "bg")
         .join(
@@ -1265,8 +1282,27 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(nll), 4).alias("avg_nll"),
-            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+            (
+                F.floor(
+                    F.sum(nll_u).cast("double")
+                    / F.count(F.lit(1))
+                    / 100000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("avg_nll"),
+            (
+                F.floor(
+                    F.exp(
+                        F.sum(nll_u).cast("double")
+                        / F.count(F.lit(1))
+                        / 1000000000.0
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("perplexity"),
         )
         .orderBy("doc_id")
     )

@@ -798,11 +798,13 @@ _BOOT_B = 32
     "stat_bootstrap_ci",
     oracle=f"""
         WITH base AS (
-            SELECT event_id, value FROM events
+            SELECT event_id,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+            FROM events
             WHERE event_type = 'purchase'
         ),
         reps AS (
-            SELECT b.b, e.event_id, e.value,
+            SELECT b.b, e.event_id, e.v_c,
                    (CAST(concat('0x', substr(md5(concat(
                         CAST(e.event_id AS VARCHAR), '_',
                         CAST(b.b AS VARCHAR))), 1, 8)) AS BIGINT)
@@ -811,7 +813,7 @@ _BOOT_B = 32
             CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
         ),
         weighted AS (
-            SELECT b, value,
+            SELECT b, v_c,
                    CASE WHEN u < 0.367879 THEN 0
                         WHEN u < 0.735759 THEN 1
                         WHEN u < 0.919699 THEN 2
@@ -820,15 +822,27 @@ _BOOT_B = 32
             FROM reps
         ),
         boot AS (
-            SELECT b, sum(w * value) / sum(w) AS m
+            SELECT b,
+                   CAST(floor(CAST(sum(w * v_c) AS DOUBLE)
+                              / (100.0 * sum(w)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS m_u
             FROM weighted GROUP BY b
         )
         SELECT (SELECT count(*) FROM base) AS n_rows,
-               (SELECT round(avg(value), 4) FROM base) AS point_mean,
-               round(avg(m), 4) AS boot_mean,
-               round(stddev_samp(m), 4) AS boot_se,
-               round(quantile_cont(m, 0.025), 4) AS ci_lo,
-               round(quantile_cont(m, 0.975), 4) AS ci_hi
+               (SELECT floor(CAST(sum(v_c) AS DOUBLE) / count(*)
+                             * 100.0 + 0.5) / 10000.0
+                FROM base) AS point_mean,
+               floor(CAST(sum(m_u) AS DOUBLE) / count(*) / 100.0 + 0.5)
+                   / 10000.0 AS boot_mean,
+               floor(sqrt((CAST(sum(m_u * m_u) AS DOUBLE)
+                           - CAST(sum(m_u) AS DOUBLE) * sum(m_u)
+                             / count(*))
+                          / (count(*) - 1)) / 100.0 + 0.5)
+                   / 10000.0 AS boot_se,
+               floor(quantile_cont(m_u, 0.025) / 100.0 + 0.5)
+                   / 10000.0 AS ci_lo,
+               floor(quantile_cont(m_u, 0.975) / 100.0 + 0.5)
+                   / 10000.0 AS ci_hi
         FROM boot
     """,
 )
@@ -843,14 +857,29 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry. Output: point mean, bootstrap mean/SE, and the 2.5/97.5
     percentile CI over B={_BOOT_B} replicate means. At 100 TB the
     B-fold row expansion is the only cost knob; replicate means are a
-    B-row aggregate."""
+    B-row aggregate.
+
+    Determinism (exact-cents, q1/q19 pattern — r7 VERDICT item 6):
+    every multi-row float accumulation is replaced by an exact
+    integer sum. value is 2 dp -> exact cents v_c, so sum(w*v_c) and
+    sum(v_c) are order-independent integer adds; each replicate mean
+    is then ONE identical IEEE division, quantized to integer
+    micro-units m_u (value is generator-bounded ~1e3, so m_u <= ~1e9
+    and sum(m_u^2) <= ~3e19/32 fits a 64-bit sum). boot mean / SE /
+    CI are scalar double expressions over those exact integers
+    (variance via the sum-of-squares identity, not engine
+    stddev_samp, whose internal accumulation order differs), with
+    portable floor rounding instead of engine round()."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    base = e.select("event_id", "value")
+    base = e.select(
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v_c"),
+    )
     reps = base.select(
         "event_id",
-        "value",
+        "v_c",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
     from parquet_playground_spark.operators.scale import _portable_bucket
@@ -874,19 +903,57 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
     )
     boot = (
-        reps.select("b", "value", w.alias("w"))
+        reps.select("b", "v_c", w.alias("w"))
         .groupBy("b")
-        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+        .agg(
+            F.floor(
+                F.sum(F.col("w") * F.col("v_c")).cast("double")
+                / (100.0 * F.sum("w"))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("m_u")
+        )
     )
     point = base.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("value"), 4).alias("point_mean"),
+        (
+            F.floor(
+                F.sum("v_c").cast("double") / F.count(F.lit(1)) * 100.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("point_mean"),
     )
+    n_b = F.count(F.lit(1))
     return boot.agg(
-        F.round(F.avg("m"), 4).alias("boot_mean"),
-        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
-        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
-        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+        (
+            F.floor(F.sum("m_u").cast("double") / n_b / 100.0 + 0.5)
+            / 10000.0
+        ).alias("boot_mean"),
+        (
+            F.floor(
+                F.sqrt(
+                    (
+                        F.sum(F.col("m_u") * F.col("m_u")).cast("double")
+                        - F.sum("m_u").cast("double") * F.sum("m_u") / n_b
+                    )
+                    / (n_b - 1)
+                )
+                / 100.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("boot_se"),
+        (
+            F.floor(F.percentile("m_u", F.lit(0.025)) / 100.0 + 0.5)
+            / 10000.0
+        ).alias("ci_lo"),
+        (
+            F.floor(F.percentile("m_u", F.lit(0.975)) / 100.0 + 0.5)
+            / 10000.0
+        ).alias("ci_hi"),
     ).crossJoin(F.broadcast(point)).select(
         "n_rows", "point_mean", "boot_mean", "boot_se", "ci_lo", "ci_hi"
     )

@@ -554,7 +554,8 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT dow, hod,
                count(*) AS n_hours,
-               round(avg(cnt), 4) AS avg_cnt,
+               floor(CAST(sum(cnt) AS DOUBLE) / count(*) * 10000.0
+                     + 0.5) / 10000.0 AS avg_cnt,
                max(cnt) AS max_cnt
         FROM per_hour GROUP BY dow, hod
     """,
@@ -569,7 +570,13 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbering, so this uses Spark weekday() (0=Monday) == DuckDB
     isodow()-1. Two map-combinable aggregations (hour cells, then a
     168-row profile); nothing here grows with data volume except the
-    first pass."""
+    first pass.
+
+    Determinism: avg_cnt is computed as exact-integer sum(cnt) /
+    count(*) followed by the portable floor round (q1/q19 pattern) —
+    both inputs are exact integers, so the quotient is the same
+    single IEEE division on both engines, where engine round(avg(..))
+    can split half-up vs half-even on a .xxxx5 quotient."""
     e = load_table(spark, sf_dir, "events")
     per_hour = e.groupBy(
         F.date_trunc("hour", "ts").alias("hour_ts"),
@@ -578,7 +585,13 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("cnt"))
     return per_hour.groupBy("dow", "hod").agg(
         F.count(F.lit(1)).alias("n_hours"),
-        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        (
+            F.floor(
+                F.sum("cnt").cast("double") / F.count(F.lit(1)) * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("avg_cnt"),
         F.max("cnt").alias("max_cnt"),
     )
 

@@ -170,23 +170,34 @@ _CHECK_ORDER = [
     # takes a redemption slot at the head, displacing the tail of the
     # window to the next round.
     #
+    # REDEMPTION SLOTS (r8): four keys' code changed this round — the
+    # r7 VERDICT item 6 exact-cents conversions of the round(avg)
+    # oracle sites. All four are themselves never-driver-checked, so
+    # the window is still 50 fresh keys: ts_seasonal_baseline and
+    # stat_bootstrap_ci were already inside it (moved to the head);
+    # corpus_dataset_card and text_bigram_lm_perplexity are pulled
+    # forward from the r9 K-tranche, displacing the window's former
+    # tail (ts_interval_union_coverage, ts_time_weighted_avg) to r9.
+    #
     # Burn-down schedule (driver window ~50/round, list is consumed
     # head-first; after each round the freshly-checked heads drop off
     # and the list shifts up):
     #   r7: DONE — semantic_clustered + H(25) + I(10) + L(1-14)
-    #   r8: slots 1-50  = L(15-35) + M(1-29)
-    #   r9: slots 51-100 = M(30) + K(31) + D(1-18)
+    #   r8: slots 1-50  = 4 redemption + L(15-35 minus seasonal)
+    #                     + M(1-27)
+    #   r9: slots 51-100 = M(28-30) + K(29 left) + D(1-18)
     #   r10: slots 101-119 = D(19-20) + A(5) + C(4) + G(3) + J(3)
     #                      + E(1) + F(1)  — backlog fully retired
     # (119 left after r7; every key stays covered by the local
     # 424-query strict sweep meanwhile.)
     # Long-green keys are unlisted and register last in module order.
+    "ts_seasonal_baseline", "stat_bootstrap_ci", "corpus_dataset_card",
+    "text_bigram_lm_perplexity",
     "sample_weighted_reservoir", "scd2_dimension_build",
     "skew_diagnose_keys", "ts_alert_hysteresis", "ts_anomaly_mad",
     "ts_anomaly_zscore", "ts_autocorrelation", "ts_changepoint_cusum",
     "ts_ewma_bounded", "ts_gapfill_locf", "ts_holt_linear_forecast",
-    "ts_periodogram_dft", "ts_resample_ohlc", "ts_seasonal_baseline",
-    "ts_sliding_windows_batch", "ts_theil_sen_slope", "ts_window_time_range",
+    "ts_periodogram_dft", "ts_resample_ohlc", "ts_sliding_windows_batch", "ts_theil_sen_slope", "ts_window_time_range",
     "window_rolling_median", "window_running_distinct",
     "zorder_morton_layout", "zorder_prune_selectivity",
     "agg_percentile_within_group", "agg_weighted_median", "df_transpose",
@@ -196,12 +207,11 @@ _CHECK_ORDER = [
     "geo_nearest_hub", "join_natural_using", "ml_kfold_cross_validation",
     "ml_linear_normal_equation", "ml_logistic_gradient_steps",
     "recon_symmetric_diff", "sql_partition_hints", "stat_benford_digits",
-    "stat_bootstrap_ci", "stat_chi_square", "stat_cohort_survival_km",
+    "stat_chi_square", "stat_cohort_survival_km",
     "stat_mahalanobis_outliers", "stat_mann_whitney_u",
     "text_classify_naive_bayes", "text_inverted_index", "ts_business_days",
     "ts_interval_union_coverage", "ts_time_weighted_avg",
-    "udf_pandas_iterator", "anonymize_k_audit", "corpus_dataset_card",
-    "corpus_importance_resampling", "corpus_lang_rebalance",
+    "udf_pandas_iterator", "anonymize_k_audit", "corpus_importance_resampling", "corpus_lang_rebalance",
     "corpus_quality_ensemble", "corpus_source_divergence_jsd",
     "dedup_minhash_index_merge", "dedup_paragraph_exact",
     "dedup_prefix_boilerplate", "dedup_shingle_containment",
@@ -210,7 +220,7 @@ _CHECK_ORDER = [
     "gdpr_delete_cascade", "ml_decision_stump",
     "multimodal_webdataset_shards", "part_co_occurrence",
     "seq_len_distribution", "sim_search_ivf_pq", "stream_windowed_topk",
-    "text_bigram_lm_perplexity", "text_doc_entropy",
+    "text_doc_entropy",
     "text_ngram_novelty_rate", "text_repetition_rep_n",
     "text_vocab_freq_spectrum", "tokenizer_bpe_merges",
     "tokenizer_unigram_em", "tokenizer_vocab_build", "ts_downsample_lttb",

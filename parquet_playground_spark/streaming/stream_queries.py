@@ -164,16 +164,26 @@ def _maybe_report_state_metrics(q) -> None:
             continue
         for op in ops:
             custom = op.customMetrics or {}
+            # Disk spill = SST-file byte counters ONLY. RocksDB also
+            # exposes memory-side byte counters (memtable, block
+            # cache, pinned blocks); labeling any *bytes* metric as
+            # disk would over-claim what spilled (r7 ADVICE #3).
             disk = {
                 k: v
                 for k, v in sorted(custom.items())
-                if "sst" in k.lower() or "bytes" in k.lower()
+                if "sst" in k.lower()
+            }
+            mem_bytes = {
+                k: v
+                for k, v in sorted(custom.items())
+                if "sst" not in k.lower() and "bytes" in k.lower()
             }
             print(
                 f"[stream-state] {op.operatorName}: "
                 f"rowsTotal={op.numRowsTotal} "
                 f"memUsedBytes={op.memoryUsedBytes} "
-                f"rocksdb={disk}",
+                f"rocksdbSstDisk={disk} "
+                f"rocksdbMemBytes={mem_bytes}",
                 file=_sys.stderr,
             )
         break
