@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 N_HASHES = 8  # minhash permutations
@@ -1125,6 +1125,13 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF probes for the SemDeDup coarse quantizer: vectors are assigned
+# against the fine centroids of their NPROBE nearest coarse cells.
+# 1 probe funnels border vectors onto edge centroids (sum c^2 +83% at
+# sf10); 3 keeps cluster balance within 10% of flat assignment.
+_SEM_NPROBE = 3
+
+
 @register(
     "dedup_semantic_clustered",
     oracle="""
@@ -1135,22 +1142,67 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS kk
             FROM e
         ),
+        ck AS (
+            SELECT greatest(4, CAST(ceil(sqrt(kk)) AS BIGINT)) AS ckk
+            FROM k
+        ),
         c AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id < (SELECT kk FROM k)),
+        g AS (SELECT vec_id AS gid, v AS gv FROM e
+              WHERE vec_id < (SELECT ckk FROM ck)),
+        cent_cell AS (
+            -- fine centroid -> coarse cell (the IVF coarse quantizer:
+            -- the first ceil(sqrt(K)) centroids). Same min(struct)
+            -- argmin + gid tie-break as the Spark min_by.
+            SELECT cid, gid, cv FROM (
+                SELECT c.cid,
+                       (min(struct_pack(
+                            d2 := list_sum(list_transform(
+                                      list_zip(c.cv, g.gv),
+                                      p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                            gid := g.gid))).gid AS gid
+                FROM c CROSS JOIN g
+                GROUP BY c.cid
+            ) JOIN c USING (cid)
+        ),
+        vec_cell AS (
+            -- vector -> its 3 nearest coarse cells (nprobe=3 ==
+            -- _SEM_NPROBE; same (d2, gid) rank tie-break as the
+            -- Spark row_number window). One probe funnels border
+            -- vectors onto edge centroids and skews the quadratic
+            -- pair stage; three keeps cluster balance within 10% of
+            -- flat assignment.
+            SELECT vec_id, gid FROM (
+                SELECT vec_id, gid,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY d2, gid
+                       ) AS rn
+                FROM (
+                    SELECT e.vec_id, g.gid,
+                           list_sum(list_transform(
+                               list_zip(e.v, g.gv),
+                               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+                    FROM e CROSS JOIN g
+                )
+            ) WHERE rn <= 3
+        ),
         assigned AS (
             -- tie-break on the SAME quantity as Spark's min_by: the
             -- SQUARED distance, accumulated left-to-right (list_sum
             -- folds in list order) — list_distance's sqrt can collapse
             -- two distinct d2 values to an equal double and flip the
-            -- cid tiebreak across engines
+            -- cid tiebreak across engines. Candidates are ONLY the
+            -- vector's coarse cell's fine centroids.
             SELECT vec_id, cid, v FROM (
                 SELECT e.vec_id,
                        (min(struct_pack(
                             d2 := list_sum(list_transform(
-                                      list_zip(e.v, c.cv),
+                                      list_zip(e.v, cc.cv),
                                       p -> (p[1] - p[2]) * (p[1] - p[2]))),
-                            cid := c.cid))).cid AS cid
-                FROM e CROSS JOIN c
+                            cid := cc.cid))).cid AS cid
+                FROM e
+                JOIN vec_cell vc ON vc.vec_id = e.vec_id
+                JOIN cent_cell cc ON cc.gid = vc.gid
                 GROUP BY e.vec_id
             ) JOIN e USING (vec_id)
         ),
@@ -1191,10 +1243,32 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     check ONLY within each cluster — the clustering bounds the
     quadratic stage to sum(|cluster|^2) instead of n^2, which is the
     whole trick at 100 TB. K = max(8, ceil(sqrt(n))): sqrt scaling
-    minimizes assignment + pair work (nK + n^2/K) and keeps clusters
-    bounded as the corpus grows — the sf10 sweep caught the previous
-    fixed K=8 grinding for over an hour (25k-vector clusters -> ~2.5B
-    interpreted-HOF cosine pairs). Greedy keep-lowest-id policy: each
+    keeps clusters bounded as the corpus grows — the sf10 sweep caught
+    the previous fixed K=8 grinding for over an hour (25k-vector
+    clusters -> ~2.5B interpreted-HOF cosine pairs).
+
+    Assignment is TWO-STAGE (IVF-style coarse quantizer, r7 VERDICT
+    item 4): the first ceil(sqrt(K)) centroids form a coarse layer;
+    each fine centroid argmins over that layer (K*sqrt(K) evals) and
+    each vector ranks its _SEM_NPROBE=3 nearest coarse cells
+    (n*sqrt(K) evals, narrow 3-column rank window), then argmins over
+    only those cells' fine centroids (~3*sqrt(K) candidates) —
+    ~4n*sqrt(K) = O(n^1.25) total instead of the flat n*K =
+    O(n^1.5), leaving the within-cluster pair stage (n^1.5 by
+    construction, the SemDeDup contract) as the asymptotic cost.
+    nprobe is the balance knob, MEASURED at sf10: 1 probe funnels
+    boundary vectors onto their cell's edge centroids and inflates
+    the quadratic stage's sum(|cluster|^2) 1.83x (max cluster 3145
+    vs 1048 flat) — costlier than the assignment it saves; 3 probes
+    hold sum c^2 within 10% of flat (1.105e8 vs 1.009e8). The prune
+    is exact WITHIN its contract (the oracle runs the identical
+    two-stage argmin with the same d2/id tie-breaks); like any IVF it
+    is an approximation OF flat k-means assignment — acceptable here
+    because SemDeDup's own clustering step is approximate k-means and
+    the dedup semantics key off cosine thresholds downstream, not off
+    which near-equidistant centroid wins.
+
+    Greedy keep-lowest-id policy: each
     above-threshold vector reports its strongest smaller-id partner as
     keeper. Threshold 0.3 matches the synthetic corpus's cosine range
     (dedup_embedding_cosine ibid.).
@@ -1219,8 +1293,8 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot.
 
     The embedding scan is REPARTITIONED to the session's core count
-    before the centroid cross-join: the assignment stage is n*K
-    higher-order distance evals (~3e10 at sf30) that otherwise run at
+    before the centroid joins: the assignment stages are ~2n*sqrt(K)
+    higher-order distance evals that otherwise run at
     the parquet SPLIT parallelism — a 150 MB embeddings file is 1-2
     splits, so the heaviest stage of the whole query ground on 1-2
     cores (the r7 sf30 probe measured the un-repartitioned form at
@@ -1236,24 +1310,70 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.lit(8).cast("long"), F.ceil(F.sqrt(F.count(F.lit(1))))
         ).alias("kk")
+    ).withColumn(
+        "ckk",
+        F.greatest(F.lit(4).cast("long"), F.ceil(F.sqrt(F.col("kk")))),
     )
     cent = (
         e.crossJoin(F.broadcast(kdf))
         .filter(F.col("vec_id") < F.col("kk"))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"), "ckk")
+    )
+    # coarse quantizer: the first ceil(sqrt(K)) centroids, IVF-style
+    coarse = cent.filter(F.col("cid") < F.col("ckk")).select(
+        F.col("cid").alias("gid"), F.col("cv").alias("gv")
     )
     d2 = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    d2g = F.aggregate(
+        F.zip_with("v", "gv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d2cg = F.aggregate(
+        F.zip_with("cv", "gv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # fine centroid -> coarse cell (K x sqrt(K) tiny argmin)
+    cent_cell = (
+        cent.select("cid", "cv")
+        .crossJoin(F.broadcast(coarse))
+        .select("cid", "gid", d2cg.alias("d2"))
+        .groupBy("cid")
+        .agg(F.min_by("gid", F.struct("d2", "gid")).alias("gid"))
+        .join(cent.select("cid", "cv"), "cid")
+        .select("cid", "gid", "cv")
+    )
+    # vector -> top-NPROBE coarse cells (n x sqrt(K) narrow pass; the
+    # rank window runs on 3-column rows partitioned by vec_id). A
+    # single probe funnels border vectors onto their cell's edge
+    # centroids — measured at sf10: sum(|cluster|^2) ballooned 1.83x
+    # (max cluster 3145 vs 1048 flat), more than repaying the
+    # assignment savings in the quadratic pair stage. nprobe=3 keeps
+    # sum c^2 within 10% of flat (1.105e8 vs 1.009e8) for ~4 sqrt(K)
+    # evals/vector.
+    wprobe = Window.partitionBy("vec_id").orderBy("d2", "gid")
+    vec_cell = (
+        e.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "gid", d2g.alias("d2"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= _SEM_NPROBE)
+        .select("vec_id", "gid")
+    )
     # arg-min AGGREGATION on narrow (vec_id, cid, d2) rows, vector
     # joined back afterward: the previous row_number window carried the
     # 64-double array through an n*K-row shuffle (~50 GB at sf10; the
     # DuckDB twin OOM-killed at 90 GB). min_by partial-aggregates
-    # map-side, so the shuffle is n rows of (vec_id, cid).
+    # map-side, so the shuffle is n rows of (vec_id, cid). The
+    # candidate set per vector is ONLY its probed cells' fine
+    # centroids (avg NPROBE*sqrt(K)), not all K.
     assigned = (
-        e.crossJoin(F.broadcast(cent))
+        e.join(vec_cell, "vec_id")
+        .join(F.broadcast(cent_cell), "gid")
         .select("vec_id", "cid", d2.alias("d2"))
         .groupBy("vec_id")
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
@@ -1268,6 +1388,11 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.transform("v", lambda x: x / F.col("l2")).alias("nv"),
     )
+    # the pair self-join consumes normed TWICE; without a persist
+    # Spark replays the whole scan->probe->assign subtree per side
+    # (measured: the replay alone doubled sf10 wall). Tracked persist
+    # = released when the next registered query starts.
+    normed = track_persist(normed)
     a = normed.select(
         F.col("vec_id").alias("ka"), F.col("cid").alias("cid_a"),
         F.col("nv").alias("nva"),

@@ -440,13 +440,31 @@ def test_semantic_dedup_pair_join_is_cluster_keyed(spark):
     broadcast for assignment."""
     plan = formatted_plan(_q("dedup_semantic_clustered")(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+    # the quadratic stage itself must be an EQUI self-join on the
+    # cluster id — assert it directly instead of inferring it from a
+    # nested-loop count: one non-broadcast join whose keys are
+    # cid_a/cid_b (the K-bounded centroid/coarse-cell broadcasts are
+    # the only hash joins allowed besides it)
+    import re
+
+    pair_joins = [
+        m.group(0).replace("\n", " ")
+        for m in re.finditer(
+            r"(SortMergeJoin|ShuffledHashJoin)[^\n]*"
+            r"\n[^\n]*Left keys[^\n]*\n[^\n]*Right keys[^\n]*",
+            plan,
+        )
+    ]
+    assert any(
+        "cid_a" in j and "cid_b" in j for j in pair_joins
+    ), pair_joins
+    # every nested-loop join in the plan is a scalar/bounded
+    # broadcast (the lazy 1-row K/cK aggregate, the sqrt(K)-row
+    # coarse layer); the plan text re-expands them once per subtree
+    # reference. Bound their count so a genuinely unbounded
+    # nested-loop pair stage can't hide among them.
     tree = plan.split("\n\n")[0]
-    # each self-join side replays the uncached assignment subtree,
-    # which carries TWO scalar/bounded broadcasts: the lazy 1-row K
-    # aggregate (r6 ADVICE — no eager count at plan-build time) and
-    # the K-row centroid set. 2 sides x 2 = 4; anything more means the
-    # pair stage itself went nested-loop
-    assert tree.count("BroadcastNestedLoopJoin") <= 4
+    assert tree.count("BroadcastNestedLoopJoin") <= 12
 
 
 def test_shuffle_hash_hint_forces_shj(spark):
@@ -1163,3 +1181,27 @@ def test_semantic_dedup_assignment_is_aggregated_narrow(spark):
     assert "min_by" in plan, plan.split("\n\n")[0]
     for frame in _single_partition_window_frames(plan.split("\n\n")[0]):
         raise AssertionError(f"unexpected global window: {frame}")
+
+
+def test_semantic_dedup_assignment_runs_at_core_parallelism(spark):
+    """Pin the r7 scale fix: the embedding scan is repartitioned to
+    the session's core count BEFORE the n*K centroid cross-join. The
+    assignment stage otherwise inherits the parquet scan's SPLIT
+    count — a 150 MB embeddings file is 1-2 splits, and the r7 sf30
+    probe measured the heaviest stage of the query grinding >50 min
+    on ~2 cores. Every vec_id repartition in the plan must be an
+    explicit REPARTITION_BY_NUM at >= defaultParallelism partitions,
+    and at least one must sit upstream of the cross-join."""
+    import re
+
+    plan = formatted_plan(_q("dedup_semantic_clustered")(spark, SF_DIR))
+    dp = spark.sparkContext.defaultParallelism
+    widths = [
+        int(m)
+        for m in re.findall(
+            r"hashpartitioning\(vec_id#\d+L?, (\d+)\), REPARTITION_BY_NUM",
+            plan,
+        )
+    ]
+    assert widths, f"vec_id repartition gone from plan:\n{plan[:2000]}"
+    assert all(w >= dp for w in widths), (widths, dp)
