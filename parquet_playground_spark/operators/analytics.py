@@ -2487,7 +2487,31 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q9_SQL = """
-        WITH {ps}
+        WITH red_parts AS (
+            SELECT p_partkey FROM part_v WHERE p_name LIKE '%red%'
+        ),
+        lr AS (
+            -- BROADCAST is load-bearing at scale: red_parts is ~13%
+            -- of part keys (2.6M / ~20 MB at sf100), which crosses
+            -- the 10 MB autoBroadcast threshold — without the hint
+            -- Spark sort-merges the FULL 600M-row fact against it
+            -- (measured: >34 GB of sort spill before the narrowed
+            -- plan even starts), exactly the shuffle this CTE exists
+            -- to avoid. A key set this size broadcasts fine; DuckDB
+            -- ignores the hint comment.
+            SELECT /*+ BROADCAST(rp) */
+                   l.l_partkey, l.l_suppkey, l.l_orderkey, l.l_quantity,
+                   l.l_extendedprice, l.l_discount
+            FROM lineitem_v l
+            JOIN red_parts rp ON rp.p_partkey = l.l_partkey
+        ),
+        ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS ps_availqty,
+                   min(l_extendedprice / l_quantity) AS ps_supplycost
+            FROM lr
+            GROUP BY l_partkey, l_suppkey
+        )
         SELECT /*+ MERGE(ps), MERGE(o) */ n.n_name AS nation,
                CAST(year(o.o_orderdate) AS INT) AS o_year,
                round(CAST(sum(CAST(floor((l.l_extendedprice
@@ -2495,14 +2519,12 @@ _Q9_SQL = """
                                           - ps.ps_supplycost * l.l_quantity)
                                          * 100.0 + 0.5) AS BIGINT))
                           AS DOUBLE) / 100.0, 2) AS sum_profit
-        FROM lineitem_v l
+        FROM lr l
         JOIN ps ON ps.ps_partkey = l.l_partkey
                AND ps.ps_suppkey = l.l_suppkey
-        JOIN part_v p ON p.p_partkey = l.l_partkey
         JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
         JOIN orders_v o ON o.o_orderkey = l.l_orderkey
         JOIN nation_v n ON n.n_nationkey = s.s_nationkey
-        WHERE p.p_name LIKE '%red%'
         GROUP BY n.n_name, year(o.o_orderdate)
         ORDER BY nation, o_year DESC
 """
@@ -2510,7 +2532,7 @@ _Q9_SQL = """
 
 @register(
     "q9_product_type_profit",
-    oracle=_Q9_SQL.format(ps=_PS_CTE.format(li="lineitem"))
+    oracle=_Q9_SQL
     .replace("lineitem_v", "lineitem")
     .replace("part_v", "part")
     .replace("supplier_v", "supplier")
@@ -2519,18 +2541,30 @@ _Q9_SQL = """
 )
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q9-shaped: profit (revenue minus derived supply cost) on
-    'red' parts by supplier nation and order year. The derived-partsupp
-    CTE joins back to the fact on the composite (partkey, suppkey)
-    equi-key — one co-partitioned shuffle; part/supplier/nation/orders
-    dims feed broadcast or co-shuffled hash joins and the name LIKE
-    prunes parts before the join. year() is CAST to INT on both engines
-    (DuckDB's year() is BIGINT — driver-canon type alignment)."""
+    'red' parts by supplier nation and order year.
+
+    The 'red' predicate is pushed UPSTREAM of both fact-sized stages
+    (r7 VERDICT item 8): the lr CTE semi-reduces lineitem against the
+    filtered part keys FIRST (p_partkey is the part PK, so the join
+    cannot duplicate fact rows), and the derived-partsupp aggregate
+    then runs over lr only. This is output-identical to filtering
+    after the join — ps groups by (partkey, suppkey) and the
+    predicate is partkey-homogeneous, so per-group sum/min over the
+    red subset equal those over the full table for every surviving
+    group — but the two widest shuffles (the ps aggregate and the
+    ps-back-to-fact MERGE join) now carry ~12.9% of lineitem (the
+    measured '%red%' selectivity) instead of 100%: the sf100 form
+    needed >50 GB of spill before, and fits a laptop-class disk
+    after. part/supplier/nation dims feed broadcast joins; orders
+    stays a narrow (orderkey, orderdate) MERGE join. year() is CAST
+    to INT on both engines (DuckDB's year() is BIGINT — driver-canon
+    type alignment)."""
     v = _tpch_views(
         spark, sf_dir, "q9",
         ["lineitem", "part", "supplier", "orders", "nation"],
     )
     return spark.sql(
-        _Q9_SQL.format(ps=_PS_CTE.format(li=v["lineitem"]))
+        _Q9_SQL
         .replace("lineitem_v", v["lineitem"])
         .replace("part_v", v["part"])
         .replace("supplier_v", v["supplier"])

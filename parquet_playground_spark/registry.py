@@ -170,33 +170,36 @@ _CHECK_ORDER = [
     # takes a redemption slot at the head, displacing the tail of the
     # window to the next round.
     #
-    # REDEMPTION SLOTS (r8): five keys' code changed this round.
-    # dedup_semantic_clustered leads (r7 VERDICT item 4: the IVF
-    # coarse-quantizer prune, nprobe=3, + persisted assignment —
-    # checked green r7 but changed code always re-certifies before
-    # backlog). The other four are the r7 VERDICT item 6 exact-cents
-    # conversions of round(avg) oracle sites; all four are themselves
-    # never-driver-checked, so the window is 1 re-check + 49 fresh
-    # keys: ts_seasonal_baseline and stat_bootstrap_ci were already
-    # inside it (moved to the head); corpus_dataset_card and
-    # text_bigram_lm_perplexity are pulled forward from the r9
-    # K-tranche. Displaced to r9: the window's former tail
-    # (ts_business_days, ts_interval_union_coverage,
-    # ts_time_weighted_avg).
+    # REDEMPTION SLOTS (r8): six keys' code changed this round.
+    # dedup_semantic_clustered (r7 VERDICT item 4: IVF coarse-
+    # quantizer prune, nprobe=3, + persisted assignment) and
+    # q9_product_type_profit (r7 VERDICT item 8: the 'red' predicate
+    # pushed upstream of the derived-partsupp aggregate + explicit
+    # red-parts broadcast — output-identical, sf100 DNF -> 40.5 s)
+    # lead: both were driver-green before, but changed code always
+    # re-certifies before backlog. The other four are the r7 VERDICT
+    # item 6 exact-cents conversions of round(avg) oracle sites; all
+    # four are themselves never-driver-checked, so the window is 2
+    # re-checks + 48 fresh keys: ts_seasonal_baseline and
+    # stat_bootstrap_ci were already inside it (moved to the head);
+    # corpus_dataset_card and text_bigram_lm_perplexity are pulled
+    # forward from the r9 K-tranche. Displaced to r9: the window's
+    # former tail (text_inverted_index, ts_business_days,
+    # ts_interval_union_coverage, ts_time_weighted_avg).
     #
     # Burn-down schedule (driver window ~50/round, list is consumed
     # head-first; after each round the freshly-checked heads drop off
     # and the list shifts up):
     #   r7: DONE — semantic_clustered + H(25) + I(10) + L(1-14)
-    #   r8: slots 1-50  = 5 redemption + L(15-35 minus seasonal)
-    #                     + M(1-26)
-    #   r9: slots 51-100 = M(27-30) + K(29 left) + D(1-17)
-    #   r10: slots 101-120 = D(18-20) + A(5) + C(4) + G(3) + J(3)
+    #   r8: slots 1-50  = 6 redemption + L(15-35 minus seasonal)
+    #                     + M(1-25)
+    #   r9: slots 51-100 = M(26-30) + K(29 left) + D(1-16)
+    #   r10: slots 101-121 = D(17-20) + A(5) + C(4) + G(3) + J(3)
     #                      + E(1) + F(1)  — backlog fully retired
     # (119 left after r7; every key stays covered by the local
     # 424-query strict sweep meanwhile.)
     # Long-green keys are unlisted and register last in module order.
-    "dedup_semantic_clustered",
+    "dedup_semantic_clustered", "q9_product_type_profit",
     "ts_seasonal_baseline", "stat_bootstrap_ci", "corpus_dataset_card",
     "text_bigram_lm_perplexity",
     "sample_weighted_reservoir", "scd2_dimension_build",
