@@ -912,22 +912,36 @@ _JL_OUT = 16
             FROM (SELECT DISTINCT i FROM flat) f CROSS JOIN dims d
         ),
         proj AS (
+            -- per-term integer NANO-units before summing: the 64-term
+            -- dot is otherwise an order-dependent float sum whose ulps
+            -- split the 6dp round (caught by the sf100 strict screen:
+            -- norm_proj differed in the 4th decimal on ~1e-4 of rows).
+            -- y6 = y * 1e6 as an exact integer; sqrt(16) = 4 exactly.
             SELECT fl.vec_id, sg.j,
-                   round(sum(sg.s * fl.x) / sqrt({_JL_OUT}.0), 6) AS y
+                   CAST(floor(CAST(sum(CAST(floor(sg.s * fl.x
+                                                  * 1000000000.0 + 0.5)
+                                         AS BIGINT)) AS DOUBLE)
+                              / 4000.0 + 0.5) AS BIGINT) AS y6
             FROM flat fl JOIN signs sg ON sg.i = fl.i
             GROUP BY fl.vec_id, sg.j
         ),
         norms AS (
             SELECT p.vec_id,
-                   round(sqrt(sum(p.y * p.y)), 4) AS norm_proj
+                   floor(sqrt(CAST(sum(p.y6 * p.y6) AS DOUBLE)) / 100.0
+                         + 0.5) / 10000.0 AS norm_proj
             FROM proj p GROUP BY p.vec_id
         ),
         orig AS (
-            SELECT vec_id, round(sqrt(sum(x * x)), 4) AS norm_orig
+            SELECT vec_id,
+                   floor(sqrt(CAST(sum(CAST(floor(x * x * 1000000000.0
+                                                  + 0.5) AS BIGINT))
+                                   AS DOUBLE) / 1000000000.0)
+                         * 10000.0 + 0.5) / 10000.0 AS norm_orig
             FROM flat GROUP BY vec_id
         )
         SELECT n.vec_id, o.norm_orig, n.norm_proj,
-               round(n.norm_proj / o.norm_orig, 4) AS norm_ratio
+               floor(n.norm_proj / o.norm_orig * 10000.0 + 0.5)
+                   / 10000.0 AS norm_ratio
         FROM norms n JOIN orig o USING (vec_id)
         ORDER BY vec_id
     """,
@@ -975,20 +989,41 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
         1.0,
     ).otherwise(-1.0)
     signs = idx.crossJoin(dims).select("i", "j", sign.alias("s"))
+    # per-term integer nano-units -> exact order-independent sums
+    # (sf100 strict screen caught the float form splitting at 4dp);
+    # sqrt(_JL_OUT)=4 exactly, so y6 = y*1e6 = sum_nano/4000
+    t_u = F.floor(F.col("s") * F.col("x") * 1000000000.0 + 0.5).cast("long")
     proj = (
         flat.join(F.broadcast(signs), "i")
         .groupBy("vec_id", "j")
         .agg(
-            F.round(
-                F.sum(F.col("s") * F.col("x")) / float(_JL_OUT) ** 0.5, 6
-            ).alias("y")
+            F.floor(F.sum(t_u).cast("double") / 4000.0 + 0.5)
+            .cast("long")
+            .alias("y6")
         )
     )
     norms = proj.groupBy("vec_id").agg(
-        F.round(F.sqrt(F.sum(F.col("y") * F.col("y"))), 4).alias("norm_proj")
+        (
+            F.floor(
+                F.sqrt(F.sum(F.col("y6") * F.col("y6")).cast("double"))
+                / 100.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("norm_proj")
+    )
+    xx_u = F.floor(F.col("x") * F.col("x") * 1000000000.0 + 0.5).cast(
+        "long"
     )
     orig = flat.groupBy("vec_id").agg(
-        F.round(F.sqrt(F.sum(F.col("x") * F.col("x"))), 4).alias("norm_orig")
+        (
+            F.floor(
+                F.sqrt(F.sum(xx_u).cast("double") / 1000000000.0)
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("norm_orig")
     )
     return (
         norms.join(orig, "vec_id")
@@ -996,9 +1031,12 @@ def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFram
             "vec_id",
             "norm_orig",
             "norm_proj",
-            F.round(F.col("norm_proj") / F.col("norm_orig"), 4).alias(
-                "norm_ratio"
-            ),
+            (
+                F.floor(
+                    F.col("norm_proj") / F.col("norm_orig") * 10000.0 + 0.5
+                )
+                / 10000.0
+            ).alias("norm_ratio"),
         )
         .orderBy("vec_id")
     )
