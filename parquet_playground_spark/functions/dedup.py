@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register, track_persist
+from parquet_playground_spark.registry import register
 from parquet_playground_spark.tables import load_table
 
 N_HASHES = 8  # minhash permutations
@@ -1207,21 +1207,24 @@ _SEM_NPROBE = 3
             ) JOIN e USING (vec_id)
         ),
         normed AS (
-            -- normalize-then-dot in the SAME op order as the Spark
-            -- side (each vector scaled by its own L2 norm first, then
-            -- one left-to-right dot) — list_cosine_similarity's
-            -- dot/(|a||b|) ordering differs by ulps, and the 4dp
-            -- round-before-rank can split on a .xxxx5 boundary
+            -- normalized vectors QUANTIZED to 1e6 integer units (the
+            -- norm itself in the SAME op order as the Spark side):
+            -- dots of quantized vectors are sums of integer products
+            -- with partials < 2^53, EXACT in float64 in any order —
+            -- so DuckDB's list_dot_product, the Spark plan's numpy
+            -- GEMM, and any fold order all agree bit-for-bit, and
+            -- the 4dp floor cannot split across engines
             SELECT vec_id, cid,
                    list_transform(
-                       v, x -> x / sqrt(list_sum(
-                                    list_transform(v, y -> y * y)))) AS nv
+                       v, x -> floor(x / sqrt(list_sum(
+                                    list_transform(v, y -> y * y)))
+                                     * 1000000.0 + 0.5)) AS nv
             FROM assigned
         ),
         pairs AS (
             SELECT a.vec_id AS ka, b.vec_id AS kb, a.cid AS cid,
-                   floor(list_dot_product(a.nv, b.nv) * 10000.0 + 0.5)
-                       / 10000.0 AS cs_r4
+                   floor(list_dot_product(a.nv, b.nv) / 100000000.0
+                         + 0.5) / 10000.0 AS cs_r4
             FROM normed a
             JOIN normed b ON a.cid = b.cid AND a.vec_id < b.vec_id
         )
@@ -1274,16 +1277,21 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_embedding_cosine ibid.).
 
     Scale: centroids broadcast (K x dim), assignment is a narrow pass,
-    and the self-join shuffles on cluster_id so each task sees one
-    cluster's vectors — no all-pairs stage anywhere. Vectors are
-    L2-normalized ONCE before the self-join, so each candidate pair
-    costs a single higher-order dot product instead of dot + two norms
-    (3x fewer interpreted evals in the only quadratic stage; the 4dp
-    floor convention absorbs the op-reorder ulps exactly as it absorbs
-    the Spark/DuckDB split). Spark replays the uncached assignment
-    subtree once per self-join side; a production run persists (or
-    writes) the assignment before the pair stage so the corpus scans
-    once.
+    and the pair stage shuffles ONCE on cluster_id into a per-cluster
+    blocked numpy GEMM (applyInPandas) — no all-pairs stage anywhere,
+    and no second pass over the assignment subtree (the old self-join
+    consumed it twice). Vectors are L2-normalized ONCE and quantized
+    to 1e6 integer units before the GEMM: integer-valued float64 dots
+    are exact under ANY summation order, so BLAS blocking, the SQL
+    fold, and DuckDB's list_dot_product agree bit-for-bit and the 4dp
+    floor-before-rank cannot split across engines. Measured at sf100
+    (2M vectors, 5.9e9 within-cluster pairs): the interpreted-HOF
+    self-join form took 4445 s — Catalyst evaluates higher-order
+    lambdas OUTSIDE whole-stage codegen — vs seconds of BLAS for the
+    same 3.8e11 FLOP; the GEMM form's wall is recorded in
+    BENCH_local.md. Row-blocking (1024) caps each task's score matrix
+    at block x |cluster|, so the skewed 12.9k-row sf100 cluster peaks
+    at ~100 MB instead of |c|^2 = 1.3 GB.
 
     K is derived LAZILY as a broadcast scalar aggregate (mirroring the
     oracle's scalar subquery) rather than an eager ``e.count()`` at
@@ -1383,41 +1391,82 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # normalized vectors QUANTIZED to 1e6 integer units (stored as
+    # double): any dot of two quantized vectors is a sum of integer
+    # products <= 1e12 with partial sums <= 6.4e13 < 2^53, so float64
+    # addition of them is EXACT in any order — numpy GEMM, the Spark
+    # HOF fold, and DuckDB list_dot_product all produce the same
+    # bit-identical integer. That is what licenses the vectorized
+    # pair stage below without giving up the engine-vs-oracle
+    # bit-equality contract.
     normed = assigned.withColumn("l2", nrm(F.col("v"))).select(
         "vec_id",
         "cid",
-        F.transform("v", lambda x: x / F.col("l2")).alias("nv"),
+        F.transform(
+            "v",
+            lambda x: F.floor(x / F.col("l2") * 1000000.0 + 0.5).cast(
+                "double"
+            ),
+        ).alias("nv"),
     )
-    # the pair self-join consumes normed TWICE; without a persist
-    # Spark replays the whole scan->probe->assign subtree per side
-    # (measured: the replay alone doubled sf10 wall). Tracked persist
-    # = released when the next registered query starts.
-    normed = track_persist(normed)
-    a = normed.select(
-        F.col("vec_id").alias("ka"), F.col("cid").alias("cid_a"),
-        F.col("nv").alias("nva"),
+
+    # Pair stage: per-cluster blocked numpy GEMM via applyInPandas.
+    # The previous HOF self-join evaluated sum(|cluster|^2) 64-dim
+    # dots through Catalyst's INTERPRETED higher-order lambdas (HOFs
+    # never enter whole-stage codegen) — measured 4445 s at sf100
+    # (5.9e9 pairs). BLAS does the same 3.8e11 FLOP in seconds, and
+    # the integer quantization above makes the results bit-identical
+    # to the SQL form. One shuffle on cid (each task sees exactly one
+    # cluster); row-blocking caps the score-matrix at BLOCK x |c|
+    # so the largest observed cluster (12.9k rows at sf100) peaks at
+    # ~100 MB per task instead of |c|^2.
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    def _cluster_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["nv"].to_numpy())          # |c| x 64, int-valued
+        ids = pdf["vec_id"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        out = []
+        block = 1024
+        for s0 in range(0, len(ids), block):
+            e0 = min(s0 + block, len(ids))
+            # scores of rows [s0:e0) against ALL rows: exact integer
+            # dots in float64 (see quantization note above)
+            g = m[s0:e0] @ m.T
+            cs = np.floor(g / 100000000.0 + 0.5) / 10000.0
+            bi, bj = np.nonzero(cs > 0.3)
+            keep = ids[s0:e0][bi] < ids[bj]          # ka < kb only
+            bi, bj = bi[keep], bj[keep]
+            if len(bi):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "ka": ids[s0:e0][bi],
+                            "kb": ids[bj],
+                            "cid": cid,
+                            "cs_r4": cs[bi, bj],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"ka": pd.Series(dtype="int64"),
+                 "kb": pd.Series(dtype="int64"),
+                 "cid": pd.Series(dtype="int64"),
+                 "cs_r4": pd.Series(dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pairs = normed.groupBy("cid").applyInPandas(
+        _cluster_pairs, "ka long, kb long, cid long, cs_r4 double"
     )
-    b = normed.select(
-        F.col("vec_id").alias("kb"), F.col("cid").alias("cid_b"),
-        F.col("nv").alias("nvb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("nva", "nvb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # round-before-rank (same convention as sim_search_cosine_topk):
-    # the two engines compute the cosine by different op orderings
-    # (~ulps apart), so threshold and keeper-rank comparisons run on
-    # the floor-convention 4dp value — near-ties become exact ties
-    # broken deterministically by ka
-    cs_r4 = F.floor(dot * 10000.0 + 0.5) / 10000.0
-    pairs = (
-        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("ka") < F.col("kb")))
-        .withColumn("cs_r4", cs_r4)
-        .filter(F.col("cs_r4") > 0.3)
-        .select("ka", "kb", F.col("cid_a").alias("cid"), "cs_r4")
-    )
+    # round-before-rank convention unchanged: cs_r4 is the exact
+    # 4dp-floor of the quantized dot, so threshold and keeper-rank
+    # comparisons are on identical values in both engines
     w = Window.partitionBy("kb").orderBy(F.col("cs_r4").desc(), "ka")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
