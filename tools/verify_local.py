@@ -221,6 +221,21 @@ def main() -> int:
     duck_threads = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
     if duck_threads:
         con.execute(f"SET threads = {int(duck_threads)}")
+    # High-SF sweeps: DuckDB's default memory_limit is 80% of RAM with
+    # no temp_directory on an in-memory connection, so a big oracle
+    # intermediate (e.g. part_co_occurrence's ~1e9-pair hash aggregate
+    # at sf100) grows until the kernel OOM-kills the whole process
+    # instead of spilling. Cap it and give it a spill dir; both
+    # env-overridable. The kill this guards against was measured:
+    # anon-rss 101 GB on a 125 GB host at sf100.
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
+    if duck_mem and duck_mem.lower() != "off":
+        con.execute(f"SET memory_limit = '{duck_mem}'")
+        tmp = os.environ.get(
+            "SPARK_GRAFT_DUCKDB_TMP", "/tmp/ppspark_duck_tmp"
+        )
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory = '{tmp}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
