@@ -270,14 +270,23 @@ _META_BUCKETS = 4
 def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden file-metadata columns: orders is staged as exactly one
     file per deterministic md5-bucket, re-read, and aggregated BY
-    `_metadata.file_name` — proving the reader surfaces real file
+    `_metadata.file_path` — proving the reader surfaces real file
     provenance (the lineage/debugging column every incremental
     pipeline leans on) and that the physical layout follows the
     declared bucketing. The oracle groups by the same portable bucket
     expression: per-file (row count, key sum) must equal per-bucket —
     any row landing in the wrong file breaks the multiset match. The
     file name itself is run-dependent so it is grouped on, never
-    projected."""
+    projected.
+
+    Staging shape: ONE scan, one hash shuffle on the bucket column,
+    dynamic partitionBy — each bucket's rows land in exactly one task,
+    so every b=i directory gets exactly one file (the contract under
+    test) and all buckets write in parallel. The r8 sf100 screen
+    measured the previous per-bucket loop (re-scan orders + filter +
+    coalesce(1), serially per bucket) at 530 s vs 68 s for this form;
+    one-file-per-bucket's floor cost is one task per bucket, but never
+    B scans and never serial writes."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     bucket = (
         F.conv(
@@ -287,15 +296,17 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = os.path.join(tempfile.gettempdir(), f"ppspark_meta_buckets_{os.getpid()}")
     with_b = o.withColumn("b", bucket)
-    for i in range(_META_BUCKETS):
-        with_b.filter(F.col("b") == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(root, f"b={i}"))
+    with_b.repartition(_META_BUCKETS, F.col("b")).write.partitionBy(
+        "b"
+    ).mode("overwrite").parquet(root)
     back = spark.read.option("recursiveFileLookup", "true").parquet(root)
-    return back.groupBy(F.col("_metadata.file_name")).agg(
+    # group on file_path, not file_name: a dynamic-partition task that
+    # writes two bucket dirs reuses its part-file name in each, so only
+    # the full path is unique-per-file
+    return back.groupBy(F.col("_metadata.file_path")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-    ).drop("file_name")
+    ).drop("file_path")
 
 
 _GEN_N = 100000
