@@ -28,7 +28,9 @@ from parquet_playground_spark.tables import load_table
                    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5)
                                  AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
                                                   AS sum_price,
-                   round(sum(l_discount), 4)      AS sum_disc
+                   CAST(sum(CAST(floor(l_discount * 100.0 + 0.5)
+                                 AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                                                  AS sum_disc
             FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag, measure, value
@@ -41,9 +43,12 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The expensive part (the aggregate) shuffles |groups| rows only;
     the melt is a map-side Expand and survives any scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    # sum_price in exact cents (q1/q19 pattern — drifted at sf1);
-    # sum_qty is integer-exact and sum_disc is orders of magnitude
-    # below the drift band
+    # sum_price AND sum_disc in exact cents (q1/q19 pattern —
+    # sum_price drifted at sf1; sum_disc bit at sf100, where 2e8
+    # ~0.05 terms reach 1e7 and the double-sum ulp crosses the 4dp
+    # round: 9981450.0 vs .0001). l_discount is 2dp so cents are
+    # integer-exact; sum_qty is an integer-valued double sum, exact
+    # below 2^53.
     wide = li.groupBy("l_returnflag").agg(
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         (
@@ -54,7 +59,14 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / 100.0
         ).alias("sum_price"),
-        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        (
+            F.sum(
+                F.floor(F.col("l_discount") * 100.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("sum_disc"),
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"

@@ -215,7 +215,14 @@ _CHECK_ORDER = [
     # sf100) and scan_metadata_columns (per-bucket rescan +
     # serial coalesce(1) staging -> one shuffle + dynamic partitionBy,
     # group on _metadata.file_path; 530 s -> 68 s at sf100).
-    "udf_cogrouped_pandas", "scan_metadata_columns",
+    # agg_unpivot joins them from the D-category sf100 breadth sweep:
+    # its sum_disc round(sum(l_discount),4) split at sf100 (2e8 terms
+    # reach 1e7; double-sum ulp crossed the 4dp round) — converted to
+    # exact integer cents on both engines, strict-green at
+    # sf0.01/1/10/100. Displaced to r9: stat_mann_whitney_u,
+    # text_classify_naive_bayes, stat_mahalanobis_outliers (each
+    # holds an sf100 strict point already).
+    "udf_cogrouped_pandas", "scan_metadata_columns", "agg_unpivot",
     "dedup_semantic_clustered", "q9_product_type_profit",
     "ts_seasonal_baseline", "stat_bootstrap_ci", "corpus_dataset_card",
     "text_bigram_lm_perplexity", "embedding_random_projection_jl",

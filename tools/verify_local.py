@@ -376,6 +376,18 @@ def main() -> int:
         finally:
             if oracle_staged:
                 con.execute("DROP TABLE IF EXISTS __oracle")
+            if os.environ.get("SPARK_GRAFT_GC_EVERY"):
+                # High-SF sweeps: shuffle files are only deleted when
+                # the JVM GC collects their ShuffleDependency; with a
+                # 28g heap that can be NEVER across a 50-query sweep,
+                # and consecutive 600M-row SMJ queries accumulate
+                # >50 GB of dead spill until the disk fills (measured:
+                # the r8 D-category sweep died SPILL_OUT_OF_MEMORY /
+                # "No space left on device" after ~40 sf100 queries).
+                # An explicit System.gc() lets ContextCleaner reap
+                # them between queries — milliseconds next to an sf100
+                # query.
+                spark.sparkContext._jvm.System.gc()
     print(
         f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, "
         f"{n_big} big-count-only, {n_fail} FAIL"
