@@ -23,14 +23,21 @@ from parquet_playground_spark.tables import load_table
     "join_inner_broadcast",
     oracle="""
         SELECT n.n_name AS nation, count(*) AS n_customers,
-               round(sum(c.c_acctbal), 4) AS sum_bal
+               CAST(sum(CAST(floor(c.c_acctbal * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_bal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """,
 )
 def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-dim equi join: dimension broadcast, fact side un-shuffled."""
+    """Small-dim equi join: dimension broadcast, fact side un-shuffled.
+
+    sum_bal in exact integer cents (q1/q19 pattern): the sf100 screen
+    caught round(sum(c_acctbal), 4) splitting one ulp at ~2.5e9 per
+    group (600k 2dp terms/nation — double-sum order sensitivity
+    crosses the 4dp round)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
@@ -38,7 +45,14 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+            (
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("sum_bal"),
         )
     )
 

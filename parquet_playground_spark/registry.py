@@ -222,7 +222,12 @@ _CHECK_ORDER = [
     # sf0.01/1/10/100. Displaced to r9: stat_mann_whitney_u,
     # text_classify_naive_bayes, stat_mahalanobis_outliers (each
     # holds an sf100 strict point already).
+    # join_inner_broadcast joins from the C-category sweep: its
+    # round(sum(c_acctbal),4) split one ulp at sf100 (~2.5e9/group)
+    # — converted to exact cents, strict-green at sf0.01/1/10/100;
+    # displaces stat_cohort_survival_km (sf100 strict point held).
     "udf_cogrouped_pandas", "scan_metadata_columns", "agg_unpivot",
+    "join_inner_broadcast",
     "dedup_semantic_clustered", "q9_product_type_profit",
     "ts_seasonal_baseline", "stat_bootstrap_ci", "corpus_dataset_card",
     "text_bigram_lm_perplexity", "embedding_random_projection_jl",
