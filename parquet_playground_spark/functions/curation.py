@@ -115,21 +115,36 @@ _BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out eval split
 @register(
     "text_contamination_ngram",
     oracle=f"""
-        WITH grams AS (
+        -- The gram explosion is written as two INLINE subqueries, not a
+        -- shared CTE: DuckDB auto-materializes a CTE referenced twice,
+        -- which at sf100 spilled the full 2.5e8-row train-side gram
+        -- list to disk (measured: >58 GB tmp, sweep abort). Inlined,
+        -- each side pushes its doc_id mod filter below the unnest, the
+        -- bench side stays ~1/97th of the corpus, and the hash join
+        -- builds on the small side while train grams stream through.
+        SELECT t.doc_id AS train_doc,
+               b.doc_id AS bench_doc,
+               count(DISTINCT t.g) AS n_shared_grams
+        FROM (
             SELECT doc_id,
                    unnest(list_distinct([
                        array_to_string(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_K - 1} AS INTEGER)], ' ')
                        FOR i IN range(1, len(toks) - {_CONTAM_K} + 2)
                    ])) AS g
             FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-                  FROM documents)
-        )
-        SELECT t.doc_id AS train_doc,
-               b.doc_id AS bench_doc,
-               count(DISTINCT t.g) AS n_shared_grams
-        FROM grams t
-        JOIN grams b ON t.g = b.g
-        WHERE t.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+                  FROM documents
+                  WHERE doc_id % {_BENCH_MOD} <> 0)
+        ) t
+        JOIN (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_K - 1} AS INTEGER)], ' ')
+                       FOR i IN range(1, len(toks) - {_CONTAM_K} + 2)
+                   ])) AS g
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents
+                  WHERE doc_id % {_BENCH_MOD} = 0)
+        ) b ON t.g = b.g
         GROUP BY t.doc_id, b.doc_id
     """,
 )

@@ -1349,16 +1349,24 @@ def _mmr_step_sql(k: int) -> str:
 
 
 _MMR_ORACLE = (
+    # The 64-double embedding list is only ever read through CTEs that
+    # DuckDB auto-materializes when referenced more than once; at sf100
+    # the old 4-way-referenced `e` CTE spilled >30 GB of temp (measured,
+    # sweep abort). Each use site now scans the base table directly —
+    # the q probe is a 1-row pushed-down filter, `rel` streams the scan
+    # once, and `cand_v` restricts to the K candidate vectors BEFORE the
+    # pairwise self-join, so no list column is ever materialized.
     """
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
         ),
-        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         rel AS (
             SELECT e.vec_id,
-                   CAST(floor(list_cosine_similarity(e.v, q.qv)
+                   CAST(floor(list_cosine_similarity(
+                              CAST(e.embedding AS DOUBLE[]), q.qv)
                               * 10000.0 + 0.5) AS BIGINT) AS rel4
-            FROM e CROSS JOIN q WHERE e.vec_id <> 0
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
         ),
         cand AS (
             SELECT vec_id, rel4 FROM (
@@ -1369,14 +1377,16 @@ _MMR_ORACLE = (
     + str(_MMR_CAND)
     + """
         ),
+        cand_v AS (
+            SELECT c.vec_id, c.rel4, CAST(e.embedding AS DOUBLE[]) AS v
+            FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+        ),
         pairs AS (
             SELECT a.vec_id AS ia, b.vec_id AS ib,
-                   CAST(floor(list_cosine_similarity(ea.v, eb.v)
+                   CAST(floor(list_cosine_similarity(a.v, b.v)
                               * 10000.0 + 0.5) AS BIGINT) AS sim4
-            FROM cand a
-            JOIN cand b ON a.vec_id <> b.vec_id
-            JOIN e ea ON ea.vec_id = a.vec_id
-            JOIN e eb ON eb.vec_id = b.vec_id
+            FROM cand_v a
+            JOIN cand_v b ON a.vec_id <> b.vec_id
         ),
         s1 AS (
             SELECT vec_id, rel4, 7 * rel4 AS score_i, 1 AS step

@@ -226,8 +226,22 @@ _CHECK_ORDER = [
     # round(sum(c_acctbal),4) split one ulp at sf100 (~2.5e9/group)
     # — converted to exact cents, strict-green at sf0.01/1/10/100;
     # displaces stat_cohort_survival_km (sf100 strict point held).
+    # text_contamination_ngram and sim_search_mmr_rerank join from the
+    # K-category sf100 breadth sweep (oracle-only rewrites, Spark
+    # plans untouched): both oracles read a big column through a
+    # multi-referenced CTE, which DuckDB auto-MATERIALIZES — at sf100
+    # the contamination gram CTE and the MMR embedding CTE each
+    # spilled >30 GB of temp and aborted the sweep. Rewritten to
+    # reference the base table per use site (filters pushed below the
+    # unnest / the K-row candidate set built before the pairwise
+    # join); re-verified strict at sf0.01/sf1 and sf10 (contamination
+    # is count-match at sf10 — its PAIR output is SF-quadratic on the
+    # replica corpus, the declared fuzzy_minhash class). Displaced to
+    # r9 (slots 51-52): stat_benford_digits and stat_chi_square —
+    # both hold sf100 strict points from the r9-window pre-screen.
     "udf_cogrouped_pandas", "scan_metadata_columns", "agg_unpivot",
     "join_inner_broadcast",
+    "text_contamination_ngram", "sim_search_mmr_rerank",
     "dedup_semantic_clustered", "q9_product_type_profit",
     "ts_seasonal_baseline", "stat_bootstrap_ci", "corpus_dataset_card",
     "text_bigram_lm_perplexity", "embedding_random_projection_jl",
