@@ -239,9 +239,15 @@ _CHECK_ORDER = [
     # replica corpus, the declared fuzzy_minhash class). Displaced to
     # r9 (slots 51-52): stat_benford_digits and stat_chi_square —
     # both hold sf100 strict points from the r9-window pre-screen.
+    # write_orc_roundtrip joins from the A-category sf100 sweep: its
+    # round(sum(s_acctbal),4) split one ulp at ~4.6e9 (1M 2dp terms)
+    # — converted to exact cents, strict-green at sf0.01/1/10/100;
+    # displaces sql_partition_hints to r9 (slot 51; it holds an sf100
+    # strict point from the r8-window pre-screen).
     "udf_cogrouped_pandas", "scan_metadata_columns", "agg_unpivot",
     "join_inner_broadcast",
     "text_contamination_ngram", "sim_search_mmr_rerank",
+    "write_orc_roundtrip",
     "dedup_semantic_clustered", "q9_product_type_profit",
     "ts_seasonal_baseline", "stat_bootstrap_ci", "corpus_dataset_card",
     "text_bigram_lm_perplexity", "embedding_random_projection_jl",

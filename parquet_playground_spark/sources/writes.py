@@ -342,7 +342,9 @@ def write_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT count(*) AS n_rows,
                count(DISTINCT s_suppkey) AS n_keys,
-               round(sum(s_acctbal), 4) AS sum_bal
+               CAST(sum(CAST(floor(s_acctbal * 100.0 + 0.5)
+                             AS DECIMAL(38, 0))) AS DOUBLE) / 100.0
+                   AS sum_bal
         FROM supplier
     """,
 )
@@ -351,7 +353,10 @@ def write_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format next to Parquet (same committer-based parallel write, same
     predicate-pushdown/column-pruning scan path on re-read). The
     oracle checks the re-read aggregate equals the source table, so a
-    lossy type mapping would surface as a hash mismatch."""
+    lossy type mapping would surface as a hash mismatch. sum_bal is
+    exact integer cents (q1/q19 pattern): the sf100 A-category sweep
+    caught round(sum(s_acctbal), 4) splitting one ulp at ~4.6e9 (1M
+    2dp terms — double-sum order sensitivity crosses the 4dp round)."""
     s = load_table(spark, sf_dir, "supplier")
     path = _tmp("orc_roundtrip")
     s.write.mode("overwrite").orc(path)
@@ -359,7 +364,14 @@ def write_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("s_suppkey").alias("n_keys"),
-        F.round(F.sum("s_acctbal"), 4).alias("sum_bal"),
+        (
+            F.sum(
+                F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("sum_bal"),
     )
 
 
