@@ -1368,7 +1368,7 @@ _MMR_ORACLE = (
                               * 10000.0 + 0.5) AS BIGINT) AS rel4
             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
         ),
-        cand AS (
+        cand AS MATERIALIZED (
             SELECT vec_id, rel4 FROM (
                 SELECT vec_id, rel4,
                        row_number() OVER (ORDER BY rel4 DESC, vec_id) AS r
@@ -1377,11 +1377,11 @@ _MMR_ORACLE = (
     + str(_MMR_CAND)
     + """
         ),
-        cand_v AS (
+        cand_v AS MATERIALIZED (
             SELECT c.vec_id, c.rel4, CAST(e.embedding AS DOUBLE[]) AS v
             FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT a.vec_id AS ia, b.vec_id AS ib,
                    CAST(floor(list_cosine_similarity(a.v, b.v)
                               * 10000.0 + 0.5) AS BIGINT) AS sim4
