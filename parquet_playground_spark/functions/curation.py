@@ -112,39 +112,40 @@ _CONTAM_K = 4  # word-4-grams: selective on this corpus (8 pairs at sf0.01)
 _BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out eval split
 
 
+def _contam_gram_side(doc_filter: str) -> str:
+    """One side of the contamination oracle's gram explosion: the
+    doc_id filter is the ONLY difference between the train and bench
+    subqueries, so the shared expression is built here once (two
+    inlined copies previously had to be edited in lockstep)."""
+    return f"""(
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       array_to_string(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_K - 1} AS INTEGER)], ' ')
+                       FOR i IN range(1, len(toks) - {_CONTAM_K} + 2)
+                   ])) AS g
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                  FROM documents
+                  WHERE {doc_filter})
+        )"""
+
+
 @register(
     "text_contamination_ngram",
     oracle=f"""
         -- The gram explosion is written as two INLINE subqueries, not a
         -- shared CTE: DuckDB auto-materializes a CTE referenced twice,
         -- which at sf100 spilled the full 2.5e8-row train-side gram
-        -- list to disk (measured: >58 GB tmp, sweep abort). Inlined,
+        -- list to disk (tmp-dir watcher: >30 GB and climbing at the
+        -- sweep abort — the figure BENCH_local.md records). Inlined,
         -- each side pushes its doc_id mod filter below the unnest, the
         -- bench side stays ~1/97th of the corpus, and the hash join
         -- builds on the small side while train grams stream through.
         SELECT t.doc_id AS train_doc,
                b.doc_id AS bench_doc,
                count(DISTINCT t.g) AS n_shared_grams
-        FROM (
-            SELECT doc_id,
-                   unnest(list_distinct([
-                       array_to_string(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_K - 1} AS INTEGER)], ' ')
-                       FOR i IN range(1, len(toks) - {_CONTAM_K} + 2)
-                   ])) AS g
-            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-                  FROM documents
-                  WHERE doc_id % {_BENCH_MOD} <> 0)
-        ) t
-        JOIN (
-            SELECT doc_id,
-                   unnest(list_distinct([
-                       array_to_string(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_K - 1} AS INTEGER)], ' ')
-                       FOR i IN range(1, len(toks) - {_CONTAM_K} + 2)
-                   ])) AS g
-            FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-                  FROM documents
-                  WHERE doc_id % {_BENCH_MOD} = 0)
-        ) b ON t.g = b.g
+        FROM {_contam_gram_side(f"doc_id % {_BENCH_MOD} <> 0")} t
+        JOIN {_contam_gram_side(f"doc_id % {_BENCH_MOD} = 0")} b
+          ON t.g = b.g
         GROUP BY t.doc_id, b.doc_id
     """,
 )
@@ -794,7 +795,9 @@ def dataset_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_docs,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars,
-               round(avg(n_chars), 2) AS avg_chars
+               CAST(floor(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                          / count(n_chars) * 100.0 + 0.5) AS DOUBLE)
+                   / 100.0 AS avg_chars
         FROM scored GROUP BY stage
     """,
 )
@@ -821,11 +824,21 @@ def curriculum_quality_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         ntile_from_rank(F.col("__rk"), F.col("__n"), 4).alias("stage"),
     )
+    # avg_chars as exact-integer sum/count + portable floor (q1 avg
+    # pattern, r8 VERDICT item 2).
     return scored.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        (
+            F.floor(
+                F.sum(F.col("n_chars").cast("bigint")).cast("double")
+                / F.count("n_chars")
+                * 100.0
+                + 0.5
+            ).cast("double")
+            / 100.0
+        ).alias("avg_chars"),
     )
 
 

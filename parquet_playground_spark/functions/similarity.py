@@ -461,12 +461,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH flat AS (
             SELECT label,
                    generate_subscripts(embedding, 1) - 1 AS dim,
-                   unnest(embedding) AS v
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000000.0 + 0.5) AS BIGINT) AS v_u
             FROM embeddings
         )
         SELECT label, dim,
                count(*) AS n_vecs,
-               round(avg(v), 4) + 0.0 AS mean_v
+               CAST(floor(CAST(sum(v_u) AS DOUBLE) / count(*)
+                          / 100000.0 + 0.5) AS DOUBLE) / 10000.0 + 0.0
+                   AS mean_v
         FROM flat GROUP BY label, dim
     """,
 )
@@ -488,12 +491,30 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
+    # Exact accumulation (r8 VERDICT item 2 — the
+    # embedding_random_projection_jl lesson): each float32 component
+    # is floor-quantized to integer NANO-units (the float->double
+    # cast is exact, so both engines quantize identically), the
+    # per-(label, dim) sum is an order-independent bigint add, and
+    # the mean is one identical IEEE division + portable floor.
     # + 0.0 normalizes IEEE signed zero: a mean that rounds to zero
     # can surface as -0.0 on one engine and 0.0 on the other (caught
     # by the sf0.1 cross-scale sweep); -0.0 + 0.0 == +0.0 on both.
+    v_u = F.floor(
+        F.col("v").cast("double") * 1000000000.0 + 0.5
+    ).cast("long")
     return flat.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        (F.round(F.avg("v"), 4) + 0.0).alias("mean_v"),
+        (
+            F.floor(
+                F.sum(v_u).cast("double")
+                / F.count(F.lit(1))
+                / 100000.0
+                + 0.5
+            ).cast("double")
+            / 10000.0
+            + 0.0
+        ).alias("mean_v"),
     )
 
 

@@ -54,7 +54,9 @@ def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang, source,
                count(*) AS n_docs,
-               round(avg(n_chars), 4) AS avg_chars,
+               CAST(floor(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                          / count(n_chars) * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS avg_chars,
                CAST(min(n_chars) AS BIGINT) AS min_chars,
                CAST(max(n_chars) AS BIGINT) AS max_chars
         FROM documents
@@ -62,10 +64,21 @@ def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg_chars as exact-integer sum/count + portable floor (q1 avg
+    # pattern, r8 VERDICT item 2): n_chars is integral, so the only
+    # float op is one identical IEEE division on both engines.
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (
+            F.floor(
+                F.sum(F.col("n_chars").cast("bigint")).cast("double")
+                / F.count("n_chars")
+                * 10000.0
+                + 0.5
+            ).cast("double")
+            / 10000.0
+        ).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -215,7 +228,9 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept AS (SELECT f.* FROM f JOIN k USING (doc_id))
         SELECT lang, source,
                count(*) AS n_docs,
-               round(avg(n_toks), 4) AS avg_tokens
+               CAST(floor(CAST(sum(CAST(n_toks AS BIGINT)) AS DOUBLE)
+                          / count(n_toks) * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS avg_tokens
         FROM kept
         GROUP BY lang, source
     """,
@@ -241,9 +256,19 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     kept = q.join(keep, "doc_id")
+    # avg_tokens as exact-integer sum/count + portable floor (q1 avg
+    # pattern, r8 VERDICT item 2).
     return kept.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        (
+            F.floor(
+                F.sum(F.col("n_toks").cast("bigint")).cast("double")
+                / F.count("n_toks")
+                * 10000.0
+                + 0.5
+            ).cast("double")
+            / 10000.0
+        ).alias("avg_tokens"),
     )
 
 
@@ -2080,12 +2105,19 @@ _KN_D = 0.75  # absolute discount
         )
         SELECT g.doc_id,
                count(*) AS n_bigrams,
-               round(avg(-ln((greatest(bc.c12 - {_KN_D}, 0.0)
-                              + {_KN_D} * cc.n1f * (bk.n1b / tot.b))
-                             / cc.c1)), 4) AS avg_nll,
-               round(exp(avg(-ln((greatest(bc.c12 - {_KN_D}, 0.0)
-                                  + {_KN_D} * cc.n1f * (bk.n1b / tot.b))
-                                 / cc.c1))), 4) AS perplexity
+               floor(CAST(sum(CAST(floor(
+                       -ln((greatest(bc.c12 - {_KN_D}, 0.0)
+                            + {_KN_D} * cc.n1f * (bk.n1b / tot.b))
+                           / cc.c1)
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100000.0 + 0.5) / 10000.0 AS avg_nll,
+               floor(exp(CAST(sum(CAST(floor(
+                       -ln((greatest(bc.c12 - {_KN_D}, 0.0)
+                            + {_KN_D} * cc.n1f * (bk.n1b / tot.b))
+                           / cc.c1)
+                       * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / count(*) / 1000000000.0) * 10000.0 + 0.5)
+                   / 10000.0 AS perplexity
         FROM big g
         JOIN bg_counts bc ON bc.bg = g.bg
         JOIN ctx cc ON cc.w1 = string_split(g.bg, ' ')[1]
@@ -2109,10 +2141,13 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     c(w1) evaluated per bigram occurrence with one fixed-order
     expression.
 
-    Determinism: every model statistic is an exact integer; the only
-    floats are the final per-occurrence ln() and the per-doc average,
-    rounded at 4 dp (house rule: |doc|-term sums of ~ln|V^2|-magnitude
-    values are stable to 4 dp across summation orders).
+    Determinism (r8 VERDICT item 2): every model statistic is an
+    exact integer; each bigram's NLL term is floor-quantized to
+    integer NANO-units before summing (the text_bigram_lm_perplexity
+    pattern — JVM and DuckDB ln() are bit-different on ~8-10% of
+    inputs, so a raw float avg is both order- and libm-sensitive),
+    and the 4-dp outputs are single identical IEEE expressions of
+    that integer sum (portable floor, never engine round).
 
     Scale shape: identical to the add-k LM — one bigram explode +
     count (the fact-sized shuffle), then joins of vocabulary-sized
@@ -2147,7 +2182,7 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c12") - _KN_D, F.lit(0.0))
         + _KN_D * F.col("n1f") * (F.col("n1b") / F.col("b"))
     ) / F.col("c1")
-    nll = -F.log(p_kn)
+    nll_u = F.floor(-F.log(p_kn) * 1000000000.0 + 0.5).cast("long")
     return (
         bigrams.join(bg_counts, "bg")
         .join(ctx, F.split(F.col("bg"), " ")[0] == F.col("w1"))
@@ -2156,8 +2191,27 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(nll), 4).alias("avg_nll"),
-            F.round(F.exp(F.avg(nll)), 4).alias("perplexity"),
+            (
+                F.floor(
+                    F.sum(nll_u).cast("double")
+                    / F.count(F.lit(1))
+                    / 100000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("avg_nll"),
+            (
+                F.floor(
+                    F.exp(
+                        F.sum(nll_u).cast("double")
+                        / F.count(F.lit(1))
+                        / 1000000000.0
+                    )
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("perplexity"),
         )
         .orderBy("doc_id")
     )
@@ -2519,6 +2573,18 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text_lm_interpolation_tuning — held-out tuning of unigram/bigram mix
 
+# Per-bigram NLL of the interpolated mixture, floor-quantized to
+# integer NANO-units (the text_bigram_lm_perplexity pattern, r8
+# VERDICT item 2): JVM and DuckDB ln() are bit-different on ~8-10% of
+# inputs, so the per-lambda accumulation must be an exact integer
+# add, not a float avg. Defined once and spliced into both aggregate
+# expressions so the two copies cannot drift.
+_LMTUNE_NLL_U = """CAST(floor(-ln(
+                   l.lam * ((h.c12 + 0.5) / (h.c1 + 0.5 * c.v))
+                   + (1.0 - l.lam) * ((h.cw + 0.5)
+                                      / (c.n_tok + 0.5 * c.v))
+               ) * 1000000000.0 + 0.5) AS BIGINT)"""
+
 _LMTUNE_SQL = """
         WITH docs AS (
             SELECT doc_id, text,
@@ -2574,22 +2640,19 @@ _LMTUNE_SQL = """
         )
         SELECT CAST(floor(l.lam * 10.0 + 0.5) AS BIGINT) AS lambda_x10,
                CAST(count(*) AS BIGINT) AS n_heldout_bigrams,
-               round(avg(-ln(
-                   l.lam * ((h.c12 + 0.5) / (h.c1 + 0.5 * c.v))
-                   + (1.0 - l.lam) * ((h.cw + 0.5)
-                                      / (c.n_tok + 0.5 * c.v))
-               )), 4) AS avg_nll,
-               round(exp(avg(-ln(
-                   l.lam * ((h.c12 + 0.5) / (h.c1 + 0.5 * c.v))
-                   + (1.0 - l.lam) * ((h.cw + 0.5)
-                                      / (c.n_tok + 0.5 * c.v))
-               ))), 4) AS perplexity
+               CAST(floor(CAST(sum(NLL_U) AS DOUBLE)
+                          / count(*) / 100000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS avg_nll,
+               CAST(floor(exp(CAST(sum(NLL_U) AS DOUBLE)
+                              / count(*) / 1000000000.0)
+                          * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS perplexity
         FROM heldout h
         CROSS JOIN lambdas l
         CROSS JOIN consts c
         GROUP BY l.lam
         ORDER BY lambda_x10
-"""
+""".replace("NLL_U", _LMTUNE_NLL_U)
 
 
 @register(
@@ -2624,10 +2687,13 @@ def text_lm_interpolation_tuning(
     design). Unseen held-out events hit the LEFT-JOIN zero counts and
     the add-k floor keeps every probability finite.
 
-    Determinism: all counts integer; the per-bigram mixture is one
-    fixed-order expression (same libm ln both engines, the
-    text_bigram_lm_perplexity precedent) and per-lambda averages
-    round at 4 dp.
+    Determinism (r8 VERDICT item 2): all counts integer; each
+    held-out bigram's mixture NLL is floor-quantized to integer
+    NANO-units before the per-lambda sum (_LMTUNE_NLL_U, spliced
+    into both aggregate expressions from one definition — the
+    text_bigram_lm_perplexity pattern, since JVM and DuckDB ln() are
+    bit-different on ~8-10% of inputs), and the 4-dp outputs are
+    portable-floor expressions of that integer sum.
 
     Scale shape: one bigram explode, model aggregates on the TYPE
     table, three LEFT JOINs back onto the held-out stream (AQE

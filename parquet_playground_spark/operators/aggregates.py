@@ -123,18 +123,37 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(l_quantity), 4) AS sum_qty,
                round(min(l_extendedprice), 4) AS min_price,
                round(max(l_extendedprice), 4) AS max_price,
-               round(avg(l_discount), 4) AS avg_disc
+               CAST(floor(CAST(sum(CAST(floor(l_discount * 100.0 + 0.5)
+                                        AS BIGINT)) AS DOUBLE)
+                          / count(*) / 100.0 * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS avg_disc
         FROM lineitem
     """,
 )
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg_disc as exact pennies (q1 avg pattern, r8 VERDICT item 2):
+    # l_discount is 2dp, so the per-row pct integerizes exactly, the
+    # sum is an order-independent integer add, and the average is one
+    # identical IEEE division + portable floor on both engines —
+    # engine round(avg(..)) was the class that split three certified
+    # keys at the sf100 screen.
     li = load_table(spark, sf_dir, "lineitem")
+    disc_p = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint")
     return li.agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        (
+            F.floor(
+                F.sum(disc_p).cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+                * 10000.0
+                + 0.5
+            ).cast("double")
+            / 10000.0
+        ).alias("avg_disc"),
     )
 
 
@@ -215,7 +234,9 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(l_quantity) AS cnt,
                round(min(l_quantity), 4) AS min_q,
                round(max(l_quantity), 4) AS max_q,
-               round(avg(l_quantity), 4) AS mean_q,
+               CAST(floor(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                          / count(l_quantity) * 10000.0 + 0.5) AS DOUBLE)
+                   / 10000.0 AS mean_q,
                round(sum(l_quantity), 4) AS sum_q,
                round(var_samp(l_quantity), 4) AS var_q,
                round(stddev_samp(l_extendedprice), 4) AS std_price
@@ -225,13 +246,27 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min/max/mean/count/sum/variance — the per-field stats schema of
-    nested_structs.rust.parquet (reference corpus, SURVEY §2.2)."""
+    nested_structs.rust.parquet (reference corpus, SURVEY §2.2).
+
+    mean_q is exact-integer sum/count + portable floor (q1 avg
+    pattern, r8 VERDICT item 2): l_quantity is integer-valued, so the
+    bigint sum is exact and the average is one identical IEEE
+    division on both engines where engine round(avg(..)) can split
+    half-up vs half-even."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.count("l_quantity").alias("cnt"),
         F.round(F.min("l_quantity"), 4).alias("min_q"),
         F.round(F.max("l_quantity"), 4).alias("max_q"),
-        F.round(F.avg("l_quantity"), 4).alias("mean_q"),
+        (
+            F.floor(
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("l_quantity")
+                * 10000.0
+                + 0.5
+            ).cast("double")
+            / 10000.0
+        ).alias("mean_q"),
         F.round(F.sum("l_quantity"), 4).alias("sum_q"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_q"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),

@@ -2719,32 +2719,47 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id,
                    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
                                1, 8)) AS BIGINT) % 2 AS variant,
-                   round(sum(CASE WHEN event_type = 'purchase'
-                                   AND ts < TIMESTAMP '2024-01-16'
-                                  THEN value ELSE 0 END), 4) AS pre,
-                   round(sum(CASE WHEN event_type = 'purchase'
-                                   AND ts >= TIMESTAMP '2024-01-16'
-                                  THEN value ELSE 0 END), 4) AS post
+                   sum(CASE WHEN event_type = 'purchase'
+                             AND ts < TIMESTAMP '2024-01-16'
+                            THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS pre_c,
+                   sum(CASE WHEN event_type = 'purchase'
+                             AND ts >= TIMESTAMP '2024-01-16'
+                            THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                            ELSE 0 END) AS post_c
             FROM events
             GROUP BY user_id
         ),
         gstats AS (
+            -- HUGEINT (int128) accumulation: DuckDB rejects
+            -- DECIMAL(38,0)*DECIMAL(38,0) (result width > 38); the
+            -- Spark side uses decimal(38,0) for the same exact
+            -- integers and both cast to DOUBLE only at theta.
             SELECT count(*) AS n,
-                   sum(pre) AS sp, sum(post) AS so,
-                   sum(pre * post) AS spo, sum(pre * pre) AS spp
+                   sum(CAST(pre_c AS HUGEINT)) AS sp,
+                   sum(CAST(post_c AS HUGEINT)) AS so,
+                   sum(CAST(pre_c AS HUGEINT) * post_c) AS spo,
+                   sum(CAST(pre_c AS HUGEINT) * pre_c) AS spp
             FROM per_user
         ),
         theta AS (
-            SELECT (spo - sp * so / n) / (spp - sp * sp / n) AS th,
-                   sp / n AS pre_mean
+            SELECT CAST(n * spo - sp * so AS DOUBLE)
+                   / CAST(n * spp - sp * sp AS DOUBLE) AS th,
+                   CAST(sp AS DOUBLE) / n AS pre_mean_c
             FROM gstats
         )
         SELECT CAST(u.variant AS BIGINT) AS variant,
                count(*) AS n_users,
-               round(avg(u.post), 4) AS mean_post,
-               round(avg(u.post - t.th * (u.pre - t.pre_mean)), 4)
+               CAST(floor(CAST(sum(u.post_c) AS DOUBLE) / count(*)
+                          / 100.0 * 10000.0 + 0.5) AS DOUBLE) / 10000.0
+                   AS mean_post,
+               CAST(floor(CAST(sum(CAST(floor(
+                        (u.post_c - t.th * (u.pre_c - t.pre_mean_c))
+                        * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / count(*) / 100.0 + 0.5) AS DOUBLE) / 10000.0
                    AS mean_adjusted,
-               round(max(t.th), 6) AS theta
+               CAST(floor(max(t.th) * 1000000.0 + 0.5) AS DOUBLE)
+                   / 1000000.0 AS theta
         FROM per_user u CROSS JOIN theta t
         GROUP BY u.variant
         ORDER BY variant
@@ -2758,56 +2773,91 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     between-user variance the treatment cannot explain. Assignment is
     the same md5-deterministic rule as events_ab_test_lift. Shape: one
     user-level aggregate (the only fact shuffle), a 1-row broadcast of
-    (θ, pre-mean), then a variant-sized readout. Per-user sums are
-    rounded at 4 dp before the covariance sums, so θ is engine-stable
-    to ~1e-15 and every output survives its rounding."""
+    (θ, pre-mean), then a variant-sized readout.
+
+    Determinism (r8 VERDICT item 2 — the last round(avg) sites):
+    event values are 2dp, so per-user pre/post integerize to exact
+    cents, the covariance sums accumulate as exact DECIMAL(38,0)
+    products, and θ is derived via the cleared-denominator form
+    (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) — one identical IEEE division on
+    both engines, making θ BIT-identical, not just ~1e-15 close.
+    mean_post is then exact-integer sum/count + portable floor, and
+    each user's CUPED-adjusted value (an identical double on both
+    engines, since θ and the cent inputs are identical) is
+    floor-quantized to 1e-6-dollar units before the final sum — the
+    text_bigram_lm_perplexity precedent — so the per-variant
+    accumulation is an order-independent integer add."""
     from parquet_playground_spark.operators.scale import _portable_bucket
 
     e = load_table(spark, sf_dir, "events")
     variant = _portable_bucket(F.col("user_id").cast("string"), 2)
     is_purchase = F.col("event_type") == "purchase"
     pre_cut = F.col("ts") < "2024-01-16"
+    value_c = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
     per_user = e.groupBy("user_id").agg(
         F.first(variant).alias("variant"),
-        F.round(
-            F.sum(F.when(is_purchase & pre_cut, F.col("value")).otherwise(0.0)),
-            4,
-        ).alias("pre"),
-        F.round(
-            F.sum(
-                F.when(is_purchase & ~pre_cut, F.col("value")).otherwise(0.0)
-            ),
-            4,
-        ).alias("post"),
+        F.sum(
+            F.when(is_purchase & pre_cut, value_c).otherwise(F.lit(0))
+        ).alias("pre_c"),
+        F.sum(
+            F.when(is_purchase & ~pre_cut, value_c).otherwise(F.lit(0))
+        ).alias("post_c"),
     )
+    dec = F.col("pre_c").cast("decimal(38,0)")
     glob = per_user.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("pre").alias("sp"),
-        F.sum("post").alias("so"),
-        F.sum(F.col("pre") * F.col("post")).alias("spo"),
-        F.sum(F.col("pre") * F.col("pre")).alias("spp"),
+        F.sum(dec).alias("sp"),
+        F.sum(F.col("post_c").cast("decimal(38,0)")).alias("so"),
+        F.sum(dec * F.col("post_c")).alias("spo"),
+        F.sum(dec * F.col("pre_c")).alias("spp"),
     )
     theta = glob.select(
         (
-            (F.col("spo") - F.col("sp") * F.col("so") / F.col("n"))
-            / (F.col("spp") - F.col("sp") * F.col("sp") / F.col("n"))
+            (F.col("n") * F.col("spo") - F.col("sp") * F.col("so")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast(
+                "double"
+            )
         ).alias("th"),
-        (F.col("sp") / F.col("n")).alias("pre_mean"),
+        (F.col("sp").cast("double") / F.col("n")).alias("pre_mean_c"),
     )
+    adj_u = F.floor(
+        (
+            F.col("post_c")
+            - F.col("th") * (F.col("pre_c") - F.col("pre_mean_c"))
+        )
+        * 10000.0
+        + 0.5
+    ).cast("long")
     return (
         per_user.crossJoin(F.broadcast(theta))
         .groupBy(F.col("variant").cast("bigint").alias("variant"))
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.round(F.avg("post"), 4).alias("mean_post"),
-            F.round(
-                F.avg(
-                    F.col("post")
-                    - F.col("th") * (F.col("pre") - F.col("pre_mean"))
-                ),
-                4,
+            (
+                F.floor(
+                    F.sum("post_c").cast("double")
+                    / F.count(F.lit(1))
+                    / 100.0
+                    * 10000.0
+                    + 0.5
+                ).cast("double")
+                / 10000.0
+            ).alias("mean_post"),
+            (
+                F.floor(
+                    F.sum(adj_u).cast("double")
+                    / F.count(F.lit(1))
+                    / 100.0
+                    + 0.5
+                ).cast("double")
+                / 10000.0
             ).alias("mean_adjusted"),
-            F.round(F.max("th"), 6).alias("theta"),
+            (
+                F.floor(F.max("th") * 1000000.0 + 0.5).cast("double")
+                / 1000000.0
+            ).alias("theta"),
         )
         .orderBy("variant")
     )

@@ -110,25 +110,41 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               round(avg(o_totalprice) OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-               ), 4) AS avg3
+               CAST(floor(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                        AS BIGINT)) OVER w AS DOUBLE)
+                          / count(*) OVER w / 100.0 * 10000.0 + 0.5)
+                    AS DOUBLE) / 10000.0 AS avg3
         FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg over the frame as exact cents (q1 avg pattern, r8 VERDICT
+    # item 2): the 2dp price integerizes exactly, the frame sum is an
+    # integer add, and the average is one identical IEEE division +
+    # portable floor on both engines instead of engine round(avg(..)).
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("avg3"),
+        (
+            F.floor(
+                F.sum(cents).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+                / 100.0
+                * 10000.0
+                + 0.5
+            ).cast("double")
+            / 10000.0
+        ).alias("avg3"),
     )
 
 
