@@ -1131,6 +1131,63 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf10); 3 keeps cluster balance within 10% of flat assignment.
 _SEM_NPROBE = 3
 
+# Row-block size for the per-cluster GEMM: caps each task's score
+# matrix at _SEM_GEMM_BLOCK x |cluster| (the 12.9k-row sf100 cluster
+# peaks at ~100 MB instead of |c|^2 = 1.3 GB).
+_SEM_GEMM_BLOCK = 1024
+
+
+def _semantic_cluster_pairs(pdf, block=_SEM_GEMM_BLOCK):
+    """applyInPandas kernel for dedup_semantic_clustered's pair stage:
+    one CLUSTER's above-threshold (ka < kb) cosine pairs via blocked
+    numpy GEMM over 1e6-unit integer-quantized normalized vectors
+    (exact float64 dots — see the caller's quantization note).
+
+    Block completeness invariant (unit-pinned in tests/test_plans.py):
+    each row block [s0:e0) scores against ALL rows of the cluster
+    (``m[s0:e0] @ m.T``), and the ``ids[i] < ids[j]`` mask keeps each
+    unordered pair exactly once — from the block holding the
+    smaller id — so pairs whose endpoints fall in different blocks
+    are neither dropped nor double-counted. ``block`` is
+    parameterized only so the test can force a multi-block cluster
+    on a small fixture; production always uses _SEM_GEMM_BLOCK."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(pdf["nv"].to_numpy())          # |c| x 64, int-valued
+    ids = pdf["vec_id"].to_numpy()
+    cid = int(pdf["cid"].iloc[0])
+    out = []
+    for s0 in range(0, len(ids), block):
+        e0 = min(s0 + block, len(ids))
+        # scores of rows [s0:e0) against ALL rows: exact integer
+        # dots in float64 (see quantization note in the caller)
+        g = m[s0:e0] @ m.T
+        cs = np.floor(g / 100000000.0 + 0.5) / 10000.0
+        bi, bj = np.nonzero(cs > 0.3)
+        keep = ids[s0:e0][bi] < ids[bj]          # ka < kb only
+        bi, bj = bi[keep], bj[keep]
+        if len(bi):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "ka": ids[s0:e0][bi],
+                        "kb": ids[bj],
+                        "cid": cid,
+                        "cs_r4": cs[bi, bj],
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {"ka": pd.Series(dtype="int64"),
+             "kb": pd.Series(dtype="int64"),
+             "cid": pd.Series(dtype="int64"),
+             "cs_r4": pd.Series(dtype="float64")}
+        )
+    return pd.concat(out, ignore_index=True)
+
 
 @register(
     "dedup_semantic_clustered",
@@ -1410,7 +1467,10 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nv"),
     )
 
-    # Pair stage: per-cluster blocked numpy GEMM via applyInPandas.
+    # Pair stage: per-cluster blocked numpy GEMM via applyInPandas
+    # (_semantic_cluster_pairs, module level so the cross-block pair
+    # completeness is unit-testable — tests/test_plans.py pins it on
+    # a >1-block synthetic cluster per the r8 VERDICT item 4 order).
     # The previous HOF self-join evaluated sum(|cluster|^2) 64-dim
     # dots through Catalyst's INTERPRETED higher-order lambdas (HOFs
     # never enter whole-stage codegen) — measured 4445 s at sf100
@@ -1420,49 +1480,12 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster); row-blocking caps the score-matrix at BLOCK x |c|
     # so the largest observed cluster (12.9k rows at sf100) peaks at
     # ~100 MB per task instead of |c|^2.
-    import pandas as pd  # noqa: F401 (applyInPandas contract)
-
-    def _cluster_pairs(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = np.stack(pdf["nv"].to_numpy())          # |c| x 64, int-valued
-        ids = pdf["vec_id"].to_numpy()
-        cid = int(pdf["cid"].iloc[0])
-        out = []
-        block = 1024
-        for s0 in range(0, len(ids), block):
-            e0 = min(s0 + block, len(ids))
-            # scores of rows [s0:e0) against ALL rows: exact integer
-            # dots in float64 (see quantization note above)
-            g = m[s0:e0] @ m.T
-            cs = np.floor(g / 100000000.0 + 0.5) / 10000.0
-            bi, bj = np.nonzero(cs > 0.3)
-            keep = ids[s0:e0][bi] < ids[bj]          # ka < kb only
-            bi, bj = bi[keep], bj[keep]
-            if len(bi):
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "ka": ids[s0:e0][bi],
-                            "kb": ids[bj],
-                            "cid": cid,
-                            "cs_r4": cs[bi, bj],
-                        }
-                    )
-                )
-        if not out:
-            return pd.DataFrame(
-                {"ka": pd.Series(dtype="int64"),
-                 "kb": pd.Series(dtype="int64"),
-                 "cid": pd.Series(dtype="int64"),
-                 "cs_r4": pd.Series(dtype="float64")}
-            )
-        return pd.concat(out, ignore_index=True)
-
+    # 1-arg wrapper: applyInPandas dispatches on parameter COUNT, and
+    # _semantic_cluster_pairs's test-only `block` kwarg would make it
+    # look like the (key, pdf) signature.
     pairs = normed.groupBy("cid").applyInPandas(
-        _cluster_pairs, "ka long, kb long, cid long, cs_r4 double"
+        lambda pdf: _semantic_cluster_pairs(pdf),
+        "ka long, kb long, cid long, cs_r4 double",
     )
     # round-before-rank convention unchanged: cs_r4 is the exact
     # 4dp-floor of the quantized dot, so threshold and keeper-rank

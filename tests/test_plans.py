@@ -1196,6 +1196,97 @@ def test_semantic_dedup_assignment_runs_at_core_parallelism(spark):
     assert all(w >= dp for w in widths), (widths, dp)
 
 
+def test_semantic_gemm_cross_block_pair_completeness():
+    """Unit-pin the r8 VERDICT item 4a property: the blocked GEMM in
+    _semantic_cluster_pairs must emit every above-threshold (ka < kb)
+    pair exactly once even when ka and kb fall in DIFFERENT row
+    blocks. The oracle would catch a break only as an opaque hash
+    mismatch; this pins it at the kernel with a forced multi-block
+    cluster (10 rows, block=4 -> 3 blocks) against a brute-force
+    all-pairs reference, and separately pins block-invariance
+    (block=4 == single-block result)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_playground_spark.functions.dedup import (
+        _semantic_cluster_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    # 10 vectors: a tight family of 6 (pairwise cosine ~1, spread
+    # across all three blocks by id) + 4 near-orthogonal strays so
+    # the threshold actually filters something.
+    base = rng.normal(size=64)
+    vecs = [base + rng.normal(scale=0.05, size=64) for _ in range(6)]
+    vecs += [rng.normal(size=64) for _ in range(4)]
+    # non-contiguous shuffled ids: the kernel must sort by vec_id
+    ids = np.array([30, 11, 2, 43, 24, 15, 36, 7, 48, 19])
+    order = rng.permutation(10)
+    quant = [
+        np.floor(v / np.linalg.norm(v) * 1e6 + 0.5) for v in vecs
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": ids[order],
+            "cid": 5,
+            "nv": [quant[i] for i in order],
+        }
+    )
+
+    got = _semantic_cluster_pairs(pdf.copy(), block=4)
+    got_pairs = {
+        (r.ka, r.kb): r.cs_r4 for r in got.itertuples(index=False)
+    }
+    assert len(got_pairs) == len(got), "duplicate (ka, kb) pair emitted"
+    assert all(ka < kb for ka, kb in got_pairs), "unordered pair emitted"
+
+    # brute-force reference: every i<j pair through the identical
+    # quantized-dot + 4dp-floor formula
+    by_id = {int(ids[o]): quant[o] for o in order}
+    sorted_ids = sorted(by_id)
+    want = {}
+    for i, ka in enumerate(sorted_ids):
+        for kb in sorted_ids[i + 1:]:
+            cs = np.floor(by_id[ka] @ by_id[kb] / 1e8 + 0.5) / 1e4
+            if cs > 0.3:
+                want[(ka, kb)] = cs
+    assert got_pairs == want
+    # the fixture must actually exercise the cross-block path AND the
+    # threshold filter, or the pin is vacuous
+    blk = {v: i // 4 for i, v in enumerate(sorted_ids)}
+    assert any(blk[ka] != blk[kb] for ka, kb in want), "no cross-block pair"
+    assert len(want) < 45, "threshold filtered nothing"
+
+    # block-invariance: one block == three blocks
+    single = _semantic_cluster_pairs(pdf.copy(), block=1024)
+    single_pairs = {
+        (r.ka, r.kb): r.cs_r4 for r in single.itertuples(index=False)
+    }
+    assert single_pairs == got_pairs
+
+
+def test_semantic_dedup_assignment_subtree_reused_at_runtime(spark):
+    """Pin the r8 VERDICT item 4b property: the repartitioned
+    embeddings subtree feeds the centroid layer, the probe pass, and
+    the assignment join, and must NOT be recomputed per consumer —
+    the pre-GEMM form replayed it twice and that replay was ~half the
+    wall. The mechanism is AQE exchange reuse (the subtree ends in an
+    Exchange and every consumer references the same canonical form),
+    which only materializes in the EXECUTED plan — the static plan
+    shows the expanded tree — so this pin collects the result first.
+    A refactor that perturbs one consumer's canonical subtree (e.g.
+    projecting different columns before the exchange) silently drops
+    the reuse; this catches it."""
+    df = _q("dedup_semantic_clustered")(spark, "/root/testdata/sf0.001")
+    assert len(df.collect()) > 0
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ReusedExchange") >= 4, (
+        f"AQE exchange reuse gone — assignment subtree replayed:\n"
+        f"{tree[:3000]}"
+    )
+
+
 def test_cogroup_fact_side_carries_probe_predicate(spark):
     """Pin the r8 scale fix for udf_cogrouped_pandas: cogroup invokes
     the Python callback once per distinct key on EITHER side, so the
