@@ -2231,23 +2231,52 @@ def events_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "basket_association_lift",
     oracle="""
-        WITH baskets AS (
-            SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
-            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        -- Brand-BITMASK formulation (r8 VERDICT item 5): the naive
+        -- distinct-(order, brand) self-join materializes ~1.2e9
+        -- intermediate pairs at sf100 and ground past a 75 GB DuckDB
+        -- cap with spill still climbing at 37 GB (BENCH_local.md r8).
+        -- Brand cardinality is ~25 < 64, so each order's basket
+        -- collapses losslessly to one UBIGINT bit_or mask (idempotent
+        -- — no DISTINCT pass needed), orders collapse to
+        -- |distinct masks| rows, and the pair/support expansion runs
+        -- over masks x 25 brands instead of per-order pairs. Joint,
+        -- support, and order counts are provably identical; the
+        -- float expressions are byte-identical to the previous
+        -- oracle text.
+        WITH brands AS (
+            SELECT brand,
+                   CAST(row_number() OVER (ORDER BY brand) - 1 AS BIGINT)
+                       AS idx
+            FROM (SELECT DISTINCT p_brand AS brand FROM part)
         ),
-        n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders
-              FROM baskets),
+        masks AS (
+            SELECT l.l_orderkey AS okey,
+                   bit_or(CAST(1 AS UBIGINT) << br.idx) AS bm
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN brands br ON br.brand = p.p_brand
+            GROUP BY l.l_orderkey
+        ),
+        mask_counts AS (
+            SELECT bm, count(*) AS cnt FROM masks GROUP BY bm
+        ),
+        n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_orders
+              FROM mask_counts),
         supp AS (
-            SELECT brand, CAST(count(*) AS DOUBLE) AS s
-            FROM baskets GROUP BY brand
+            SELECT b.brand, CAST(sum(mc.cnt) AS DOUBLE) AS s
+            FROM mask_counts mc
+            JOIN brands b ON (mc.bm >> b.idx) & 1 = 1
+            GROUP BY b.brand
         ),
         pairs AS (
-            SELECT a.brand AS brand_a, b.brand AS brand_b,
-                   CAST(count(*) AS DOUBLE) AS joint
-            FROM baskets a JOIN baskets b
-                 ON a.okey = b.okey AND a.brand < b.brand
-            GROUP BY a.brand, b.brand
-            HAVING count(*) >= 20
+            SELECT ba.brand AS brand_a, bb.brand AS brand_b,
+                   CAST(sum(mc.cnt) AS DOUBLE) AS joint
+            FROM mask_counts mc
+            JOIN brands ba ON (mc.bm >> ba.idx) & 1 = 1
+            JOIN brands bb ON (mc.bm >> bb.idx) & 1 = 1
+                          AND ba.brand < bb.brand
+            GROUP BY ba.brand, bb.brand
+            HAVING sum(mc.cnt) >= 20
         )
         SELECT brand_a, brand_b,
                CAST(joint AS BIGINT) AS n_joint,

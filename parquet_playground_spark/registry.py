@@ -182,6 +182,15 @@ _CHECK_ORDER = [
     # for the cross-block completeness unit test) plus a 1-arg
     # applyInPandas wrapper — behavior-identical, but changed code
     # always re-certifies; strict-green at sf0.01/sf1 post-change.
+    # basket_association_lift joins them (12th redemption slot,
+    # oracle-only rewrite, r8 VERDICT item 5): its DuckDB oracle's
+    # distinct-(order, brand) self-join — ~1.2e9 intermediate pairs
+    # at sf100 — ground past a 75 GB cap; rewritten to the
+    # brand-BITMASK formulation (each basket collapses to one
+    # UBIGINT bit_or mask; pair/support expansion over distinct
+    # masks x 25 brands). Counts provably identical, float
+    # expressions byte-identical; strict-green at sf0.01/sf1/sf10 +
+    # the sf100 point recorded in BENCH_local.md r9.
     # (text_contamination_ngram's oracle was also touched this round
     # — the duplicated gram subquery now renders from one helper —
     # but the rendered SQL is token-identical to the r8-certified
@@ -192,16 +201,16 @@ _CHECK_ORDER = [
     # head-first; freshly-checked heads drop off after each round):
     #   r7: DONE - semantic_clustered + H(25) + I(10) + L(1-14)
     #   r8: DONE - 7 redemption + L tail + M(1-25) (50/50 green)
-    #   r9: slots 1-50  = 11 redemption (above) + backlog 1-39
+    #   r9: slots 1-50  = 12 redemption (above) + backlog 1-38
     #                     (M-tail 12 incl. the r8-displaced
-    #                     stat/text/ts keys, then K 27)
-    #   r10: slots 51-87 = K tail (ts_downsample_lttb,
-    #                      ts_kalman_filter_1d) + D(10, incl. the
-    #                      sketches) + A(4) + C(4) + G(3) + J(2:
-    #                      udf_arrow_optimized, udtf_analyze_dynamic)
-    #                      + E(1) + F(1) + q-suite stragglers -
-    #                      backlog fully retired; ever-checked =
-    #                      424/424.
+    #                     stat/text/ts keys, then K 26)
+    #   r10: slots 51-88 = K tail (tokenizer_vocab_build,
+    #                      ts_downsample_lttb, ts_kalman_filter_1d)
+    #                      + D(10, incl. the sketches) + A(4) + C(4)
+    #                      + G(3) + J(2: udf_arrow_optimized,
+    #                      udtf_analyze_dynamic) + E(1) + F(1) +
+    #                      q-suite stragglers - backlog fully
+    #                      retired; ever-checked = 424/424.
     # Every backlog key already passes the local 424-query strict
     # sweep at sf0.01 AND holds an sf100/sf30 strict or fingerprint
     # pre-screen point (BENCH_local.md r8 sections).
@@ -214,7 +223,7 @@ _CHECK_ORDER = [
     # head. That re-certifies the whole surface roughly every 9
     # rounds and keeps the driver gate sensitive to regressions in
     # long-green code.
-    "dedup_semantic_clustered", "agg_global",
+    "dedup_semantic_clustered", "basket_association_lift", "agg_global",
     "agg_stats",
     "window_moving_avg",
     "events_uplift_cuped",
