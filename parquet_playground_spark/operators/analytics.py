@@ -183,7 +183,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            s.hint("merge"),
+            # r9: shuffle_hash, not merge — the shuffle pin (never
+            # broadcast a fact-proportional table) stays, but hash-
+            # building the uniform supplier side skips the sort of
+            # BOTH sides (guide §3.1); the fact chain is the big side
+            # and sorting it was the only Sort in the plan.
+            s.hint("shuffle_hash"),
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .groupBy(F.col("n_name").alias("nation"))
@@ -549,10 +554,23 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q18-shaped: customers with very large orders. The HAVING
-    subquery is a self-aggregation of lineitem that Catalyst plans as
-    a left-semi join; quantity sums are map-side combined before both
-    shuffles."""
+    """TPC-H-Q18-shaped: customers with very large orders.
+
+    r9 shape: the HAVING subquery's per-order quantity sum IS the
+    output's total_qty (the final GROUP BY keys are functionally
+    determined by o_orderkey), so lineitem is aggregated ONCE —
+    map-side combined, one exchange on l_orderkey — and the survivors
+    (a >260-qty order is rare) broadcast into the orders probe, and
+    the small hit set joins customer with no re-aggregation. The
+    previous form scanned and shuffled lineitem a second time through
+    the semi-join and re-summed it in a final aggregate
+    (plans/r09/q18_*_before.txt: 4 scans, 2 fact exchanges +
+    final-agg exchange); now 1 lineitem scan, 1 fact exchange, no
+    final aggregate. (Forcing the second broadcast too was measured
+    SLOWER — chained hint-broadcasts serialize the stages; AQE
+    overlaps them.) total_qty is bit-identical under either grouping:
+    l_quantity is integer-valued, so the double sum is exact in any
+    accumulation order."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -560,20 +578,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 260)
-        .select("l_orderkey")
     )
+    hits = o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(big, "l_orderkey", "left_semi")
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        hits.join(c, c.c_custkey == o.o_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
-            "total_qty",
+            F.round(F.col("qty"), 4).alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
@@ -1103,6 +1117,17 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_1"
     )
+    # One hash-partition by l_orderkey feeds BOTH aggregation levels
+    # (HashPartitioning(okey) satisfies the clustered distribution of
+    # the (okey, skey) group): per-(order, supplier) lateness, then
+    # per-order (n_supp, n_late, the-late-supplier) in the same stage.
+    # r9: the previous form referenced per_supp twice (filter side +
+    # stats side), and Catalyst DUPLICATED the whole lineitem ⋈ orders
+    # + aggregate subtree — two fact scans, two fact shuffles, plus a
+    # per_supp ⋈ stats join-back (plans/r09/q21_*_before.txt). When
+    # n_late = 1 the sole late supplier is max(when(late, skey)), so
+    # the join-back and the duplicate subtree both collapse into one
+    # aggregation pass: 1 fact scan, 1 fact exchange, 0 self-joins.
     lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
@@ -1111,16 +1136,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
         ).alias("late"),
     )
-    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
-    )
-    stats = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.col("late").cast("int")).alias("n_late"),
+    per_supp = (
+        lo.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
     cand = (
-        per_supp.filter("late")
-        .join(stats, "l_orderkey")
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("late").cast("int")).alias("n_late"),
+            F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "l_suppkey"
+            ),
+        )
         .filter("n_supp >= 2 AND n_late = 1")
     )
     # supplier is fact-proportional (sf x 10k): its nation lookup
@@ -1128,9 +1157,13 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-pinned — cand is already reduced to the rare
     # one-late-supplier orders, so this join is small-by-small at any
     # SF while never risking a 100x supplier broadcast (q5 class).
+    # r9: shuffle_hash instead of merge — same shuffle, no sort of
+    # either side (guide §3.1: hash-build the uniform supplier side).
     dim = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     return (
-        cand.join(dim.hint("merge"), cand.l_suppkey == F.col("s_suppkey"))
+        cand.join(
+            dim.hint("shuffle_hash"), cand.l_suppkey == F.col("s_suppkey")
+        )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
