@@ -66,11 +66,20 @@ def sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, per-query window top-k. Ranking uses the 4-dp-rounded
     similarity (+ unique neighbor tie-break) so Spark and DuckDB float
     summation order can't flip ranks."""
+    # r9: norms are precomputed ONCE per corpus vector and once per
+    # query vector instead of inside the per-pair cosine — the
+    # aggregate/zip_with HOFs are CodegenFallback (interpreted per
+    # element), so hoisting the two norm folds out of the |q| x |n|
+    # pair loop cuts the interpreted work per pair to the single dot
+    # product. dot/(qn*vn) is the same expression tree as _cosine —
+    # bit-identical results.
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("vn", _norm(F.col("v")))
     q = e.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
     scored = (
         F.broadcast(q)
@@ -79,7 +88,11 @@ def sim_search_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine(F.col("qv"), F.col("v")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("vn")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -277,24 +277,20 @@ def test_co_occurrence_is_keyed_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_bm25_filters_terms_below_tf_aggregate(spark):
-    """The IN(query terms) row filter must sit BELOW the tf aggregate
-    (cost scales with hits, not corpus tokens). In formatted-explain
-    numbering children get lower ids than parents, so the term Filter's
-    node id must be smaller than every HashAggregate's."""
-    import re
-
+def test_bm25_single_pass_no_token_shuffle(spark):
+    """r9 shape: term frequencies for the FIXED query terms are
+    per-row array expressions, so the plan has no explode (Generate),
+    no doc-keyed exchange, and no doc-proportional join side — the
+    only aggregate is the 1-row global stats (n_docs/avgdl/df), which
+    broadcasts; the top-10 is TakeOrderedAndProject. (The previous
+    explode -> tf-agg -> join-dl form shuffle- or broadcast-joined a
+    doc-proportional side at scale.)"""
     plan = formatted_plan(_q("text_bm25_search")(spark, SF_DIR))
-    filter_ids = [
-        int(m.group(1))
-        for m in re.finditer(r"\((\d+)\) Filter\n(?:.*\n)*?Condition : (.*)", plan)
-        if "term#" in m.group(2)
-    ]
-    agg_ids = [
-        int(m.group(1)) for m in re.finditer(r"\((\d+)\) HashAggregate", plan)
-    ]
-    assert filter_ids, "no row filter on term found"
-    assert min(filter_ids) < min(agg_ids)
+    assert "Generate" not in plan           # no explode pass
+    assert "TakeOrderedAndProject" in plan
+    # the only join is the 1-row stats broadcast (nested-loop cross)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "hashpartitioning(doc_id" not in plan
 
 
 def test_incremental_lsh_probe_is_hash_join(spark):
