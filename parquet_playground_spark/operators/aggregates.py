@@ -425,19 +425,20 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     delta = 0.005
     qs = [0.25, 0.5, 0.75]
+    # r9: ONE exact-percentile aggregate over a 9-fraction array, not
+    # three — each F.percentile call buffers the ENTIRE column
+    # independently (3x memory + 3x insert cost on the single final
+    # task, the dominant cost here; measured ~2x wall at sf0.1).
+    # Per-fraction results are computed from the same sorted buffer,
+    # so values are bit-identical; layout is [lo, q, hi] per quartile.
+    fractions = [f for q in qs for f in (q - delta, q, q + delta)]
     agg = li.agg(
         F.percentile_approx(
             "l_extendedprice", F.array(*[F.lit(q) for q in qs]), 10000
         ).alias("aq"),
         F.percentile(
-            "l_extendedprice", F.array(*[F.lit(q) for q in qs])
-        ).alias("eq"),
-        F.percentile(
-            "l_extendedprice", F.array(*[F.lit(q - delta) for q in qs])
-        ).alias("eq_lo"),
-        F.percentile(
-            "l_extendedprice", F.array(*[F.lit(q + delta) for q in qs])
-        ).alias("eq_hi"),
+            "l_extendedprice", F.array(*[F.lit(f) for f in fractions])
+        ).alias("eq9"),
         F.count(F.lit(1)).alias("n"),
     )
     within = F.lit(True)
@@ -445,14 +446,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = F.element_at("aq", i)
         within = (
             within
-            & (a >= F.element_at("eq_lo", i))
-            & (a <= F.element_at("eq_hi", i))
+            & (a >= F.element_at("eq9", 3 * i - 2))
+            & (a <= F.element_at("eq9", 3 * i))
         )
     return agg.select(
         "n",
-        F.round(F.element_at("eq", 1), 4).alias("q1_exact"),
-        F.round(F.element_at("eq", 2), 4).alias("q2_exact"),
-        F.round(F.element_at("eq", 3), 4).alias("q3_exact"),
+        F.round(F.element_at("eq9", 2), 4).alias("q1_exact"),
+        F.round(F.element_at("eq9", 5), 4).alias("q2_exact"),
+        F.round(F.element_at("eq9", 8), 4).alias("q3_exact"),
         within.alias("approx_within_rank_band"),
     )
 

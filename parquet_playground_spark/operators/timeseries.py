@@ -1315,17 +1315,14 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LTTB_NB = 6  # interior buckets; output = NB + 2 points per series
 
 
-def _lttb_sql(ev: str) -> str:
-    """Engine-portable LTTB SQL (identical text runs in Spark SQL and
-    DuckDB). The per-bucket argmax is INTEGER-exact: v is pre-scaled to
-    a BIGINT at 4 dp and the triangle area against the next bucket's
-    MEAN point is multiplied through by the bucket count, so the
-    comparison is |(p.t*cnt - sum_t)*(c.v - p.v) - (p.t - c.t)*(sum_v -
-    p.v*cnt)| over BIGINTs — no float enters any argmax, hence no
-    cross-engine ulp risk. The {_LTTB_NB} sequential bucket selections
-    unroll as CTE levels (same pattern as tokenizer_bpe_merges), each a
-    bucket-local window argmax joined to the previous selection."""
-    parts = [f"""
+def _lttb_head_sql(ev: str) -> str:
+    """CTE defs from the raw events through `pe` (the indexed daily
+    points) — the only part that touches the event volume. Split out
+    so the Spark side can materialize `pe` ONCE: the unrolled
+    selection levels below reference it ~{_LTTB_NB}+ times, and
+    Catalyst inlines CTEs, so an un-materialized head is re-scanned
+    and re-windowed per level."""
+    return f"""
         daily AS (
             SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
                    CAST(floor(sum(value) * 10000.0 + 0.5) AS BIGINT) AS v4
@@ -1340,34 +1337,41 @@ def _lttb_sql(ev: str) -> str:
                        AS n
             FROM daily
         ),
-        pe AS (SELECT * FROM pts WHERE n >= {_LTTB_NB + 2}),
-        interior AS (
+        pe AS (SELECT * FROM pts WHERE n >= {_LTTB_NB + 2})"""
+
+
+def _lttb_interior_sql(pe: str) -> str:
+    return f"""
             SELECT event_type, day, v4, idx, n,
                    CAST(floor(CAST((idx - 2) * {_LTTB_NB} AS DOUBLE)
                               / (n - 2)) AS INTEGER) AS b
-            FROM pe WHERE idx >= 2 AND idx <= n - 1
-        ),
-        bsum AS (
+            FROM {pe} WHERE idx >= 2 AND idx <= n - 1
+        """
+
+
+def _lttb_bsum_sql(interior: str) -> str:
+    return f"""
             SELECT event_type, b, count(*) AS cnt,
                    sum(idx) AS st, sum(v4) AS sv
-            FROM interior GROUP BY event_type, b
-        ),
-        lastpt AS (
-            SELECT event_type, idx, day, v4 FROM pe WHERE idx = n
-        ),
-        sel0 AS (
-            SELECT event_type, idx, day, v4 FROM pe WHERE idx = 1
-        )"""]
-    for i in range(_LTTB_NB):
-        prev = f"sel{i}"
-        if i < _LTTB_NB - 1:
-            nxt = f"""(SELECT event_type, cnt, st, sv FROM bsum
+            FROM {interior} GROUP BY event_type, b
+        """
+
+
+def _lttb_nxt_sql(i: int, bsum: str, lastpt: str) -> str:
+    """The 'next anchor' relation for level i: the following bucket's
+    mean point, or the series' last point for the final bucket."""
+    if i < _LTTB_NB - 1:
+        return f"""(SELECT event_type, cnt, st, sv FROM {bsum}
                         WHERE b = {i + 1})"""
-        else:
-            nxt = """(SELECT event_type, CAST(1 AS BIGINT) AS cnt,
-                              idx AS st, v4 AS sv FROM lastpt)"""
-        parts.append(f"""
-        sel{i + 1} AS (
+    return f"""(SELECT event_type, CAST(1 AS BIGINT) AS cnt,
+                              idx AS st, v4 AS sv FROM {lastpt})"""
+
+
+def _lttb_level_sql(i: int, interior: str, prev: str, nxt: str) -> str:
+    """One bucket's argmax selection (shared text: the oracle renders
+    it as CTE level sel{{i+1}}, the Spark side as a per-level statement
+    over persisted views)."""
+    return f"""
             SELECT event_type, idx, day, v4 FROM (
                 SELECT c.event_type, c.idx, c.day, c.v4,
                        row_number() OVER (
@@ -1377,12 +1381,41 @@ def _lttb_sql(ev: str) -> str:
                                - (p.idx - c.idx) * (a.sv - p.v4 * a.cnt)
                            ) DESC, c.idx
                        ) AS rn
-                FROM interior c
+                FROM {interior} c
                 JOIN {prev} p ON p.event_type = c.event_type
                 JOIN {nxt} a ON a.event_type = c.event_type
                 WHERE c.b = {i}
             ) x WHERE rn = 1
-        )""")
+        """
+
+
+def _lttb_tail_sql(pe: str) -> str:
+    """CTE defs + final select from `pe` (referenced as {{pe}}) down to
+    the selected points. Engine-portable (identical text runs in Spark
+    SQL and DuckDB). The per-bucket argmax is INTEGER-exact: v is
+    pre-scaled to a BIGINT at 4 dp and the triangle area against the
+    next bucket's MEAN point is multiplied through by the bucket
+    count, so the comparison is |(p.t*cnt - sum_t)*(c.v - p.v) -
+    (p.t - c.t)*(sum_v - p.v*cnt)| over BIGINTs — no float enters any
+    argmax, hence no cross-engine ulp risk. The {_LTTB_NB} sequential
+    bucket selections unroll as CTE levels (same pattern as
+    tokenizer_bpe_merges), each a bucket-local window argmax joined to
+    the previous selection."""
+    parts = [
+        f"""
+        interior AS ({_lttb_interior_sql(pe)}),
+        bsum AS ({_lttb_bsum_sql("interior")}),
+        lastpt AS (
+            SELECT event_type, idx, day, v4 FROM {pe} WHERE idx = n
+        ),
+        sel0 AS (
+            SELECT event_type, idx, day, v4 FROM {pe} WHERE idx = 1
+        )"""
+    ]
+    for i in range(_LTTB_NB):
+        nxt = _lttb_nxt_sql(i, "bsum", "lastpt")
+        parts.append(f"""
+        sel{i + 1} AS ({_lttb_level_sql(i, "interior", f"sel{i}", nxt)})""")
     sels = "\n            UNION ALL ".join(
         [
             f"SELECT event_type, {r} AS sel_rank, idx, day, v4 FROM sel{r}"
@@ -1390,7 +1423,7 @@ def _lttb_sql(ev: str) -> str:
         ]
         + [f"SELECT event_type, {_LTTB_NB + 1}, idx, day, v4 FROM lastpt"]
     )
-    return ("WITH " + ",".join(parts) + f""",
+    return (",".join(parts) + f""",
         allsel AS (
             {sels}
         )
@@ -1400,6 +1433,11 @@ def _lttb_sql(ev: str) -> str:
         FROM allsel
         ORDER BY event_type, sel_rank
     """)
+
+
+def _lttb_sql(ev: str) -> str:
+    """Full single-statement LTTB (head + tail) — the oracle form."""
+    return "WITH " + _lttb_head_sql(ev) + "," + _lttb_tail_sql("pe")
 
 
 @register("ts_downsample_lttb", oracle=_lttb_sql("events"))
@@ -1419,11 +1457,63 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     millions of series every stage is a narrow per-series window, and
     the unrolled plan is exactly how you'd express fixed-depth
     sequential selection without a driver loop. Integer-exact area
-    comparisons (see _lttb_sql) keep both engines' argmax identical."""
+    comparisons (see _lttb_tail_sql) keep both engines' argmax
+    identical.
+
+    r9: Catalyst inlines CTEs, so the previous single-statement form
+    re-ran the events scan + rollup + windows inside EVERY unrolled
+    level, and each level's subtree additionally inlined ALL previous
+    levels (sel6 contains sel5 contains ...) — O(levels^2) copies of
+    tiny windows and ~13 copies of the fact subtree. Now `pe` (the
+    only event-volume pass), `interior`, `bsum` and every selection
+    level persist via track_persist, with each level's SQL text
+    rendered by the SAME helpers the oracle uses — lazy cache-fill
+    orders the levels, nothing is computed twice, and the fact
+    subtree runs once. The oracle keeps the single-statement form —
+    DuckDB materializes multiply-referenced CTEs on its own."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "lttb_events"
     )
-    return spark.sql(_lttb_sql("lttb_events"))
+
+    def _view(name: str, sql: str) -> None:
+        track_persist(spark.sql(sql)).createOrReplaceTempView(name)
+
+    _view(
+        "lttb_pe",
+        "WITH " + _lttb_head_sql("lttb_events") + " SELECT * FROM pe",
+    )
+    _view("lttb_interior", _lttb_interior_sql("lttb_pe"))
+    _view("lttb_bsum", _lttb_bsum_sql("lttb_interior"))
+    spark.sql(
+        "SELECT event_type, idx, day, v4 FROM lttb_pe WHERE idx = n"
+    ).createOrReplaceTempView("lttb_lastpt")
+    spark.sql(
+        "SELECT event_type, idx, day, v4 FROM lttb_pe WHERE idx = 1"
+    ).createOrReplaceTempView("lttb_sel0")
+    for i in range(_LTTB_NB):
+        nxt = _lttb_nxt_sql(i, "lttb_bsum", "lttb_lastpt")
+        _view(
+            f"lttb_sel{i + 1}",
+            _lttb_level_sql(i, "lttb_interior", f"lttb_sel{i}", nxt),
+        )
+    sels = "\n            UNION ALL ".join(
+        [
+            f"SELECT event_type, {r} AS sel_rank, idx, day, v4"
+            f" FROM lttb_sel{r}"
+            for r in range(_LTTB_NB + 1)
+        ]
+        + [
+            f"SELECT event_type, {_LTTB_NB + 1}, idx, day, v4"
+            " FROM lttb_lastpt"
+        ]
+    )
+    return spark.sql(f"""
+        SELECT event_type, CAST(sel_rank AS BIGINT) AS sel_rank,
+               idx AS point_idx, day,
+               CAST(v4 AS DOUBLE) / 10000.0 AS v
+        FROM ({sels})
+        ORDER BY event_type, sel_rank
+    """)
 
 
 # ---------------------------------------------------------------------------

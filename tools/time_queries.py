@@ -12,12 +12,15 @@ Usage: python tools/time_queries.py [top_n]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_TIME_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def main() -> int:
