@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from parquet_playground_spark.functions.dedup import _fanout
 from parquet_playground_spark.operators.distrank import global_rank
-from parquet_playground_spark.registry import register
+from parquet_playground_spark.registry import register, track_persist
 from parquet_playground_spark.tables import load_table
 
 
@@ -2346,22 +2346,29 @@ _WP_STEPS = 16  # words longer than this are excluded (corpus max is 8)
 _WP_VOCAB_MULTI = 100  # multi-char pieces kept, by (score desc, piece)
 
 
-def _wp_sql(words_cte: str, str_t: str) -> str:
-    """Build the unrolled greedy-encode SQL (shared across engines;
-    only the tokenizing words CTE and the string type name differ)."""
-    head = f"""
-        WITH words AS ({words_cte}),
+_WP_POS_LENS = (
+    f"""
         pos AS (SELECT * FROM (VALUES {", ".join(f"({i})" for i in range(1, _WP_STEPS + 1))}) AS t(p)),
-        lens AS (SELECT * FROM (VALUES (4), (3), (2), (1)) AS t(l)),
+        lens AS (SELECT * FROM (VALUES (4), (3), (2), (1)) AS t(l))"""
+)
+
+
+def _wp_vocab_ctes(words: str) -> str:
+    """chars/multi/vocab CTE defs over the {words} relation (shared
+    text: the oracle renders them inline; the Spark side materializes
+    `vocab` once — every unrolled step equi-joins it, and Catalyst's
+    CTE inlining otherwise re-derives the word-type aggregate per
+    step)."""
+    return f"""
         chars AS (
             SELECT DISTINCT substr(word, p.p, 1) AS piece
-            FROM words CROSS JOIN pos p
+            FROM {words} CROSS JOIN pos p
             WHERE p.p <= length(word)
         ),
         multi_scored AS (
             SELECT substr(w.word, p.p, l.l) AS piece,
                    sum(w.freq) AS score
-            FROM words w CROSS JOIN pos p CROSS JOIN lens l
+            FROM {words} w CROSS JOIN pos p CROSS JOIN lens l
             WHERE l.l >= 2 AND p.p + l.l - 1 <= length(w.word)
             GROUP BY substr(w.word, p.p, l.l)
         ),
@@ -2374,11 +2381,18 @@ def _wp_sql(words_cte: str, str_t: str) -> str:
         ),
         vocab AS (
             SELECT piece FROM chars UNION ALL SELECT piece FROM multi
-        ),
+        )"""
+
+
+def _wp_steps_sql(words: str, vocab: str, str_t: str) -> str:
+    """s0 + the unrolled greedy steps + final select, over {words} and
+    {vocab} relation names (shared text across engines and across the
+    inline/materialized renderings)."""
+    head = f"""
         s0 AS (
             SELECT word, freq, length(word) AS len, 1 AS pos,
                    CAST('' AS {str_t}) AS enc, 0 AS np
-            FROM words WHERE length(word) <= {_WP_STEPS}
+            FROM {words} WHERE length(word) <= {_WP_STEPS}
         )"""
     # Each step references its predecessor EXACTLY ONCE: a second
     # reference (e.g. a UNION ALL carrying finished rows) makes the
@@ -2394,7 +2408,7 @@ def _wp_sql(words_cte: str, str_t: str) -> str:
                    max(CASE WHEN v.piece IS NOT NULL THEN l.l END) AS bl
             FROM s{k - 1} s
             CROSS JOIN lens l
-            LEFT JOIN vocab v
+            LEFT JOIN {vocab} v
               ON s.pos + l.l - 1 <= s.len
              AND v.piece = substr(s.word, s.pos, l.l)
             GROUP BY s.word, s.freq, s.len, s.pos, s.enc, s.np
@@ -2420,6 +2434,21 @@ def _wp_sql(words_cte: str, str_t: str) -> str:
         ORDER BY word
 """
     return head + "".join(steps) + tail
+
+
+def _wp_sql(words_cte: str, str_t: str) -> str:
+    """Full single-statement greedy-encode SQL — the oracle form
+    (composed from the same piece helpers the Spark side materializes
+    stage by stage)."""
+    return (
+        f"""
+        WITH words AS ({words_cte}),"""
+        + _WP_POS_LENS
+        + ","
+        + _wp_vocab_ctes("words")
+        + ","
+        + _wp_steps_sql("words", "vocab", str_t)
+    )
 
 
 _WP_WORDS_DUCK = """
@@ -2469,7 +2498,17 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and s0 is still |types| rows); encoding joins back to the corpus
     by word for downstream token streams. This is exactly how
     production tokenizer application is distributed: encode types
-    once, broadcast the piece map."""
+    once, broadcast the piece map.
+
+    r9 finding, change REJECTED: materializing `words`/`vocab` via
+    track_persist looked attractive (the formatted plan shows the
+    corpus tokenize subtree 33x), but measured 2x SLOWER end-to-end
+    (4.0 -> 7.9 s at sf0.1, min-of-4 A/B) — the engine already
+    dedupes the repeated subtrees at runtime via exchange/stage
+    reuse, and the persisted form trades that for two blocking
+    cache-fill jobs plus per-step InMemoryTableScan overhead. The
+    single-statement form stays; formatted-plan scan counts overstate
+    executed work for this plan class."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "wp_documents"
     )

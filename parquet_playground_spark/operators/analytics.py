@@ -1621,7 +1621,10 @@ def graph_pagerank_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rank magnitudes ~1/N; round(...,6) leaves ~3 significant digits
     of slack over double accumulation-order noise."""
-    li = (
+    # r9: the distinct (order, part) projection persists — the edge
+    # self-join reads it on BOTH sides, and without materialization
+    # each side re-scans lineitem.
+    li = track_persist(
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") <= 20000)
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -1633,7 +1636,15 @@ def graph_pagerank_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # r9: deg persists too — n (re-broadcast per iteration) and the
+    # r0 init reference it, and without materialization each reference
+    # re-plans the whole lineitem self-join subtree (runtime exchange
+    # reuse covers much of the re-execution; the persist makes the
+    # single computation a guarantee rather than a plan-matching
+    # accident, at |parts|-row cost). Wall time flat at sf0.1.
+    deg = track_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    )
     edges_deg = track_persist(edges.join(deg, "src"))
     n = deg.agg(F.count(F.lit(1)).alias("nn"))
     ranks = deg.crossJoin(F.broadcast(n)).select(

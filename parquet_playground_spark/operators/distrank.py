@@ -38,6 +38,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from parquet_playground_spark.registry import track_persist
+
 DEFAULT_BUCKETS = 64
 
 
@@ -95,7 +97,17 @@ def global_rank(
 ) -> DataFrame:
     """Exact global row_number over (metric, *tiebreaks) without a
     single-partition sort. ``tiebreaks`` (always ascending) must make
-    the order total; ``metric`` must be non-null numeric."""
+    the order total; ``metric`` must be non-null numeric.
+
+    The input is persisted for the duration of the query (released by
+    the registry at the next query's entry): the two-pass algorithm
+    reads it three times (min/max stats, per-bucket counts, the rank
+    pass), and Catalyst inlines shared subtrees, so an un-materialized
+    input re-runs its whole lineage per reference — chained calls
+    (rfm's three metrics, ks_test's nested running aggs) compounded
+    this to 30+ copies of the upstream aggregate in one plan (r9;
+    plans/r09/customer_rfm_segments_*)."""
+    df = track_persist(df)
     bkt = f"__bkt_{rank_col}"
     d = _with_bucket(
         df, metric, ascending=ascending, n_buckets=n_buckets, bkt=bkt
@@ -151,7 +163,11 @@ def global_running_agg(
     convention. For ``agg="sum"`` pass an exact-arithmetic ``value``
     (integer / DECIMAL cents) when the result must be independent of
     fold association — the decomposition reassociates the sum; max/min
-    are association-free by nature."""
+    are association-free by nature.
+
+    The input persists for the query's duration — same three-reads
+    rationale as global_rank."""
+    df = track_persist(df)
     agg_fn, combine = _AGG_FNS[agg], _COMBINE[agg]
     bkt = f"__bkt_{out_col}"
     d = _with_bucket(

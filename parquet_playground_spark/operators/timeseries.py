@@ -1461,16 +1461,20 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical.
 
     r9: Catalyst inlines CTEs, so the previous single-statement form
-    re-ran the events scan + rollup + windows inside EVERY unrolled
-    level, and each level's subtree additionally inlined ALL previous
-    levels (sel6 contains sel5 contains ...) — O(levels^2) copies of
-    tiny windows and ~13 copies of the fact subtree. Now `pe` (the
-    only event-volume pass), `interior`, `bsum` and every selection
-    level persist via track_persist, with each level's SQL text
-    rendered by the SAME helpers the oracle uses — lazy cache-fill
-    orders the levels, nothing is computed twice, and the fact
-    subtree runs once. The oracle keeps the single-statement form —
-    DuckDB materializes multiply-referenced CTEs on its own."""
+    PLANNED the events scan + rollup + windows inside every unrolled
+    level, each level's subtree additionally inlining all previous
+    levels (sel6 contains sel5 contains ...) — the formatted plan
+    showed the fact subtree 50x. Runtime exchange/stage reuse
+    deduplicates much of that re-execution (measured wall time is
+    flat at sf0.1), so the persists are about GUARANTEES, not the
+    local bench: `pe` (the only event-volume pass), `interior`,
+    `bsum` and every selection level persist via track_persist, the
+    plan shrinks from 50 fact subtrees to 1 + cache reads, and single
+    computation no longer depends on exchange-fingerprint matching.
+    Each level's SQL text renders from the SAME helpers the oracle
+    uses, so the two forms cannot drift. The oracle keeps the
+    single-statement form — DuckDB materializes multiply-referenced
+    CTEs on its own."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "lttb_events"
     )
