@@ -518,32 +518,42 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus tokens. Document-frequency and corpus stats are
     broadcast scalars. Deterministic top-{_BM25_TOPK} (score desc,
     doc_id)."""
-    # r9 shape: the query's term list is FIXED, so per-doc term
-    # frequencies are per-row array filters instead of an
-    # explode -> groupBy(doc, term) -> join-back-to-dl pipeline. One
-    # narrow pass computes (dl, tf per term); a single 1-row aggregate
-    # yields every global scalar (n_docs, avgdl, per-term df) and
-    # broadcasts; scoring is then pure per-row arithmetic ending in
-    # TakeOrderedAndProject. The previous form scanned documents 3x
-    # and shuffle-joined the doc-proportional dl table against the
-    # hits (plans/r09/text_bm25_search_before.txt); now 2 scans, no
-    # token shuffle, no doc-proportional join. Per-term scores with
-    # tf = 0 contribute exactly +0.0, and the sum order across <= 3
-    # terms only moves the last ulp — absorbed by the same round(.,6)
-    # the shuffled aggregation already relied on.
+    # r10 shape (settles the r9 VERDICT item 2 A/B): ONE corpus pass.
+    # The r9 "per-row array filter" form (size - size(array_remove))
+    # consumed its per_doc projection twice, and predicate pushdown
+    # re-expanded the tokenization into the hits FILTER as well, so
+    # each document was re-split in three operators across two full
+    # scans (plans/r10/text_bm25_search_before.txt nodes (2)/(3)/(5)).
+    # Measured old-r8-form vs r9-form, adjacent processes, min-of-4:
+    # sf0.1 0.772 vs 0.768 (parity), sf1 1.561 vs 2.764 — the r9
+    # shape LOSES 1.8x at 10x docs; the per-row re-tokenization grows
+    # with corpus tokens and costs more than the doc-proportional
+    # tf-dl join it removed. This form beats both: explode the tokens
+    # ONCE and fold dl + per-term tf in a single map-side-combined
+    # groupBy(doc_id) — tokens of a doc are co-located with the doc
+    # row, so partial aggregation collapses to one narrow row per doc
+    # before the only (doc-proportional, 5-column) exchange. The
+    # stats aggregate and the hits filter both consume that exchange;
+    # runtime exchange reuse executes it once (the r9 lesson). No
+    # token-keyed shuffle, no join, one tokenization per document.
+    # Exactness: count(*) over exploded tokens == size(split(..)) for
+    # non-null text (split returns >= 1 element; the fixture has no
+    # null/empty texts at any SF — verified 0.001/0.01/0.1/sf1);
+    # sum(when(t = term, 1)) == size - size(array_remove) == tf;
+    # dl sums are integer-valued doubles (exact in float64), so
+    # avgdl = exact_sum / n is ONE IEEE division — identical across
+    # engines and fold orders; scoring expressions are unchanged.
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     n_terms = len(_BM25_TERMS)
-    # tf via size - size(array_remove(...)): fully codegen'd, measured
-    # 1.5x faster than the equivalent HOF filter (higher-order
-    # functions are CodegenFallback — interpreted per element).
-    per_doc = d.select(
-        "doc_id",
-        F.size(toks).cast("double").alias("dl"),
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl"),
         *[
-            (F.size(toks) - F.size(F.array_remove(toks, term))).alias(
-                f"tf{i}"
-            )
+            F.sum(
+                F.when(F.col("t") == term, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"tf{i}")
             for i, term in enumerate(_BM25_TERMS)
         ],
     )

@@ -278,19 +278,25 @@ def test_co_occurrence_is_keyed_self_join(spark):
 
 
 def test_bm25_single_pass_no_token_shuffle(spark):
-    """r9 shape: term frequencies for the FIXED query terms are
-    per-row array expressions, so the plan has no explode (Generate),
-    no doc-keyed exchange, and no doc-proportional join side — the
-    only aggregate is the 1-row global stats (n_docs/avgdl/df), which
-    broadcasts; the top-10 is TakeOrderedAndProject. (The previous
-    explode -> tf-agg -> join-dl form shuffle- or broadcast-joined a
-    doc-proportional side at scale.)"""
+    """r10 shape: ONE tokenize pass — explode the tokens and fold
+    dl + per-term tf in a single map-side-combined groupBy(doc_id),
+    so the only exchange carries one narrow row per document (never
+    raw tokens), the stats aggregate and the hits filter both consume
+    that exchange (runtime exchange reuse executes it once), and no
+    doc-proportional JOIN side exists — the stats join is the 1-row
+    broadcast. (The r9 per-row array-filter form re-tokenized each
+    document in three operators across two scans and measured 1.8x
+    slower at sf1; the r8 form shuffle-joined a doc-proportional dl
+    table. plans/r10/text_bm25_search_{before,after}.txt.)"""
     plan = formatted_plan(_q("text_bm25_search")(spark, SF_DIR))
-    assert "Generate" not in plan           # no explode pass
     assert "TakeOrderedAndProject" in plan
     # the only join is the 1-row stats broadcast (nested-loop cross)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "hashpartitioning(doc_id" not in plan
+    # the exchange is per-doc rows, never the exploded token stream
+    assert "hashpartitioning(doc_id" in plan
+    assert "hashpartitioning(t#" not in plan
+    # tf/dl fold happens below the exchange (map-side combine)
+    assert "partial_count(1)" in plan
 
 
 def test_incremental_lsh_probe_is_hash_join(spark):
