@@ -224,6 +224,87 @@ def global_prefix_sum(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    fractions: Sequence[float],
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Exact interpolated percentiles WITHOUT the single-task buffer:
+    bit-identical to ``F.percentile(col, array(fractions))`` (verified
+    per-double against it in tests/test_distrank_percentile.py and at
+    3 SFs by the agg_approx_percentile oracle), but every stage is
+    distributed — ``F.percentile`` funnels one (value, count) map of
+    EVERY distinct value into a single final task (583k entries at
+    sf0.1; unbounded at 100 TB — the guide §5 driver/executor buffer
+    class), while this shape is a value groupBy + the two-pass bucket
+    prefix-sum + an 18-row broadcast probe.
+
+    Returns a 1-row DataFrame with columns e0..e{len-1}, one per
+    fraction, in order. Nulls in ``col`` are ignored, matching
+    Percentile's update ("skip null"). Replicates
+    Percentile.getPercentile exactly: position = (n-1) * fraction in
+    double; lower/higher = floor/ceil; short-circuit to the lower
+    value when higher == lower OR both picked values are equal (the
+    interpolation (h-p)*lo + (p-l)*hi is NOT guaranteed to reproduce
+    v when lo == hi == v, so the short-circuit order matters for bit
+    equality); otherwise the same two-multiply one-add expression in
+    the same order."""
+    vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    vals = vc.filter(F.col(col).isNotNull())
+    cum = global_running_agg(
+        vals, col, [], F.col("__cnt"), agg="sum",
+        inclusive=True, n_buckets=n_buckets, out_col="__cum",
+    )
+    nv = vals.agg(F.sum("__cnt").alias("__n_vals"))
+    tgt = nv.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("fi"), F.lit(f).alias("f"))
+                for i, f in enumerate(fractions)
+            ])
+        ).alias("t"),
+        "__n_vals",
+    ).select(
+        F.col("t.fi").alias("__fi"),
+        ((F.col("__n_vals") - 1).cast("double") * F.col("t.f")).alias(
+            "__pos"
+        ),
+    ).select(
+        "__fi", "__pos",
+        F.floor("__pos").alias("__lo_k"),
+        F.ceil("__pos").alias("__hi_k"),
+    )
+    prev = F.col("__cum") - F.col("__cnt")
+    hit_lo = (F.col("__cum") > F.col("__lo_k")) & (prev <= F.col("__lo_k"))
+    hit_hi = (F.col("__cum") > F.col("__hi_k")) & (prev <= F.col("__hi_k"))
+    picked = (
+        cum.join(F.broadcast(tgt), hit_lo | hit_hi)
+        .groupBy("__fi", "__pos", "__lo_k", "__hi_k")
+        .agg(
+            F.min(F.when(hit_lo, F.col(col))).alias("__v_lo"),
+            F.min(F.when(hit_hi, F.col(col))).alias("__v_hi"),
+        )
+    )
+    interp = (
+        F.when(F.col("__lo_k") == F.col("__hi_k"), F.col("__v_lo"))
+        .when(F.col("__v_lo") == F.col("__v_hi"), F.col("__v_lo"))
+        .otherwise(
+            (F.col("__hi_k").cast("double") - F.col("__pos"))
+            * F.col("__v_lo")
+            + (F.col("__pos") - F.col("__lo_k").cast("double"))
+            * F.col("__v_hi")
+        )
+    )
+    return picked.groupBy().agg(
+        *[
+            F.max(F.when(F.col("__fi") == i, interp)).alias(f"e{i}")
+            for i in range(len(fractions))
+        ]
+    )
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL ntile(k) re-derived arithmetically from a global rank and
     the row count: the first n%k tiles take ceil(n/k) rows, the rest
