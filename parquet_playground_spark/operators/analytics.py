@@ -560,17 +560,21 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     output's total_qty (the final GROUP BY keys are functionally
     determined by o_orderkey), so lineitem is aggregated ONCE —
     map-side combined, one exchange on l_orderkey — and the survivors
-    (a >260-qty order is rare) broadcast into the orders probe, and
-    the small hit set joins customer with no re-aggregation. The
-    previous form scanned and shuffled lineitem a second time through
-    the semi-join and re-summed it in a final aggregate
-    (plans/r09/q18_*_before.txt: 4 scans, 2 fact exchanges +
-    final-agg exchange); now 1 lineitem scan, 1 fact exchange, no
-    final aggregate. (Forcing the second broadcast too was measured
-    SLOWER — chained hint-broadcasts serialize the stages; AQE
-    overlaps them.) total_qty is bit-identical under either grouping:
-    l_quantity is integer-valued, so the double sum is exact in any
-    accumulation order."""
+    hash-build into the orders probe (shuffle_hash pin, r10: the
+    survivor set is FACT-DERIVED — 100 rows at sf0.1 but linear in
+    SF, ~0.07% of orders — so the r9 F.broadcast hint was the same
+    never-broadcast-a-fact-proportional-side class q5/q21's pins
+    exist to prevent; the shuffle_hash hint keeps the survivors as
+    the build side without the planner ever putting full orders
+    there, and measured 0.69 vs 0.73/0.80 s broadcast, adjacent
+    min-of-5, results collect-identical). The small hit set then
+    joins customer with no re-aggregation. The r8 form scanned and
+    shuffled lineitem a second time through the semi-join and
+    re-summed it in a final aggregate (plans/r09/q18_*_before.txt:
+    4 scans, 2 fact exchanges + final-agg exchange); now 1 lineitem
+    scan, no final aggregate. total_qty is bit-identical under
+    either grouping: l_quantity is integer-valued, so the double sum
+    is exact in any accumulation order."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -579,7 +583,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 260)
     )
-    hits = o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
+    hits = o.join(big.hint("shuffle_hash"), big.l_orderkey == o.o_orderkey)
     return (
         hits.join(c, c.c_custkey == o.o_custkey)
         .select(

@@ -106,7 +106,16 @@ def global_rank(
     input re-runs its whole lineage per reference — chained calls
     (rfm's three metrics, ks_test's nested running aggs) compounded
     this to 30+ copies of the upstream aggregate in one plan (r9;
-    plans/r09/customer_rfm_segments_*)."""
+    plans/r09/customer_rfm_segments_*).
+
+    Persist contract (r9 ADVICE/VERDICT): callers pass REDUCED frames
+    (per-key aggregates, value-count tables), never a raw fact table —
+    the unconditional MEMORY_AND_DISK persist of a 100 TB input would
+    trade a recompute for a full spill. And the release path is the
+    REGISTRY's next-query-entry hook: library-style use outside a
+    registered query must unpersist the returned frame's lineage
+    itself (or call registry.release_tracked_caches()) or cached
+    blocks accumulate for the session's lifetime."""
     df = track_persist(df)
     bkt = f"__bkt_{rank_col}"
     d = _with_bucket(
@@ -166,7 +175,8 @@ def global_running_agg(
     are association-free by nature.
 
     The input persists for the query's duration — same three-reads
-    rationale as global_rank."""
+    rationale, reduced-frame contract, and registry-release dependency
+    as global_rank (see its docstring)."""
     df = track_persist(df)
     agg_fn, combine = _AGG_FNS[agg], _COMBINE[agg]
     bkt = f"__bkt_{out_col}"

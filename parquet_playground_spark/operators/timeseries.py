@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_playground_spark.registry import register, track_persist
+from parquet_playground_spark.registry import (
+    register,
+    track_persist,
+    track_temp_view,
+)
 from parquet_playground_spark.tables import load_table
 
 
@@ -1475,12 +1479,23 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses, so the two forms cannot drift. The oracle keeps the
     single-statement form — DuckDB materializes multiply-referenced
     CTEs on its own."""
+    # every lttb_* view is track_temp_view'd (r9 ADVICE): the persisted
+    # frames are released by the registry at the next query's entry,
+    # and the view NAMES now deregister with them instead of lingering
+    # in the session catalog for its lifetime. Dropping is safe for
+    # the returned frame — spark.sql analyzes eagerly, so the result
+    # plan no longer needs the catalog entries.
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "lttb_events"
     )
+    track_temp_view(spark, "lttb_events")
 
-    def _view(name: str, sql: str) -> None:
-        track_persist(spark.sql(sql)).createOrReplaceTempView(name)
+    def _view(name: str, sql: str, persist: bool = True) -> None:
+        df = spark.sql(sql)
+        if persist:
+            df = track_persist(df)
+        df.createOrReplaceTempView(name)
+        track_temp_view(spark, name)
 
     _view(
         "lttb_pe",
@@ -1488,12 +1503,16 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _view("lttb_interior", _lttb_interior_sql("lttb_pe"))
     _view("lttb_bsum", _lttb_bsum_sql("lttb_interior"))
-    spark.sql(
-        "SELECT event_type, idx, day, v4 FROM lttb_pe WHERE idx = n"
-    ).createOrReplaceTempView("lttb_lastpt")
-    spark.sql(
-        "SELECT event_type, idx, day, v4 FROM lttb_pe WHERE idx = 1"
-    ).createOrReplaceTempView("lttb_sel0")
+    _view(
+        "lttb_lastpt",
+        "SELECT event_type, idx, day, v4 FROM lttb_pe WHERE idx = n",
+        persist=False,
+    )
+    _view(
+        "lttb_sel0",
+        "SELECT event_type, idx, day, v4 FROM lttb_pe WHERE idx = 1",
+        persist=False,
+    )
     for i in range(_LTTB_NB):
         nxt = _lttb_nxt_sql(i, "lttb_bsum", "lttb_lastpt")
         _view(

@@ -172,16 +172,20 @@ def test_q7_pushes_nation_filter_and_broadcasts(spark):
 
 
 def test_q18_single_lineitem_pass_topk(spark):
-    """r9 shape: lineitem is aggregated ONCE by l_orderkey (the HAVING
-    sum IS the output total_qty), the rare survivors broadcast into
-    the orders probe, and the top-100 runs as TakeOrderedAndProject —
-    no second lineitem scan, no semi join, no final re-aggregation."""
+    """r10 shape: lineitem is aggregated ONCE by l_orderkey (the HAVING
+    sum IS the output total_qty), the FACT-DERIVED survivor set
+    hash-builds into the orders probe (never a forced broadcast — the
+    q5/q21 never-broadcast-a-fact-proportional-side pin), and the
+    top-100 runs as TakeOrderedAndProject — no second lineitem scan,
+    no semi join, no final re-aggregation."""
     plan = formatted_plan(_q("q18_large_orders")(spark, SF_DIR))
     assert plan.count("lineitem.parquet") == 1
     assert "TakeOrderedAndProject" in plan
     # exactly one aggregate pair (partial+final qty sum), no re-agg
     assert plan.count("Functions [1]: [sum(l_quantity") == 1
     assert plan.count("Functions [1]: [partial_sum(l_quantity") == 1
+    # survivors are the hash build side, not a fact-derived broadcast
+    assert "ShuffledHashJoin" in plan
 
 
 def test_cdc_upsert_is_keyed_join_not_nested_loop(spark):
