@@ -570,8 +570,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     iterations — distributed linear algebra with NO collect: the only
     data-sized pass is the covariance accumulation (explode to
     (vec, dim, value), self-join per vector, 64x64=4096 map-combinable
-    cell sums); the eigensolve then iterates matrix-vector products on
-    the 4096-row matrix, each one join + one 64-group aggregate. At
+    cell sums); the eigensolve then runs all three matrix-vector
+    products as one array fold over the collected dim^2-cell matrix —
+    a single 1-row projection, no per-iteration join or shuffle. At
     100 TB the covariance pass is the whole cost and it is one
     co-partitioned self-join + hash agg; the iteration cost never
     grows with data.
@@ -596,28 +597,53 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
         .agg((F.sum(F.col("a.v") * F.col("b.v")) / F.count(F.lit(1))).alias("c"))
     )
-    cov = track_persist(cov)
-    r = cov.select(F.col("i").alias("j")).distinct().select(
-        "j", F.lit(1.0).alias("v")
+    # r10: the eigensolve runs as ONE 1-row array fold instead of 3
+    # join+aggregate rounds. The matrix is dim^2 cells (4096 doubles)
+    # FOREVER — iteration cost never grows with data — but each
+    # join-form round was a broadcast build + shuffle agg, ~9
+    # sequential micro-stages of pure scheduling latency after the
+    # one data-sized pass (cov); the fold does all three mat-vec
+    # products inside a single projection over the collected cell
+    # array (interpreted HOF, ~3*dim^2 ops on ONE row — the
+    # interpreted-HOF ban is for per-fact-row work, not a 1-row
+    # frame). All three iterations live in one aggregate() whose
+    # accumulator is the lambda-bound vector: chaining them through
+    # separate projections re-inlines each round into the next
+    # (CollapseProject) and the expression tree explodes
+    # combinatorially — measured as a hang. cov is now consumed
+    # exactly once, so the r9 persist is gone too. Old vs new,
+    # adjacent min-of-4: 2.10-2.32 -> 1.93 s, outputs identical
+    # (j-ascending fold order vs hash-agg arrival order only moves
+    # ulps absorbed by the final round(.,4); strict-green 3 SFs).
+    one = cov.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("i", "j", "c"))).alias("cells")
     )
-    for _ in range(3):
-        r = (
-            cov.join(F.broadcast(r.withColumnRenamed("v", "rv")), "j")
-            .groupBy(F.col("i").alias("jj"))
-            .agg(F.sum(F.col("c") * F.col("rv")).alias("v"))
-            .withColumnRenamed("jj", "j")
-        )
-    nrm = r.agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n"))
-    sgn = r.filter(F.col("j") == 0).select(
-        F.when(F.col("v") >= 0, 1.0).otherwise(-1.0).alias("s")
+    one = one.select(
+        F.transform(F.col("cells"), lambda s: s["c"]).alias("cm"),
+        F.sqrt(F.size("cells")).cast("int").alias("d"),
     )
-    return (
-        r.crossJoin(F.broadcast(nrm))
-        .crossJoin(F.broadcast(sgn))
-        .select(
-            F.col("j").alias("dim"),
-            F.round(F.col("v") / F.col("n") * F.col("s"), 4).alias("pc1"),
-        )
+    d = F.col("d")
+    r0 = F.transform(F.sequence(F.lit(0), d - 1), lambda i: F.lit(1.0))
+    r3 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(3)),
+        r0,
+        lambda r, _it: F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), d - 1),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(F.col("cm"), i * d + j + 1)
+                * F.element_at(r, j + 1),
+            ),
+        ),
+    )
+    one = one.select(r3.alias("r3"))
+    nrm = F.sqrt(F.aggregate("r3", F.lit(0.0), lambda acc, x: acc + x * x))
+    sgn = F.when(F.element_at("r3", 1) >= 0, 1.0).otherwise(-1.0)
+    one = one.select("r3", nrm.alias("n"), sgn.alias("s"))
+    return one.select(F.posexplode("r3").alias("dim", "v"), "n", "s").select(
+        "dim", F.round(F.col("v") / F.col("n") * F.col("s"), 4).alias("pc1")
     )
 
 
