@@ -156,121 +156,49 @@ def load_all() -> None:
 # through the never-driver-checked remainder. Long-green checked
 # queries sort last — the local full-repr sweep still covers them.
 _CHECK_ORDER = [
-    # ---- r9 window: backlog burn-down, tranche 3 of 4 ----
-    # The driver checks the first ~50 registered queries each round
-    # (r8 came back 50/50 green, CORRECTNESS_r08; those heads drop
-    # off). This round's window = 10 REDEMPTION slots + the next 40
-    # never-driver-checked backlog keys.
+    # ---- r10 window: backlog burn-down, FINAL tranche (4 of 4) ----
+    # The driver checks the first ~50 registered queries each round;
+    # r9's window came back 50/50 green (CORRECTNESS_r09) and those
+    # heads drop off. This round's window = 4 REDEMPTION slots + the
+    # last 38 never-driver-checked backlog keys + 8 oldest-first
+    # re-certifications. After this round every one of the 424 keys
+    # has an official driver row (ever-checked 424/424) and the
+    # POST-BACKLOG POLICY below takes over.
     #
-    # REDEMPTION SLOTS (r9): the r8 VERDICT item 2 order — convert
-    # the last 11 round(avg/sum) float oracle sites (10 keys) to the
-    # exact-integer pattern NOW; engine round(avg(..)) split three
-    # certified keys in r8's sf100 screen. All ten keys below were
-    # long-green (driver-checked in r1-r6) but both their Spark and
-    # oracle expressions changed this round, and changed code always
-    # re-certifies before backlog. Conversions: integer-unit
-    # quantization (cents / nano-units) + exact sum + one IEEE
-    # division + portable floor; events_uplift_cuped additionally
-    # derives theta from cleared-denominator HUGEINT/DECIMAL(38,0)
-    # sums so it is now BIT-identical across engines; the two LM keys
-    # use the text_bigram_lm_perplexity NANO-unit NLL pattern. Each
-    # re-verified strict at sf0.01 + sf1 + sf10 (sf100 screens in
-    # BENCH_local.md r9 section).
-    # dedup_semantic_clustered joins them (11th redemption slot): the
-    # r8 VERDICT item 4 test pins required extracting the GEMM kernel
-    # to module level (_semantic_cluster_pairs, block parameterized
-    # for the cross-block completeness unit test) plus a 1-arg
-    # applyInPandas wrapper — behavior-identical, but changed code
-    # always re-certifies; strict-green at sf0.01/sf1 post-change.
-    # basket_association_lift joins them (12th redemption slot,
-    # oracle-only rewrite, r8 VERDICT item 5): its DuckDB oracle's
-    # distinct-(order, brand) self-join — ~1.2e9 intermediate pairs
-    # at sf100 — ground past a 75 GB cap; rewritten to the
-    # brand-BITMASK formulation (each basket collapses to one
-    # UBIGINT bit_or mask; pair/support expansion over distinct
-    # masks x 25 brands). Counts provably identical, float
-    # expressions byte-identical; strict-green at sf0.01/sf1/sf10 +
-    # the sf100 point recorded in BENCH_local.md r9.
-    # (text_contamination_ngram's oracle was also touched this round
-    # — the duplicated gram subquery now renders from one helper —
-    # but the rendered SQL is token-identical to the r8-certified
-    # text modulo whitespace/comments, verified by diff, so it keeps
-    # its r8 row and takes no slot.)
+    # REDEMPTION SLOTS (r10): changed code always re-certifies before
+    # backlog. This optimization round restructured four queries
+    # (results proven identical, strict-green at 3 SFs each, but the
+    # driver row is the official record):
+    #   text_bm25_search        - one-tokenize-pass fold (r9 VERDICT
+    #                             item 2; the r9 regression recovered)
+    #   agg_approx_percentile   - distrank exact quantiles, no
+    #                             single-task buffer (VERDICT item 5)
+    #   q18_large_orders        - fact-derived survivor set now
+    #                             shuffle_hash, never broadcast
+    #   embedding_pca_power_iteration - eigensolve as one 1-row fold
+    # (ts_downsample_lttb also changed — temp-view tracking only —
+    # and already sits in the backlog tranche below.)
     #
-    # Burn-down schedule (driver window ~50/round, list consumed
-    # head-first; freshly-checked heads drop off after each round):
+    # Burn-down ledger:
     #   r7: DONE - semantic_clustered + H(25) + I(10) + L(1-14)
-    #   r8: DONE - 7 redemption + L tail + M(1-25) (50/50 green)
-    #   r9: slots 1-50  = 12 redemption (above) + backlog 1-38
-    #                     (M-tail 12 incl. the r8-displaced
-    #                     stat/text/ts keys, then K 26)
-    #   r10: slots 51-88 = K tail (tokenizer_vocab_build,
-    #                      ts_downsample_lttb, ts_kalman_filter_1d)
-    #                      + D(10, incl. the sketches) + A(4) + C(4)
-    #                      + G(3) + J(2: udf_arrow_optimized,
-    #                      udtf_analyze_dynamic) + E(1) + F(1) +
-    #                      q-suite stragglers - backlog fully
-    #                      retired; ever-checked = 424/424.
-    # Every backlog key already passes the local 424-query strict
-    # sweep at sf0.01 AND holds an sf100/sf30 strict or fingerprint
-    # pre-screen point (BENCH_local.md r8 sections).
+    #   r8: DONE - 7 redemption + L tail + M(1-25)   (50/50 green)
+    #   r9: DONE - 12 redemption + M-tail + K(26)    (50/50 green)
+    #   r10: 4 redemption + K tail + D(10, incl. sketches) + A(4) +
+    #        C(4) + G(3) + J(2) + E(1) + F(1) + q-suite stragglers +
+    #        8 oldest-first (r1-certified aggregates/filters) ->
+    #        backlog fully retired.
     #
-    # POST-BACKLOG POLICY (from r11, per r8 VERDICT item 7): once the
-    # ledger closes at 424/424, each round's window becomes a
-    # rotating RE-certification of the ~50 keys whose last driver
-    # row is OLDEST (oldest-first by round, alphabetical within a
-    # round), with changed-code redemption slots still taking the
-    # head. That re-certifies the whole surface roughly every 9
-    # rounds and keeps the driver gate sensitive to regressions in
-    # long-green code.
-    "dedup_semantic_clustered", "basket_association_lift", "agg_global",
-    "agg_stats",
-    "window_moving_avg",
-    "events_uplift_cuped",
-    "text_lang_stats",
-    "pipeline_corpus_prep",
-    "text_lm_kneser_ney",
-    "text_lm_interpolation_tuning",
-    "curriculum_quality_stages",
-    "embedding_mean_pool",
-    "sql_partition_hints",
-    "stat_benford_digits",
-    "stat_chi_square",
-    "stat_cohort_survival_km",
-    "stat_mahalanobis_outliers",
-    "stat_mann_whitney_u",
-    "text_classify_naive_bayes",
-    "text_inverted_index",
-    "ts_business_days",
-    "ts_interval_union_coverage",
-    "ts_time_weighted_avg",
-    "udf_pandas_iterator",
-    "anonymize_k_audit",
-    "corpus_importance_resampling",
-    "corpus_lang_rebalance",
-    "corpus_quality_ensemble",
-    "corpus_source_divergence_jsd",
-    "dedup_minhash_index_merge",
-    "dedup_paragraph_exact",
-    "dedup_prefix_boilerplate",
-    "dedup_shingle_containment",
-    "dedup_winnowing_fingerprints",
-    "doc_chunk_overlap",
-    "embedding_product_quantization",
-    "fn_interval_arithmetic",
-    "gdpr_delete_cascade",
-    "ml_decision_stump",
-    "multimodal_webdataset_shards",
-    "part_co_occurrence",
-    "seq_len_distribution",
-    "sim_search_ivf_pq",
-    "stream_windowed_topk",
-    "text_doc_entropy",
-    "text_ngram_novelty_rate",
-    "text_repetition_rep_n",
-    "text_vocab_freq_spectrum",
-    "tokenizer_bpe_merges",
-    "tokenizer_unigram_em",
+    # POST-BACKLOG POLICY (from r11, per the r8 VERDICT item 7): each
+    # round's window becomes a rotating RE-certification of the ~50
+    # keys whose last driver row is OLDEST (oldest round first,
+    # alphabetical within a round), with changed-code redemption
+    # slots still taking the head. The 8 oldest-first keys below are
+    # that policy's first installment (r1-certified, never re-checked
+    # since).
+    "text_bm25_search",
+    "agg_approx_percentile",
+    "q18_large_orders",
+    "embedding_pca_power_iteration",
     "tokenizer_vocab_build",
     "ts_downsample_lttb",
     "ts_kalman_filter_1d",
@@ -309,6 +237,14 @@ _CHECK_ORDER = [
     "udtf_analyze_dynamic",
     "window_nth_first_ignore",
     "topk_offset_pagination",
+    "agg_cube",
+    "agg_distinct",
+    "agg_filtered",
+    "agg_groupby",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "dedup_exact",
 ]
 
 
