@@ -57,6 +57,10 @@ SCALAR_BROADCAST_BNLJ = {
     # two 1-row global aggregates cross-joined (the split that avoids
     # the RewriteDistinctAggregates HLL merge-per-row plan)
     "agg_approx_count_distinct",
+    # r10 exact_percentiles: an 18-row quantile-target frame broadcast
+    # against the value-count table (inequality probe, O(18)/row) plus
+    # the 1-row exact-quantile result cross-joined into the sketch agg
+    "agg_approx_percentile",
     "basket_association_lift", "corpus_dataset_card",
     "corpus_dedup_funnel", "corpus_importance_resampling",
     "corpus_perplexity_buckets", "corpus_quality_ensemble",
